@@ -1,0 +1,222 @@
+"""Validity checking and repair (make_valid) without GEOS.
+
+Strategy for invalid polygons (the cases the reference test suite exercises:
+self-touching and self-crossing "M-shape" rings, tests/test_simplify.py:181-251):
+node each ring at its self-intersections, walk the noded ring extracting simple
+loops (stack-based), drop zero-area loops, and assemble the surviving loops
+into a Polygon / MultiPolygon (GeometryCollection if mixed with collapsed
+lower-dimension parts and keep_collapsed=True).
+
+This matches GEOS MakeValid's *observable* behaviour on those corpus cases
+(bowtie → two triangles, self-touch → split parts), not its internals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygeoops_ray.geo import geom as g
+from pygeoops_ray.geo.measures import ring_area
+from pygeoops_ray.geo.predicates import point_in_ring, segment_intersection_points
+
+__all__ = ["is_valid", "make_valid", "node_ring", "split_ring_loops"]
+
+_EPS = 1e-9
+
+
+def _ring_is_simple(ring: np.ndarray) -> bool:
+    """No two non-adjacent segments of the ring intersect."""
+    n = len(ring) - 1
+    for i in range(n):
+        a1, a2 = ring[i, :2], ring[i + 1, :2]
+        for j in range(i + 1, n):
+            if j == i or (j == i + 1) or (i == 0 and j == n - 1):
+                continue
+            b1, b2 = ring[j, :2], ring[j + 1, :2]
+            pts = segment_intersection_points(a1, a2, b1, b2)
+            for p in pts:
+                # shared endpoint of adjacent segments is fine; any other hit is not
+                if (
+                    np.hypot(p[0] - a2[0], p[1] - a2[1]) < _EPS and j == i + 1
+                ) or (np.hypot(p[0] - a1[0], p[1] - a1[1]) < _EPS and j == n - 1):
+                    continue
+                return False
+    return True
+
+
+def is_valid(geometry: g.Geometry | None) -> bool:
+    """Pragmatic OGC validity: simple rings, holes inside shell, positive area."""
+    if geometry is None:
+        return True
+    if isinstance(geometry, (g.Point, g.MultiPoint, g.LineString, g.MultiLineString)):
+        return True
+    if isinstance(geometry, g.Polygon):
+        if geometry.is_empty:
+            return True
+        if abs(ring_area(geometry.shell)) < _EPS * _EPS:
+            return False
+        if not _ring_is_simple(geometry.shell):
+            return False
+        for h in geometry.holes:
+            if not _ring_is_simple(h):
+                return False
+            # hole must be inside the shell
+            inside = any(point_in_ring(c[0], c[1], geometry.shell) == 1 for c in h[:-1])
+            if not inside:
+                return False
+        return True
+    if isinstance(geometry, g.MultiPolygon):
+        if not all(is_valid(p) for p in geometry.geoms):
+            return False
+        from pygeoops_ray.geo.predicates import bbox_intersects, intersects
+
+        parts = geometry.geoms
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                if bbox_intersects(parts[i], parts[j]) and intersects(parts[i], parts[j]):
+                    return False
+        return True
+    if isinstance(geometry, g.GeometryCollection):
+        return all(is_valid(p) for p in geometry.geoms)
+    return True
+
+
+def node_ring(ring: np.ndarray) -> np.ndarray:
+    """Insert the ring's self-intersection points as explicit vertices."""
+    n = len(ring) - 1
+    inserts: dict[int, list[tuple[float, float, float]]] = {}
+    for i in range(n):
+        a1, a2 = ring[i, :2], ring[i + 1, :2]
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+        # (adjacent segments share endpoints by construction)
+            for p in segment_intersection_points(a1, a2, ring[j, :2], ring[j + 1, :2]):
+                seglen_a = np.hypot(a2[0] - a1[0], a2[1] - a1[1])
+                ta = np.hypot(p[0] - a1[0], p[1] - a1[1]) / seglen_a if seglen_a else 0.0
+                if _EPS < ta < 1 - _EPS:
+                    inserts.setdefault(i, []).append((ta, p[0], p[1]))
+                b1 = ring[j, :2]
+                b2 = ring[j + 1, :2]
+                seglen_b = np.hypot(b2[0] - b1[0], b2[1] - b1[1])
+                tb = np.hypot(p[0] - b1[0], p[1] - b1[1]) / seglen_b if seglen_b else 0.0
+                if _EPS < tb < 1 - _EPS:
+                    inserts.setdefault(j, []).append((tb, p[0], p[1]))
+    if not inserts:
+        return ring
+    out = []
+    for i in range(n):
+        out.append(ring[i, :2])
+        for _, px, py in sorted(set(inserts.get(i, []))):
+            out.append(np.array([px, py]))
+    out.append(ring[n, :2])
+    return np.array(out)
+
+
+def split_ring_loops(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a noded ring into simple loops (stack-based repeated-vertex walk)."""
+    key = [(round(p[0] / _EPS) * _EPS, round(p[1] / _EPS) * _EPS) for p in ring[:, :2]]
+    path: list[int] = []
+    seen: dict[tuple[float, float], int] = {}
+    loops: list[np.ndarray] = []
+    for idx in range(len(ring)):
+        k = key[idx]
+        if k in seen:
+            start = seen[k]
+            loop_idx = path[start:] + [idx]
+            if len(loop_idx) >= 4:  # 3 distinct + closing
+                loops.append(ring[loop_idx, :2])
+            # unwind
+            for pi in path[start + 1 :]:
+                seen.pop(key[pi], None)
+            path = path[: start + 1]
+        else:
+            seen[k] = len(path)
+            path.append(idx)
+    return loops
+
+
+def _close(arr: np.ndarray) -> np.ndarray:
+    if len(arr) and not np.array_equal(arr[0], arr[-1]):
+        return np.concatenate([arr, arr[:1]], axis=0)
+    return arr
+
+
+def make_valid(geometry, keep_collapsed: bool = True, only_if_invalid: bool = False):
+    """Repair invalid geometries; valid input is returned unchanged."""
+    if geometry is None:
+        return None
+    if isinstance(geometry, np.ndarray):
+        out = np.empty(len(geometry), dtype=object)
+        for i, p in enumerate(geometry):
+            out[i] = make_valid(p, keep_collapsed, only_if_invalid)
+        return out
+    if only_if_invalid and is_valid(geometry):
+        return geometry
+    return _make_valid_one(geometry, keep_collapsed)
+
+
+def _make_valid_one(geometry: g.Geometry, keep_collapsed: bool):
+    if isinstance(geometry, (g.Point, g.MultiPoint, g.LineString, g.MultiLineString)):
+        return geometry
+    if isinstance(geometry, g.Polygon):
+        return _make_valid_polygon(geometry, keep_collapsed)
+    if isinstance(geometry, g.MultiPolygon):
+        parts = [_make_valid_polygon(p, keep_collapsed) for p in geometry.geoms]
+        from pygeoops_ray.geo.general import collect, get_parts_recursive
+
+        flat = []
+        for p in parts:
+            if p is None or p.is_empty:
+                continue
+            flat.extend(get_parts_recursive(p))
+        return collect(flat) if flat else g.MultiPolygon()
+    if isinstance(geometry, g.GeometryCollection):
+        parts = [_make_valid_one(p, keep_collapsed) for p in geometry.geoms]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        return g.GeometryCollection(parts)
+    return geometry
+
+
+def _make_valid_polygon(poly: g.Polygon, keep_collapsed: bool):
+    if poly.is_empty:
+        return poly
+    if is_valid(poly):
+        return poly
+    shell_noded = node_ring(_close(poly.shell[:, :2]))
+    loops = split_ring_loops(shell_noded)
+    good = []
+    collapsed = []
+    if not loops:
+        # fully degenerate ring (e.g. zero-area spike): collapses to a line
+        loops_dg = [shell_noded]
+    else:
+        loops_dg = []
+    for lp in list(loops) + loops_dg:
+        a = ring_area(lp)
+        if abs(a) > _EPS * _EPS:
+            good.append(lp if a > 0 else lp[::-1])
+        elif keep_collapsed:
+            distinct = np.unique(lp[:, :2], axis=0)
+            if len(distinct) >= 2:
+                collapsed.append(g.LineString(distinct))
+    # Re-attach valid holes to whichever loop contains them
+    holes_by_loop: list[list[np.ndarray]] = [[] for _ in good]
+    for h in poly.holes:
+        for i, lp in enumerate(good):
+            if point_in_ring(h[0, 0], h[0, 1], _close(lp)) >= 0:
+                holes_by_loop[i].append(h)
+                break
+    polys = [g.Polygon(lp, hs) for lp, hs in zip(good, holes_by_loop)]
+    if not polys:
+        if collapsed and keep_collapsed:
+            return collapsed[0] if len(collapsed) == 1 else g.MultiLineString(collapsed)
+        return g.Polygon()
+    result: g.Geometry
+    if len(polys) == 1:
+        result = polys[0]
+    else:
+        result = g.MultiPolygon(polys)
+    if collapsed and keep_collapsed:
+        return g.GeometryCollection(polys + collapsed)
+    return result
