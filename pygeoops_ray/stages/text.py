@@ -1,0 +1,114 @@
+"""Text-analysis stages over the documents table (training-data pipeline ops).
+
+Vectorized per-batch kernels: token counting, quality scoring, language ID
+(character n-gram heuristic), rolling-hash document fingerprints. The
+token/quality kernels use arithmetic that a DuckDB oracle reproduces exactly
+(split on single space, length/replace counting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "token_count_batch",
+    "quality_batch",
+    "LangId",
+    "fingerprint_batch",
+]
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): number of single-space-split tokens (oracle: len(string_split(text,' '')))."""
+    toks = pc.split_pattern(batch["text"], " ")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality metrics with exact-arithmetic oracle parity.
+
+    n_chars_calc = length(text); n_spaces = count of ' '; n_tokens as above;
+    avg_token_len = (n_chars - n_spaces) / n_tokens (float64).
+    """
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    no_space = pc.replace_substring(text, " ", "")
+    n_spaces = pc.subtract(n_chars, pc.cast(pc.utf8_length(no_space), pa.int64()))
+    n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+    avg_len = pc.divide(
+        pc.cast(pc.subtract(n_chars, n_spaces), pa.float64()),
+        pc.cast(n_tokens, pa.float64()),
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_calc": n_chars,
+            "n_spaces": n_spaces,
+            "n_tokens": n_tokens,
+            "avg_token_len": avg_len,
+        }
+    )
+
+
+_LANG_PROFILES = {
+    # tiny stopword/char-bigram profiles; a real deployment would broadcast a
+    # trained model — the Ray plumbing (actor pool, broadcast state) is the point
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "una", "para", "en", "que"},
+    "zh": set(),  # falls back to CJK codepoint ratio
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles built once per actor."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def classify(self, text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        words = text.lower().split()
+        best, best_score = "en", -1.0
+        for lang, stops in self.profiles.items():
+            if not stops:
+                continue
+            score = sum(1 for w in words if w in stops) / max(len(words), 1)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): FNV-1a rolling hash over the utf-8 text (int64)."""
+    out = np.empty(len(batch), dtype=np.uint64)
+    texts = batch["text"].to_pylist()
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            h = _FP_OFF
+            for b in data:
+                h = (h ^ b) * _FP_BASE
+            out[i] = h
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "fp": pa.array(out.view(np.int64), pa.int64())}
+    )
