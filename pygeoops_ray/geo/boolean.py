@@ -1,0 +1,90 @@
+"""Geometry-level boolean ops on the numpy model, backed by martinez.py.
+
+Supplies shapely's difference / union_all / unary_union / intersection that
+the reference calls (/root/reference/pygeoops/_difference.py:169-181,
+_general.py:596, _buffer_by_m.py:171) for polygonal inputs; line/point inputs
+take dedicated paths (rect-clip, predicate filters) where the engine needs
+them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygeoops_ray.geo import geom as g
+from pygeoops_ray.geo import martinez
+from pygeoops_ray.geo.measures import ring_area
+
+__all__ = ["difference", "intersection", "union", "union_all"]
+
+
+def _to_marty(geom: g.Geometry | None) -> list:
+    """Geometry → martinez input: list of polygons (list of rings)."""
+    if geom is None or geom.is_empty:
+        return []
+    if isinstance(geom, g.Polygon):
+        return [[r[:, :2].tolist() for r in geom.rings]]
+    if isinstance(geom, g.MultiPolygon):
+        return [[r[:, :2].tolist() for r in p.rings] for p in geom.geoms if not p.is_empty]
+    if isinstance(geom, g.GeometryCollection):
+        out = []
+        for p in geom.geoms:
+            out.extend(_to_marty(p))
+        return out
+    raise ValueError(f"boolean ops support polygons, got {geom.geom_type}")
+
+
+def _from_marty(polys: list) -> g.Geometry:
+    """martinez output → Polygon / MultiPolygon / empty Polygon."""
+    cleaned = []
+    for rings in polys:
+        rr = []
+        for ring in rings:
+            arr = np.asarray(ring, dtype=np.float64)
+            if len(arr) >= 4 and abs(ring_area(arr)) > 1e-12:
+                rr.append(arr)
+        if rr:
+            cleaned.append(g.Polygon(rr[0], rr[1:]))
+    if not cleaned:
+        return g.Polygon()
+    if len(cleaned) == 1:
+        return cleaned[0]
+    return g.MultiPolygon(cleaned)
+
+
+def difference(a: g.Geometry | None, b: g.Geometry | None) -> g.Geometry | None:
+    """a minus b (polygonal)."""
+    if a is None:
+        return None
+    if b is None or b.is_empty:
+        return a
+    return _from_marty(martinez.boolean_op(_to_marty(a), _to_marty(b), martinez.DIFFERENCE))
+
+
+def intersection(a: g.Geometry | None, b: g.Geometry | None) -> g.Geometry | None:
+    if a is None or b is None:
+        return None
+    return _from_marty(martinez.boolean_op(_to_marty(a), _to_marty(b), martinez.INTERSECTION))
+
+
+def union(a: g.Geometry | None, b: g.Geometry | None) -> g.Geometry | None:
+    if a is None or a.is_empty:
+        return b
+    if b is None or b.is_empty:
+        return a
+    return _from_marty(martinez.boolean_op(_to_marty(a), _to_marty(b), martinez.UNION))
+
+
+def union_all(geoms) -> g.Geometry:
+    """Union of many polygonal geometries (balanced pairwise merge tree)."""
+    items = [p for p in geoms if p is not None and not p.is_empty]
+    if not items:
+        return g.Polygon()
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(union(items[i], items[i + 1]))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]

@@ -1,0 +1,93 @@
+"""line_merge: join contiguous line segments at degree-2 nodes.
+
+GEOS LineMerger semantics (the reference leans on shapely.line_merge in the
+centerline path, _centerline.py:183-187): edges are merged through nodes where
+exactly two edges meet; nodes of degree 1 or >= 3 break chains. Output is a
+LineString when one chain remains, else a MultiLineString.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pygeoops_ray.geo import geom as g
+
+__all__ = ["line_merge"]
+
+_PREC = 1e-9
+
+
+def _key(pt) -> tuple[float, float]:
+    return (round(pt[0] / _PREC) * _PREC, round(pt[1] / _PREC) * _PREC)
+
+
+def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
+    if geometry is None:
+        return None
+    if isinstance(geometry, g.LineString):
+        return geometry
+    if not isinstance(geometry, (g.MultiLineString, g.GeometryCollection)):
+        raise ValueError(f"line_merge expects lines, got {geometry.geom_type}")
+
+    lines = [p for p in geometry.geoms if isinstance(p, g.LineString) and not p.is_empty]
+    if not lines:
+        return g.MultiLineString()
+
+    # node degree map over endpoints
+    degree: dict[tuple[float, float], int] = {}
+    for ln in lines:
+        for pt in (ln.coords[0, :2], ln.coords[-1, :2]):
+            k = _key(pt)
+            degree[k] = degree.get(k, 0) + 1
+
+    # adjacency: endpoint key -> list of (line_idx, is_start)
+    adj: dict[tuple[float, float], list[tuple[int, bool]]] = {}
+    for i, ln in enumerate(lines):
+        adj.setdefault(_key(ln.coords[0, :2]), []).append((i, True))
+        adj.setdefault(_key(ln.coords[-1, :2]), []).append((i, False))
+
+    used = [False] * len(lines)
+    merged: list[np.ndarray] = []
+
+    def walk(start_idx: int, forward: bool) -> list[np.ndarray]:
+        """Collect coords chains from a line, extending through degree-2 nodes."""
+        chain = [lines[start_idx].coords[:, :2] if forward else lines[start_idx].coords[::-1, :2]]
+        used[start_idx] = True
+        while True:
+            endpt = _key(chain[-1][-1])
+            if degree.get(endpt, 0) != 2:
+                break
+            nxt = [(i, s) for i, s in adj.get(endpt, []) if not used[i]]
+            if len(nxt) != 1:
+                break
+            i, is_start = nxt[0]
+            used[i] = True
+            seg = lines[i].coords[:, :2] if is_start else lines[i].coords[::-1, :2]
+            chain.append(seg[1:])
+        return chain
+
+    for i in range(len(lines)):
+        if used[i]:
+            continue
+        # walk backward first so the chain starts at a break node
+        back = walk(i, forward=False)
+        back_coords = np.concatenate(back, axis=0)[::-1]
+        # continue forward from the original line's end
+        endpt = _key(back_coords[-1])
+        parts = [back_coords]
+        while True:
+            if degree.get(endpt, 0) != 2:
+                break
+            nxt = [(j, s) for j, s in adj.get(endpt, []) if not used[j]]
+            if len(nxt) != 1:
+                break
+            j, is_start = nxt[0]
+            used[j] = True
+            seg = lines[j].coords[:, :2] if is_start else lines[j].coords[::-1, :2]
+            parts.append(seg[1:])
+            endpt = _key(parts[-1][-1])
+        merged.append(np.concatenate(parts, axis=0))
+
+    if len(merged) == 1:
+        return g.LineString(merged[0])
+    return g.MultiLineString([g.LineString(c) for c in merged])

@@ -1,0 +1,145 @@
+"""Boolean ops + difference_all semantics.
+
+Oracle cases follow /root/reference/tests/test_difference.py:12-112 (equality
+with plain difference-of-union) re-expressed with our own kernels.
+"""
+
+import numpy as np
+import pytest
+
+from pygeoops_ray.geo import boolean as B
+from pygeoops_ray.geo import geom as g
+from pygeoops_ray.geo import wkt
+from pygeoops_ray.geo.buffer import buffer_by_m, convex_hull
+from pygeoops_ray.geo.difference import (
+    _difference_intersecting,
+    difference_all,
+    difference_all_tiled,
+)
+
+
+def test_boolean_basic():
+    a = g.box(0, 0, 10, 10)
+    b = g.box(5, 5, 15, 15)
+    assert B.difference(a, b).area == pytest.approx(75.0)
+    assert B.intersection(a, b).area == pytest.approx(25.0)
+    assert B.union(a, b).area == pytest.approx(175.0)
+
+
+def test_boolean_shared_edge():
+    a = g.box(0, 0, 10, 10)
+    c = g.box(10, 0, 20, 10)
+    assert B.difference(a, c).area == pytest.approx(100.0)
+    u = B.union(a, c)
+    assert u.area == pytest.approx(200.0)
+    assert isinstance(u, g.Polygon)  # merged across the shared edge
+
+
+def test_boolean_hole():
+    a = g.box(0, 0, 10, 10)
+    d = B.difference(a, g.box(3, 3, 7, 7))
+    assert d.area == pytest.approx(84.0)
+    assert isinstance(d, g.Polygon) and len(d.holes) == 1
+
+
+def test_boolean_split():
+    a = g.box(0, 0, 10, 10)
+    d = B.difference(a, g.box(4, -1, 6, 11))
+    assert isinstance(d, g.MultiPolygon)
+    assert d.area == pytest.approx(80.0)
+
+
+def test_boolean_self_annihilation():
+    a = g.box(0, 0, 10, 10)
+    assert B.difference(a, a).is_empty
+    assert B.union(a, a).area == pytest.approx(100.0)
+    assert B.intersection(a, a).area == pytest.approx(100.0)
+
+
+def test_boolean_triangles():
+    t1 = g.Polygon([(0, 0), (10, 0), (5, 8)])
+    t2 = g.Polygon([(0, 5), (10, 5), (5, -3)])
+    it = B.intersection(t1, t2)
+    un = B.union(t1, t2)
+    d1 = B.difference(t1, t2)
+    # inclusion-exclusion closes
+    assert un.area == pytest.approx(t1.area + t2.area - it.area, rel=1e-9)
+    assert d1.area == pytest.approx(t1.area - it.area, rel=1e-9)
+
+
+def test_difference_all():
+    big = g.box(0, 0, 100, 100)
+    subs = [g.box(10, 10, 20, 20), g.box(30, 30, 40, 40), g.box(200, 200, 210, 210)]
+    assert difference_all(big, subs, check_intersects=True).area == pytest.approx(9800.0)
+    # non-intersecting subtrahends only → unchanged geometry returned
+    same = difference_all(big, [g.box(200, 200, 210, 210)], check_intersects=True)
+    assert same is big
+
+
+def test_difference_all_tiled_matches_untiled():
+    big = g.box(0, 0, 100, 100)
+    subs = [g.box(i, i, i + 8, i + 8) for i in range(0, 90, 10)]
+    plain = difference_all(big, subs)
+    tiled = difference_all_tiled(big, subs, subdivide_coords=4)
+    assert tiled.area == pytest.approx(plain.area, rel=1e-9)
+
+
+def test_difference_all_none_and_empty():
+    assert difference_all(None, [g.box(0, 0, 1, 1)]) is None
+    e = g.Polygon()
+    assert difference_all(e, [g.box(0, 0, 1, 1)]) is e
+    big = g.box(0, 0, 10, 10)
+    assert difference_all_tiled(big, None) is big
+
+
+def test_difference_intersecting_array():
+    arr = np.array([g.box(0, 0, 10, 10), g.box(50, 50, 60, 60)], dtype=object)
+    out = _difference_intersecting(arr, g.box(5, 5, 15, 15))
+    assert out[0].area == pytest.approx(75.0)
+    assert out[1] is arr[1]  # untouched (no intersection)
+
+
+def test_convex_hull():
+    pts = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (1, 1)], dtype=float)
+    hull = convex_hull(pts)
+    assert len(hull) == 5  # 4 corners + closure
+    from pygeoops_ray.geo.measures import ring_area
+
+    assert ring_area(hull) == pytest.approx(16.0)
+
+
+def test_buffer_by_m_line():
+    # ref tests/test_buffer_by_m.py semantics: M (or Z) per-vertex radii
+    ln = wkt.loads("LINESTRING Z (0 6 1, 0 0 2, 10 0 2, 13 5 4)")
+    buf = buffer_by_m(ln)
+    assert isinstance(buf, g.Polygon)
+    assert buf.area > 0
+    bounds = buf.bounds
+    assert bounds[0] <= -2 and bounds[2] >= 13 + 3.9  # reaches radius 4 at the end
+
+
+def test_buffer_by_m_zero_tapers():
+    bt = buffer_by_m(wkt.loads("LINESTRING Z (0 0 2, 5 0 0, 10 0 2)"))
+    # taper at the middle → two parts touching at (5,0)
+    assert isinstance(bt, g.MultiPolygon)
+    assert len(bt.geoms) == 2
+
+
+def test_buffer_by_m_negative_disjoint():
+    bm = buffer_by_m(wkt.loads("LINESTRING Z (0 0 2, 5 0 -1, 10 0 2)"))
+    assert isinstance(bm, g.MultiPolygon)
+    assert len(bm.geoms) == 2
+    assert bm.area == pytest.approx(2 * np.pi * 4, rel=0.02)  # two 32-gon circles r=2
+
+
+def test_buffer_by_m_requires_m():
+    with pytest.raises(ValueError, match="M or Z values"):
+        buffer_by_m(g.LineString([(0, 0), (1, 1)]))
+
+
+def test_buffer_by_m_array_and_none():
+    assert buffer_by_m(None) is None
+    arr = buffer_by_m(
+        np.array([wkt.loads("LINESTRING Z (0 0 1, 5 0 1)"), None], dtype=object)[:1]
+    )
+    assert isinstance(arr[0], g.Polygon)

@@ -1,0 +1,149 @@
+"""view_angles / extend_line / STRtree / line_merge tests.
+
+view_angles cases transcribed from the reference's quadrant/crossing matrix
+(/root/reference/tests/test_view_angles.py:37-101), with the viewpoint at an
+offset origin like the reference's (10, 20) parametrization.
+"""
+
+import numpy as np
+import pytest
+
+from pygeoops_ray.geo import geom as g
+from pygeoops_ray.geo import wkt
+from pygeoops_ray.geo.extend_line import extend_line_by_distance, extend_line_to_geometry
+from pygeoops_ray.geo.linemerge import line_merge
+from pygeoops_ray.geo.strtree import STRtree
+from pygeoops_ray.geo.view_angles import view_angles
+
+VP = g.Point(10, 20)
+
+
+def seg(x1, y1, x2, y2):
+    # offsets relative to the viewpoint, reference-style
+    return g.LineString([(10 + x1, 20 + y1), (10 + x2, 20 + y2)])
+
+
+@pytest.mark.parametrize(
+    "visible, exp",
+    [
+        (seg(1, 1, 1, 2), (45.0, 63.434948822922)),  # NE quadrant
+        (seg(-1, 1, -1, 2), (116.565051177078, 135.0)),  # NW
+        (seg(-1, -1, -1, -2), (225.0, 243.434948822922)),  # SW
+        (seg(1, -1, 1, -2), (296.565051177078, 315.0)),  # SE
+        (seg(2, -1, 2, 1), (333.434948822922, 26.565051177077994)),  # crosses 0° east
+        (seg(1, 0, 2, 0), (0.0, 0.0)),  # on the 0° ray
+        (seg(-2, -1, -2, 1), (153.434948822922, 206.565051177078)),  # crosses 180°
+    ],
+)
+def test_view_angles_quadrants(visible, exp):
+    got = view_angles(VP, visible)
+    assert got == pytest.approx(exp, abs=1e-9)
+
+
+def test_view_angles_empty_nan():
+    a = view_angles(VP, g.LineString())
+    assert np.isnan(a[0]) and np.isnan(a[1])
+
+
+def test_view_angles_errors():
+    with pytest.raises(ValueError, match="viewpoint should be a point"):
+        view_angles(g.LineString([(0, 0), (1, 1)]), seg(1, 1, 1, 2))
+    with pytest.raises(ValueError, match="multipart"):
+        view_angles(VP, g.MultiLineString([g.LineString([(0, 0), (1, 1)])]))
+
+
+def test_view_angles_arrays():
+    geoms = [seg(1, 1, 1, 2), seg(-1, 1, -1, 2)]
+    out = view_angles(VP, geoms)
+    assert out.shape == (2, 2)
+    assert out[0] == pytest.approx((45.0, 63.434948822922))
+    with pytest.raises(ValueError, match="same length"):
+        view_angles([VP], geoms)
+
+
+def test_view_angles_surrounding_polygon():
+    # viewpoint strictly inside a polygon ring → visible all around
+    ring = g.Polygon([(9, 19), (11, 19), (11, 21), (9, 21)])
+    got = view_angles(VP, ring)
+    assert got == (0.0, 360.0)
+
+
+def test_extend_line_by_distance():
+    ln = g.LineString([(0, 0), (1, 0)])
+    ext = extend_line_by_distance(ln, 1, 2)
+    assert ext.equals_exact(g.LineString([(-1, 0), (3, 0)]), 1e-12)
+    assert extend_line_by_distance(ln, 0, 0) is ln
+    with pytest.raises(ValueError, match="distance must be >= 0"):
+        extend_line_by_distance(ln, -1, 0)
+
+
+def test_extend_line_to_geometry():
+    box = g.box(-5, -5, 5, 5)
+    ext = extend_line_to_geometry(g.LineString([(-1, 0), (1, 0)]), box)
+    assert ext.equals_exact(g.LineString([(-5, 0), (5, 0)]), 1e-9)
+    # diagonal
+    ext2 = extend_line_to_geometry(g.LineString([(-1, -1), (1, 1)]), box)
+    assert ext2.equals_exact(g.LineString([(-5, -5), (5, 5)]), 1e-9)
+    with pytest.raises(ValueError, match="must be a"):
+        extend_line_to_geometry(g.LineString([(0, 0), (1, 1)]), g.Point(0, 0))
+
+
+def test_extend_multiline_blockers():
+    # Y shape: branch endpoints touching other branches are not extended there
+    ml = g.MultiLineString(
+        [
+            g.LineString([(0, 0), (0, 2)]),
+            g.LineString([(0, 2), (2, 4)]),
+            g.LineString([(0, 2), (-2, 4)]),
+        ]
+    )
+    ext = extend_line_to_geometry(ml, g.box(-5, -1, 5, 5))
+    coords0 = ext.geoms[0].coords
+    assert coords0[0][1] == -1  # free end extended down to the box
+    assert coords0[-1][1] == 2  # junction end untouched
+
+
+def test_strtree():
+    boxes = np.array([[i, 0, i + 1, 1] for i in range(1000)], dtype=float)
+    tree = STRtree(boxes)
+    assert sorted(tree.query(10.5, 0.5, 12.5, 0.6)) == [10, 11, 12]
+    assert list(tree.query_point(500.5, 0.5)) == [500]
+    assert len(tree.query(-10, -10, -5, -5)) == 0
+    assert len(STRtree(np.zeros((0, 4))).query(0, 0, 1, 1)) == 0
+
+
+def test_line_merge():
+    mls = g.MultiLineString(
+        [
+            g.LineString([(0, 0), (1, 0)]),
+            g.LineString([(1, 0), (2, 0)]),
+            g.LineString([(5, 5), (6, 6)]),
+        ]
+    )
+    out = line_merge(mls)
+    assert isinstance(out, g.MultiLineString)
+    assert len(out.geoms) == 2
+    lens = sorted(ln.num_coordinates for ln in out.geoms)
+    assert lens == [2, 3]
+
+
+def test_line_merge_through_chain():
+    mls = g.MultiLineString(
+        [g.LineString([(i, 0), (i + 1, 0)]) for i in range(10)]
+    )
+    out = line_merge(mls)
+    assert isinstance(out, g.LineString)
+    assert out.num_coordinates == 11
+
+
+def test_line_merge_junction_breaks():
+    mls = g.MultiLineString(
+        [
+            g.LineString([(0, 0), (1, 1)]),
+            g.LineString([(1, 1), (2, 0)]),
+            g.LineString([(1, 1), (1, 3)]),
+        ]
+    )
+    out = line_merge(mls)
+    assert isinstance(out, g.MultiLineString)
+    assert len(out.geoms) == 3  # degree-3 node breaks all chains
