@@ -1,0 +1,175 @@
+"""Delaunay triangulation (Bowyer-Watson) and its Voronoi-edge dual.
+
+The centerline kernel's engine (the reference delegates to GEOS
+``voronoi_polygons(only_edges=True)``, _centerline.py:163). Implemented from
+the classic Bowyer-Watson incremental algorithm with a numpy-vectorized
+bad-triangle search per insertion: per point, the circumcircle test runs as
+one vectorized pass over the live triangle arrays.
+
+Only finite Voronoi edges (between circumcenters of adjacent triangles) are
+emitted — the infinite hull rays would be dropped by the centerline's
+containment filter anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["delaunay", "voronoi_edges"]
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Delaunay triangles of (N,2) points; returns (M,3) vertex index array."""
+    pts = np.asarray(points, dtype=np.float64)[:, :2]
+    n = len(pts)
+    if n < 3:
+        return np.zeros((0, 3), dtype=np.int64)
+
+    # super-triangle
+    minx, miny = pts.min(axis=0)
+    maxx, maxy = pts.max(axis=0)
+    cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+    size = max(maxx - minx, maxy - miny, 1e-9) * 1000
+    sup = np.array(
+        [[cx - 2 * size, cy - size], [cx + 2 * size, cy - size], [cx, cy + 2 * size]]
+    )
+    all_pts = np.concatenate([pts, sup], axis=0)
+    si = n  # super vertex indices n, n+1, n+2
+
+    cap = max(4 * n + 16, 64)
+    verts = np.zeros((cap, 3), dtype=np.int64)
+    ccx = np.zeros(cap)
+    ccy = np.zeros(cap)
+    r2 = np.zeros(cap)
+    alive = np.zeros(cap, dtype=bool)
+    m = 0
+
+    def circum(i, j, k):
+        ax, ay = all_pts[i]
+        bx, by = all_pts[j]
+        kx, ky = all_pts[k]
+        d = 2 * (ax * (by - ky) + bx * (ky - ay) + kx * (ay - by))
+        if d == 0:
+            return (np.inf, np.inf, np.inf)
+        ux = (
+            (ax * ax + ay * ay) * (by - ky)
+            + (bx * bx + by * by) * (ky - ay)
+            + (kx * kx + ky * ky) * (ay - by)
+        ) / d
+        uy = (
+            (ax * ax + ay * ay) * (kx - bx)
+            + (bx * bx + by * by) * (ax - kx)
+            + (kx * kx + ky * ky) * (bx - ax)
+        ) / d
+        rr = (ax - ux) ** 2 + (ay - uy) ** 2
+        return (ux, uy, rr)
+
+    def add_tri(i, j, k):
+        nonlocal m, cap, verts, ccx, ccy, r2, alive
+        if m >= cap:
+            cap *= 2
+            verts = np.resize(verts, (cap, 3))
+            ccx = np.resize(ccx, cap)
+            ccy = np.resize(ccy, cap)
+            r2 = np.resize(r2, cap)
+            alive = np.resize(alive, cap)
+        verts[m] = (i, j, k)
+        ux, uy, rr = circum(i, j, k)
+        ccx[m], ccy[m], r2[m] = ux, uy, rr
+        alive[m] = True
+        m += 1
+
+    add_tri(si, si + 1, si + 2)
+
+    # insertion in spatially-coherent order tends to keep the cavity local
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    for p in order:
+        px, py = all_pts[p]
+        bad = np.nonzero(alive[:m] & ((px - ccx[:m]) ** 2 + (py - ccy[:m]) ** 2 <= r2[:m]))[0]
+        if len(bad) == 0:
+            continue  # degenerate duplicate point
+        # cavity boundary: edges appearing exactly once among the bad triangles
+        edges: dict[tuple[int, int], int] = {}
+        for t in bad:
+            i, j, k = verts[t]
+            for a, b in ((i, j), (j, k), (k, i)):
+                key = (a, b) if a < b else (b, a)
+                edges[key] = edges.get(key, 0) + 1
+        alive[bad] = False
+        for (a, b), cnt in edges.items():
+            if cnt == 1:
+                add_tri(a, b, p)
+
+    live = np.nonzero(alive[:m])[0]
+    tris = verts[live]
+    # drop triangles touching the super-triangle
+    keep = np.all(tris < n, axis=1)
+    return tris[keep]
+
+
+def voronoi_edges(points: np.ndarray) -> np.ndarray:
+    """Finite Voronoi edges of the point set: (E, 2, 2) segment array.
+
+    Each edge connects circumcenters of two Delaunay triangles sharing an edge.
+    """
+    pts = np.asarray(points, dtype=np.float64)[:, :2]
+    tris = delaunay(pts)
+    if len(tris) == 0:
+        return np.zeros((0, 2, 2))
+
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    d = 2 * (
+        a[:, 0] * (b[:, 1] - c[:, 1])
+        + b[:, 0] * (c[:, 1] - a[:, 1])
+        + c[:, 0] * (a[:, 1] - b[:, 1])
+    )
+    d[d == 0] = np.nan
+    a2 = (a**2).sum(axis=1)
+    b2 = (b**2).sum(axis=1)
+    c2 = (c**2).sum(axis=1)
+    ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1]) + c2 * (a[:, 1] - b[:, 1])) / d
+    uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0]) + c2 * (b[:, 0] - a[:, 0])) / d
+    centers = np.column_stack([ux, uy])
+
+    edge_map: dict[tuple[int, int], list[int]] = {}
+    for t in range(len(tris)):
+        i, j, k = tris[t]
+        for x, y in ((i, j), (j, k), (k, i)):
+            key = (x, y) if x < y else (y, x)
+            edge_map.setdefault(key, []).append(t)
+
+    # envelope scale for the unbounded hull rays (GEOS clips its diagram to an
+    # expanded envelope; the centerline containment filter clips further)
+    minx, miny = pts.min(axis=0)
+    maxx, maxy = pts.max(axis=0)
+    ray_len = 2.0 * max(maxx - minx, maxy - miny, 1e-9)
+
+    segs = []
+    for (ia, ib), ts in edge_map.items():
+        if len(ts) == 2:
+            p0, p1 = centers[ts[0]], centers[ts[1]]
+            if np.all(np.isfinite(p0)) and np.all(np.isfinite(p1)) and not np.allclose(p0, p1):
+                segs.append((p0, p1))
+        elif len(ts) == 1:
+            # hull edge → unbounded Voronoi ray from the circumcenter,
+            # perpendicular to the edge, away from the opposite vertex
+            t = ts[0]
+            cc = centers[t]
+            if not np.all(np.isfinite(cc)):
+                continue
+            i, j, k = tris[t]
+            third = [v for v in (i, j, k) if v not in (ia, ib)][0]
+            a_pt, b_pt, c_pt = pts[ia], pts[ib], pts[third]
+            mid = (a_pt + b_pt) / 2
+            d = b_pt - a_pt
+            n = np.array([-d[1], d[0]])
+            nn = np.hypot(n[0], n[1])
+            if nn == 0:
+                continue
+            n = n / nn
+            if np.dot(n, c_pt - mid) > 0:
+                n = -n
+            segs.append((cc, cc + n * ray_len))
+    if not segs:
+        return np.zeros((0, 2, 2))
+    return np.array(segs)

@@ -163,6 +163,149 @@ def q_ann_lsh(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# geometry kernels over a deterministic corpus (rows-only: kernels are not
+# SQL-expressible; their correctness gate is the transcribed pytest corpus)
+# ---------------------------------------------------------------------------
+
+
+def _geom_corpus(sf_dir: str):
+    from pygeoops_ray.stages import geo_batch as gb
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        gb.polygons_from_supplier, batch_format="pyarrow"
+    )
+
+
+def q_simplify_geo(sf_dir: str):
+    """Lang-simplify the polygon corpus; returns per-row point counts."""
+    from pygeoops_ray.stages import geo_batch as gb
+
+    ds = _geom_corpus(sf_dir).map_batches(
+        gb.simplify_stage(tolerance=1.0, algorithm="lang"), batch_format="pyarrow"
+    )
+    return ds.select_columns(["s_suppkey", "n_pts_in", "n_pts_out"])
+
+
+def q_centerline(sf_dir: str):
+    """Centerline (Voronoi medial axis) of the corpus via an actor pool."""
+    from pygeoops_ray.stages import geo_batch as gb
+
+    ds = _geom_corpus(sf_dir).map_batches(
+        gb.CenterlineStage, batch_format="pyarrow", concurrency=4, batch_size=16
+    )
+    import pyarrow.compute as pc
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "centerline_len_c": pc.cast(
+                    pc.floor(pc.multiply(batch["centerline_len"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def q_buffer_by_m(sf_dir: str):
+    """Variable-width buffer over M-annotated corpus lines."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages import geo_batch as gb
+
+    def lines_with_m(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs = []
+        for k in keys:
+            k = int(k)
+            coords = [
+                [0.0, 0.0, 1.0 + k % 3],
+                [10.0 + k % 7, 0.0, 2.0],
+                [20.0, 5.0 + k % 5, 1.0 + (k % 2)],
+            ]
+            wkbs.append(wkb_codec.dumps(g.LineString(coords)))
+        return pa.Table.from_pydict(
+            {"s_suppkey": pa.array(keys, pa.int64()), "geom_wkb": pa.array(wkbs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lines_with_m, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(gb.buffer_by_m_stage(quad_segs=8), batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "buffer_area_c": pc.cast(
+                    pc.floor(pc.multiply(batch["buffer_area"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def q_view_angles(sf_dir: str):
+    """View angles of corpus segments from per-row viewpoints (trig differs in
+    the last ulp between engines → rows-only)."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages import geo_batch as gb
+
+    def viewrows(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs, vx, vy = [], [], []
+        for k in keys:
+            k = int(k)
+            x1, y1 = 1.0 + k % 7, 1.0 + k % 5
+            wkbs.append(wkb_codec.dumps(g.LineString([[x1, y1], [x1 + 2, y1 + 3]])))
+            vx.append(0.0)
+            vy.append(0.0)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "vx": pa.array(vx),
+                "vy": pa.array(vy),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        viewrows, batch_format="pyarrow"
+    )
+    return ds.map_batches(gb.view_angles_stage, batch_format="pyarrow")
+
+
+def q_topo_simplify(sf_dir: str):
+    """Grouped topology-preserving simplify (shared borders survive)."""
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages import geo_batch as gb
+
+    corpus = _geom_corpus(sf_dir)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        cell = (batch["s_suppkey"].to_numpy() % 8).astype(np.int64)
+        return batch.append_column("cell_id", pa.array(cell, pa.int64()))
+
+    ds = corpus.map_batches(add_cell, batch_format="pyarrow")
+    out = gb.topo_simplify_grouped(ds, tolerance=1.0, algorithm="lang")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n = [
+            wkb_codec.loads(b).num_coordinates if b is not None else 0
+            for b in batch["geom_wkb"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"s_suppkey": batch["s_suppkey"], "n_pts_out": pa.array(n, pa.int64())}
+        )
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # relational core (groupby / join / window engine capabilities)
 # ---------------------------------------------------------------------------
 
@@ -261,6 +404,11 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "top_orders": q_top_orders,
+    "simplify_geo": q_simplify_geo,
+    "centerline": q_centerline,
+    "buffer_by_m": q_buffer_by_m,
+    "view_angles": q_view_angles,
+    "topo_simplify": q_topo_simplify,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names
