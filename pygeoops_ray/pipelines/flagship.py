@@ -54,8 +54,17 @@ def images_parquet_path(n: int, small: bool = True, cache_dir: str = "/tmp/ray_g
     return path
 
 
-def image_table_ds(n: int, small: bool = True):
-    return rd.read_parquet(images_parquet_path(n, small))
+def image_table_ds(n: int, small: bool = True, columns=None, num_blocks: int | None = None):
+    """Read the cached synthetic table; block count sized to the session CPUs
+    (many tiny blocks make every downstream shuffle pay per-block overhead)."""
+    import ray
+
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(8, min(2 * ncpu, max(1, n // 4096)))
+    return rd.read_parquet(
+        images_parquet_path(n, small), columns=columns, override_num_blocks=num_blocks
+    )
 
 
 class DecodeValidate:
@@ -94,10 +103,20 @@ class DecodeValidate:
         return out
 
 
+_DECODER = DecodeValidate()
+
+
+def decode_validate_batch(batch: pa.Table) -> pa.Table:
+    return _DECODER(batch)
+
+
 def add_footprint(batch: pa.Table) -> pa.Table:
     """Footprint rect from the georeference rule (ordinal parsed from image_id)."""
-    ids = batch["image_id"].to_pylist()
-    i = np.array([int(s[4:]) for s in ids], dtype=np.int64)
+    import pyarrow.compute as pc
+
+    i = pc.cast(
+        pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+    ).to_numpy()
     minx, miny, maxx, maxy = I.footprint_of_ordinal(
         i, batch["w"].to_numpy(), batch["h"].to_numpy()
     )
@@ -119,19 +138,29 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
         n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
         n_images = n_part * 5
 
-    imgs = image_table_ds(n_images)
     if decode:
-        imgs = imgs.map_batches(
-            DecodeValidate, batch_format="pyarrow", concurrency=concurrency, batch_size=2048
+        # decode as stateless TASKS, not an actor pool: the stage holds no
+        # per-actor state (codec tables are module-level), and a task pool is
+        # elastic — an actor pool sized to the session's CPUs starves the read
+        # stage at low cpu counts (observed deadlock at num_cpus=2)
+        imgs = image_table_ds(n_images).map_batches(
+            decode_validate_batch, batch_format="pyarrow", batch_size=4096
         )
     else:
-        imgs = imgs.drop_columns(["bytes"])
+        # prune the payload at the read: metadata-only columns leave storage
+        imgs = image_table_ds(
+            n_images, columns=["image_id", "w", "h", "fmt", "caption", "phash"]
+        )
     imgs = imgs.map_batches(add_footprint, batch_format="pyarrow")
 
     points = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
         sp.points_from_events, batch_format="pyarrow"
     )
+    # points side is small at every test scale → broadcast join (no shuffle);
+    # the cell-cogrouped shuffle join (strategy="groupby") is the large×large
+    # path and stays oracle-verified via queries.pip_join
     joined = sp.pip_join_rects_points(
-        imgs, points, rect_cols=("image_id",), point_cols=("event_id",)
+        imgs, points, rect_cols=("image_id",), point_cols=("event_id",),
+        strategy="broadcast",
     )
     return joined.groupby("image_id").aggregate(Count(alias_name="n_points"))

@@ -191,7 +191,7 @@ def q_centerline(sf_dir: str):
     from pygeoops_ray.stages import geo_batch as gb
 
     ds = _geom_corpus(sf_dir).map_batches(
-        gb.CenterlineStage, batch_format="pyarrow", concurrency=4, batch_size=16
+        gb.CenterlineStage, batch_format="pyarrow", concurrency=2, batch_size=16
     )
     import pyarrow.compute as pc
 

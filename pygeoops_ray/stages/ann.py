@@ -29,15 +29,22 @@ def _embedding_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _PartialCosine:
-    def __init__(self, queries_ref, k: int):
-        import ray
+    """Stateless-task scorer: broadcast refs fetched lazily per worker."""
 
-        self.q_ids, q = ray.get(queries_ref)
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-        self.qn = qn
+    def __init__(self, queries_ref, k: int):
+        self.queries_ref = queries_ref
         self.k = k
+        self.qn = None
+
+    def _ensure(self):
+        if self.qn is None:
+            import ray
+
+            self.q_ids, q = ray.get(self.queries_ref)
+            self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         ids, m = _embedding_matrix(batch)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -65,12 +72,7 @@ def brute_force_topk(emb_ds, q_ids, q_matrix, k: int = 10, concurrency: int = 4)
     import ray
 
     ref = ray.put((np.asarray(q_ids, np.int64), np.asarray(q_matrix, np.float64)))
-    partials = emb_ds.map_batches(
-        _PartialCosine,
-        batch_format="pyarrow",
-        fn_constructor_args=(ref, k),
-        concurrency=concurrency,
-    )
+    partials = emb_ds.map_batches(_PartialCosine(ref, k), batch_format="pyarrow")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()
@@ -84,22 +86,40 @@ class _LshPartial(_PartialCosine):
     """Scores only vectors whose hyperplane sign bucket matches a query bucket."""
 
     def __init__(self, queries_ref, k: int, planes_ref):
-        import ray
-
         super().__init__(queries_ref, k)
-        self.planes = ray.get(planes_ref)  # (nbits, dim)
-        self.q_buckets = set(self._bucket(self.qn))
+        self.planes_ref = planes_ref
+        self.planes = None
+
+    def _ensure(self):
+        if self.qn is None:
+            super()._ensure()
+            import ray
+
+            self.planes = ray.get(self.planes_ref)  # (tables, nbits, dim)
+            qb = self._bucket(self.qn)
+            self.q_buckets = [set(qb[:, t]) for t in range(qb.shape[1])]
 
     def _bucket(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes.T) > 0
-        return np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        """(N, tables) bucket codes: one hyperplane sign code per hash table."""
+        ntab, nbits, dim = self.planes.shape
+        out = np.empty((len(m), ntab), dtype=np.int64)
+        for t in range(ntab):
+            bits = (m @ self.planes[t].T) > 0
+            out[:, t] = np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         ids, m = _embedding_matrix(batch)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        mask = np.array([b in self.q_buckets for b in self._bucket(mn)])
+        mb = self._bucket(mn)
+        # candidate if it shares a bucket with any query in ANY hash table
+        mask = np.zeros(len(mn), dtype=bool)
+        for t in range(mb.shape[1]):
+            qb = self.q_buckets[t]
+            mask |= np.array([b in qb for b in mb[:, t]])
         if not mask.any():
             return pa.Table.from_pydict(
                 {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
@@ -128,20 +148,22 @@ class _LshPartial(_PartialCosine):
         )
 
 
-def lsh_topk(emb_ds, q_ids, q_matrix, k: int = 10, nbits: int = 8, concurrency: int = 4, seed: int = 11):
-    """Approximate top-k via hyperplane LSH candidate pruning (scale path)."""
+def lsh_topk(
+    emb_ds, q_ids, q_matrix, k: int = 10, nbits: int = 6, tables: int = 3,
+    concurrency: int = 4, seed: int = 11,
+):
+    """Approximate top-k via multi-table hyperplane LSH candidate pruning.
+
+    tables × nbits trade recall vs pruning: more tables → higher recall,
+    fewer bits → bigger buckets. Scale path when brute force is too wide.
+    """
     import ray
 
     dim = np.asarray(q_matrix).shape[1]
-    planes = np.random.RandomState(seed).normal(size=(nbits, dim))
+    planes = np.random.RandomState(seed).normal(size=(tables, nbits, dim))
     qref = ray.put((np.asarray(q_ids, np.int64), np.asarray(q_matrix, np.float64)))
     pref = ray.put(planes)
-    partials = emb_ds.map_batches(
-        _LshPartial,
-        batch_format="pyarrow",
-        fn_constructor_args=(qref, k, pref),
-        concurrency=concurrency,
-    )
+    partials = emb_ds.map_batches(_LshPartial(qref, k, pref), batch_format="pyarrow")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()

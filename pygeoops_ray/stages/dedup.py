@@ -112,9 +112,10 @@ def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4
     texts_df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
     texts_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
 
-    bands = docs_ds.map_batches(
-        _MinHasher, batch_format="pyarrow", concurrency=concurrency
-    )
+    # task-based: the minhash coefficients are rebuilt per worker process
+    # (cheap, seeded) — a fixed-size actor pool can starve the read stage on
+    # small sessions
+    bands = docs_ds.map_batches(_MinHasher(), batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group["doc_id"].unique())

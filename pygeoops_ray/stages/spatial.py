@@ -137,20 +137,29 @@ def pip_join_rects_points(
     rect_cols: tuple = ("image_id", "i"),
     point_cols: tuple = ("event_id",),
     strategy: str = "groupby",
+    rect_col_types: dict | None = None,
+    coarse_bits: int = 10,
 ):
     """Distributed point-in-polygon join, co-partitioned on the Hilbert cell id.
 
     rects_ds needs (minx,miny,maxx,maxy) + rect_cols; points_ds needs (px,py)
-    + point_cols. Rects are replicated per covering cell (≤4 on this grid),
+    + point_cols. Rects are replicated per covering cell (<=4 on this grid),
     points keyed by their single cell, so every matching pair appears exactly
     once; the in-cell test is a vectorized [min,max) half-open containment.
 
-    strategy="groupby" (default): side-tagged union → sort-shuffle
-    groupby(cell_id) → per-cell vectorized join. Measured cheaper than the
-    hash JoinOperator at small/medium scale (the join's aggregator actors cost
-    ~1 s/partition of fixed startup); "hashjoin" switches to
-    ``Dataset.join(on=cell_id)`` + refine, which amortizes better when
-    partitions are large and long-lived.
+    strategy="groupby" (default): side-tagged union -> shuffle on the SUPER
+    cell (cell_id >> coarse_bits: 2^coarse_bits Hilbert-adjacent cells per
+    group, so groups are few and spatially coherent; default 1024 cells/group
+    keeps Ray's per-group dispatch overhead negligible while groups stay far
+    under block size) -> per-group join fully vectorized via searchsorted on
+    cell_id (no per-cell Python dispatch). At larger scale, raise coarse_bits
+    so a group stays ~10^5-10^6 rows; salt hot buckets (skew) by splitting on
+    (bucket, point-hash) and replicating the rect side per salt.
+    "hashjoin" switches to ``Dataset.join(on=cell_id)`` + refine, which
+    amortizes better when partitions are large and long-lived.
+
+    rect_col_types: arrow types of rect_cols (default image_id:string, rest
+    int64) - passed explicitly so no schema probe has to pre-execute the plan.
     """
     rcells = rects_ds.map_batches(expand_covering_tiles, batch_format="pyarrow").map_batches(
         add_tile_cell_id, batch_format="pyarrow"
@@ -177,38 +186,101 @@ def pip_join_rects_points(
 
         return joined.map_batches(refine, batch_format="pyarrow")
 
-    # side-tagged union: one shared schema, typed nulls on the absent side
     rnames = list(rect_cols)
     pnames = list(point_cols)
+    rect_id_types = dict(rect_col_types or {})
+    for c in rnames:
+        rect_id_types.setdefault(c, pa.string() if c == "image_id" else pa.int64())
 
-    def rside2(b: pa.Table) -> pa.Table:
-        cols = {"cell_id": b["cell_id"], "side": pa.array(np.zeros(len(b), np.int8))}
+    if strategy == "broadcast":
+        # small points side: ship it to the object store once, join inside
+        # map_batches over the streaming rect side — no shuffle at all.
+        # The scale rule: broadcast when one side fits comfortably in a
+        # worker's heap (guide: "broadcast small sides"), else co-partition.
+        import ray
+
+        ptab = pcells.to_arrow_refs()
+        ptables = [pa.concat_tables([ray.get(r) for r in ptab])]
+        pt = ptables[0].combine_chunks()
+        pc_ = pt["cell_id"].to_numpy()
+        order = np.argsort(pc_, kind="stable")
+        broadcast = {
+            "cell_id": pc_[order],
+            "px": pt["px"].to_numpy()[order],
+            "py": pt["py"].to_numpy()[order],
+        }
+        for c in pnames:
+            broadcast[c] = pt[c].to_numpy()[order]
+        bref = ray.put(broadcast)
+
+        def broadcast_join(batch: pa.Table) -> pa.Table:
+                # plasma get is a local zero-copy map lookup after first fetch
+                p = ray.get(bref)
+                rc = batch["cell_id"].to_numpy()
+                starts = np.searchsorted(p["cell_id"], rc, side="left")
+                ends = np.searchsorted(p["cell_id"], rc, side="right")
+                counts = ends - starts
+                total = int(counts.sum())
+                if total == 0:
+                    return pa.Table.from_pydict(
+                        {
+                            **{c: pa.array([], rect_id_types[c]) for c in rnames},
+                            **{c: pa.array([], pa.int64()) for c in pnames},
+                        }
+                    )
+                ri = np.repeat(np.arange(len(rc)), counts)
+                offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                local = np.arange(total) - np.repeat(offs, counts)
+                pi = np.repeat(starts, counts) + local
+                px = p["px"][pi]
+                py = p["py"][pi]
+                hit = (
+                    (px >= batch["minx"].to_numpy()[ri])
+                    & (px < batch["maxx"].to_numpy()[ri])
+                    & (py >= batch["miny"].to_numpy()[ri])
+                    & (py < batch["maxy"].to_numpy()[ri])
+                )
+                ri = ri[hit]
+                pi = pi[hit]
+                cols = {c: batch[c].take(pa.array(ri)) for c in rnames}
+                for c in pnames:
+                    cols[c] = pa.array(p[c][pi], pa.int64())
+                return pa.Table.from_pydict(cols)
+
+        return rcells.map_batches(broadcast_join, batch_format="pyarrow")
+
+    def rside(b: pa.Table) -> pa.Table:
+        cols = {
+            "bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64()),
+            "cell_id": b["cell_id"],
+            "side": pa.array(np.zeros(len(b), np.int8)),
+        }
         for c in rnames + ["minx", "miny", "maxx", "maxy"]:
             cols[c] = b[c]
-        for c in pnames + ["px", "py"]:
-            cols[c] = pa.nulls(len(b), pa.float64() if c in ("px", "py") else pa.int64())
+        for c in pnames:
+            cols[c] = pa.nulls(len(b), pa.int64())
+        cols["px"] = pa.nulls(len(b), pa.float64())
+        cols["py"] = pa.nulls(len(b), pa.float64())
         return pa.Table.from_pydict(cols)
 
-    rect_id_types = {c: None for c in rnames}
-
-    def pside2(b: pa.Table) -> pa.Table:
-        cols = {"cell_id": b["cell_id"], "side": pa.array(np.ones(len(b), np.int8))}
+    def pside(b: pa.Table) -> pa.Table:
+        cols = {
+            "bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64()),
+            "cell_id": b["cell_id"],
+            "side": pa.array(np.ones(len(b), np.int8)),
+        }
         for c in rnames:
-            cols[c] = pa.nulls(len(b), rect_id_types[c] or pa.string())
+            cols[c] = pa.nulls(len(b), rect_id_types[c])
         for c in ("minx", "miny", "maxx", "maxy"):
             cols[c] = pa.nulls(len(b), pa.float64())
         for c in pnames + ["px", "py"]:
             cols[c] = b[c]
         return pa.Table.from_pydict(cols)
 
-    rect_probe = rcells.schema()
-    for c in rnames:
-        rect_id_types[c] = rect_probe.base_schema.field(c).type
-
     import pandas as pd
 
-    both = rcells.map_batches(rside2, batch_format="pyarrow").union(
-        pcells.map_batches(pside2, batch_format="pyarrow")
+    both = rcells.map_batches(rside, batch_format="pyarrow").union(
+        pcells.map_batches(pside, batch_format="pyarrow")
     )
 
     empty_out = {
@@ -217,25 +289,48 @@ def pip_join_rects_points(
     }
     empty_out.update({c: pd.Series([], dtype="int64") for c in pnames})
 
-    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
-        r = g[g.side == 0]
-        p = g[g.side == 1]
+    def join_group(grp: pd.DataFrame) -> pd.DataFrame:
+        side = grp["side"].to_numpy()
+        r = grp[side == 0]
+        p = grp[side == 1]
         if len(r) == 0 or len(p) == 0:
             return pd.DataFrame(empty_out)
-        px = p.px.to_numpy()[None, :]
-        py = p.py.to_numpy()[None, :]
+        # vectorized per-cell candidate expansion: rects sorted by cell_id,
+        # searchsorted gives each point its candidate rect range
+        rc = r["cell_id"].to_numpy()
+        order = np.argsort(rc, kind="stable")
+        rc = rc[order]
+        rminx = r["minx"].to_numpy()[order]
+        rminy = r["miny"].to_numpy()[order]
+        rmaxx = r["maxx"].to_numpy()[order]
+        rmaxy = r["maxy"].to_numpy()[order]
+        pc_ = p["cell_id"].to_numpy()
+        px = p["px"].to_numpy()
+        py = p["py"].to_numpy()
+        starts = np.searchsorted(rc, pc_, side="left")
+        ends = np.searchsorted(rc, pc_, side="right")
+        counts = ends - starts
+        if counts.sum() == 0:
+            return pd.DataFrame(empty_out)
+        pi = np.repeat(np.arange(len(pc_)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(int(counts.sum())) - np.repeat(offs, counts)
+        ri = np.repeat(starts, counts) + local
         hit = (
-            (px >= r.minx.to_numpy()[:, None])
-            & (px < r.maxx.to_numpy()[:, None])
-            & (py >= r.miny.to_numpy()[:, None])
-            & (py < r.maxy.to_numpy()[:, None])
+            (px[pi] >= rminx[ri])
+            & (px[pi] < rmaxx[ri])
+            & (py[pi] >= rminy[ri])
+            & (py[pi] < rmaxy[ri])
         )
-        ri, pi = np.nonzero(hit)
-        out = {c: r[c].to_numpy()[ri] for c in rnames}
+        ri = ri[hit]
+        pi = pi[hit]
+        if len(ri) == 0:
+            return pd.DataFrame(empty_out)
+        out = {c: r[c].to_numpy()[order][ri] for c in rnames}
         out.update({c: p[c].to_numpy()[pi] for c in pnames})
         return pd.DataFrame(out)
 
-    joined = both.groupby("cell_id").map_groups(join_cell, batch_format="pandas")
+    joined = both.groupby("bucket").map_groups(join_group, batch_format="pandas")
 
     def fix_types(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -285,18 +380,23 @@ def clip_tiles(rects_ds, tile: float = TILE, use_kernel: bool = True):
 class _PartialKnn:
     """Per-batch partial top-k of candidate points against a broadcast query set.
 
-    Stateful actor stage: the query matrix is fetched from the object store
-    once per actor (ray.put on the driver), not per batch.
+    Runs as stateless TASKS: the query matrix lives in the object store
+    (ray.put once on the driver); ray.get per batch is a local zero-copy
+    lookup after the first fetch on each worker. (An actor pool sized near
+    the session's CPUs can starve the upstream read and deadlock.)
     """
 
     def __init__(self, queries_ref, k: int):
-        import ray
-
-        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
-        self.q_ids, self.qx, self.qy = q
+        self.queries_ref = queries_ref
+        self.q = None
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.q is None:
+            import ray
+
+            self.q = ray.get(self.queries_ref)
+        self.q_ids, self.qx, self.qy = self.q
         px = batch["px"].to_numpy()
         py = batch["py"].to_numpy()
         ids = batch["event_id"].to_numpy()
@@ -329,10 +429,7 @@ def knn_points(points_ds, q_ids, qx, qy, k: int = 5, concurrency: int = 4):
 
     ref = ray.put((np.asarray(q_ids, np.int64), np.asarray(qx, float), np.asarray(qy, float)))
     partials = points_ds.map_batches(
-        _PartialKnn,
-        batch_format="pyarrow",
-        fn_constructor_args=(ref, k),
-        concurrency=concurrency,
+        _PartialKnn(ref, k), batch_format="pyarrow"
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

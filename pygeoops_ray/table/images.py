@@ -92,18 +92,29 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+_PHASH_GEOM: dict[tuple[int, int], tuple] = {}
+
+
+def _phash_geom(h: int, w: int):
+    geom = _PHASH_GEOM.get((h, w))
+    if geom is None:
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        ye = np.append(ys[1:], h)
+        xe = np.append(xs[1:], w)
+        areas = np.maximum(np.outer(ye - ys, xe - xs), 1).astype(np.float64)
+        geom = (ys, xs, areas)
+        _PHASH_GEOM[(h, w)] = geom
+    return geom
+
+
 def mean_phash(pixels: np.ndarray) -> int:
     """64-bit mean hash: 8x8 block-mean grayscale thresholded at its mean."""
     h, w, _ = pixels.shape
-    gray = pixels.astype(np.uint32).sum(axis=2)  # 3x grayscale; scale cancels out
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
-    c = csum[np.ix_(ys, xs)]
-    sums = c[1:, 1:] - c[:-1, 1:] - c[1:, :-1] + c[:-1, :-1]
-    areas = np.maximum(np.outer(np.diff(ys), np.diff(xs)), 1)
-    blocks = sums / areas
+    gray = pixels.sum(axis=2, dtype=np.uint32)  # 3x grayscale; scale cancels out
+    ys, xs, areas = _phash_geom(h, w)
+    rows = np.add.reduceat(gray, ys, axis=0)
+    blocks = np.add.reduceat(rows, xs, axis=1) / areas
     bits = (blocks > blocks.mean()).flatten()
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return int(np.int64(np.uint64(v)))  # reinterpret as signed for Arrow int64

@@ -1,0 +1,194 @@
+"""Ray Data stage tests: spatial join, kNN, dedup, manifest resume.
+
+Uses the session-scoped ray fixture (conftest.py) — one Ray session per run.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return rd
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pip_join_strategies_agree(rd):
+    from pygeoops_ray.stages import spatial as sp
+
+    imgs = rd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+    pts = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+
+    def result_set(strategy):
+        # num_partitions=2: the hashjoin's aggregator actors must fit the
+        # 4-cpu test session alongside the map tasks (else they deadlock)
+        out = sp.pip_join_rects_points(
+            imgs, pts, strategy=strategy, num_partitions=2
+        ).to_pandas()
+        return set(zip(out["i"], out["event_id"]))
+
+    a = result_set("groupby")
+    b = result_set("broadcast")
+    c = result_set("hashjoin")
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_covering_expansion_vectorized():
+    from pygeoops_ray.stages.spatial import _covering_expansion
+
+    minx = np.array([0.0, 100.0, 250.0])
+    miny = np.array([0.0, 0.0, 250.0])
+    maxx = np.array([50.0, 300.0, 520.0])  # 1 tile, 2 tiles, 3x2 tiles
+    maxy = np.array([50.0, 50.0, 300.0])
+    ri, tx, ty = _covering_expansion(minx, miny, maxx, maxy, 256.0)
+    assert list(ri) == [0, 1, 1, 2, 2, 2, 2, 2, 2]
+    assert list(zip(tx[3:], ty[3:])) == [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
+    # exactly-aligned max edge does not spill
+    ri2, tx2, ty2 = _covering_expansion(
+        np.array([0.0]), np.array([0.0]), np.array([256.0]), np.array([256.0]), 256.0
+    )
+    assert len(ri2) == 1 and tx2[0] == 0 and ty2[0] == 0
+
+
+def test_knn_matches_bruteforce(rd):
+    from pygeoops_ray.stages import spatial as sp
+
+    pts_df = (
+        rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+        .map_batches(sp.points_from_events, batch_format="pyarrow")
+        .to_pandas()
+    )
+    q_ids = np.array([0, 1, 2], dtype=np.int64)
+    qx = np.array([100.0, 5000.0, 100000.0])
+    qy = np.array([100.0, 200.0, 100.0])
+    pts = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    got = sp.knn_points(pts, q_ids, qx, qy, k=3).to_pandas()
+    # brute force oracle in pandas
+    for qi in range(3):
+        d2 = (pts_df.px - qx[qi]) ** 2 + (pts_df.py - qy[qi]) ** 2
+        want = (
+            pts_df.assign(d2=d2)
+            .sort_values(["d2", "event_id"])
+            .head(3)["event_id"]
+            .tolist()
+        )
+        sub = got[got.q_id == q_ids[qi]].sort_values("rnk")
+        assert sub["event_id"].tolist() == want
+
+
+def test_exact_dedup(rd):
+    from pygeoops_ray.stages.dedup import exact_dedup_min
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "event_id"])
+    out = exact_dedup_min(ds, ["user_id", "event_type"], "event_id").to_pandas()
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    want = df.groupby(["user_id", "event_type"], as_index=False)["event_id"].min()
+    got = out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_type", "event_id"]], want, check_dtype=False
+    )
+
+
+def test_lsh_topk_recall(rd):
+    from pygeoops_ray.pipelines.queries import _query_vectors, q_ann_lsh, q_ann_topk
+
+    exact = q_ann_topk(SF).to_pandas()
+    approx = q_ann_lsh(SF).to_pandas()
+    # recall of LSH vs exact top-10 should be non-trivial (> 0.2) and its
+    # top-1 should be in the exact top-10 for most queries
+    recall = []
+    for q in exact.q_id.unique():
+        e = set(exact[exact.q_id == q].vec_id)
+        a = set(approx[approx.q_id == q].vec_id)
+        recall.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recall) > 0.2
+
+
+def test_manifest_resume(rd, tmp_path):
+    from pygeoops_ray.state.manifest import CheckpointManifest, read_output, write_partitioned
+
+    out_dir = str(tmp_path / "out")
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % 4, pa.int64())
+        )
+        return b
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    rep1 = write_partitioned(ds, out_dir, "bucket", stage="test")
+    assert (~rep1.skipped).sum() == 4
+    full = read_output(out_dir).to_pandas()
+
+    # simulate a partial failure: delete one partition file + its manifest row
+    os.remove(os.path.join(out_dir, "part-1.parquet"))
+    man = CheckpointManifest(out_dir, "test")
+    recs = [r for r in open(man.path)]
+    with open(man.path, "w") as f:
+        for r in recs:
+            if '"partition_id": "1"' not in r:
+                f.write(r)
+
+    rep2 = write_partitioned(ds, out_dir, "bucket", stage="test")
+    assert (~rep2.skipped).sum() == 1  # only the missing partition recomputed
+    assert rep2[~rep2.skipped].partition_id.tolist() == ["1"]
+    resumed = read_output(out_dir).to_pandas()
+    # identical output row-set after resume (FIXTURES.md §6 invariant)
+    a = full.sort_values(["event_id"]).reset_index(drop=True)
+    b = resumed.sort_values(["event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # lineage rows carry counts + checksums
+    done = CheckpointManifest(out_dir, "test").completed()
+    assert set(done) == {"0", "1", "2", "3"}
+    assert all(rec["row_count"] > 0 and rec["checksum"] >= 0 for rec in done.values())
+
+
+def test_decode_validate_invariants(rd):
+    from pygeoops_ray.pipelines.flagship import DecodeValidate
+    from pygeoops_ray.table import images as I
+
+    tab = I.generate_images_table(300, small=True)
+    out = DecodeValidate()(tab)
+    assert out["decode_ok"].to_numpy().all()
+    # corrupt one payload → flagged, not crashed
+    bad = tab.set_column(1, "bytes", pa.array([b"junk"] + tab["bytes"].to_pylist()[1:], pa.binary()))
+    out_bad = DecodeValidate()(bad)
+    ok = out_bad["decode_ok"].to_numpy()
+    assert not ok[0] and ok[1:].all()
+
+
+def test_image_table_determinism():
+    from pygeoops_ray.table import images as I
+
+    a = I.generate_images_for_ordinals([5, 6, 7], small=True)
+    b = I.generate_images_for_ordinals(np.array([5, 6, 7]), small=True)
+    assert a.equals(b)
+    # order-free: generating 0..9 at once == concatenating two halves
+    whole = I.generate_images_for_ordinals(range(10), small=True)
+    parts = pa.concat_tables(
+        [I.generate_images_for_ordinals(range(5), small=True),
+         I.generate_images_for_ordinals(range(5, 10), small=True)]
+    )
+    assert whole.equals(parts)
+    # dup fixture: ordinal 101 duplicates pixels of 100
+    t = I.generate_images_for_ordinals([100, 101], small=True)
+    assert t["phash"][0].as_py() == t["phash"][1].as_py()
