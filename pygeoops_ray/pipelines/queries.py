@@ -306,6 +306,61 @@ def q_topo_simplify(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# image table ops (synthetic Lance-schema table; rows-only — pixels are not
+# visible to SQL; invariants are pytest-gated)
+# ---------------------------------------------------------------------------
+
+
+def _image_ds(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.flagship import image_table_ds
+
+    n = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    return image_table_ds(max(n, 1000)), max(n, 1000)
+
+
+def q_phash_dedup(sf_dir: str):
+    """Exact image dedup on phash: keep the first ordinal per hash group.
+
+    The synthetic table injects duplicates (ordinal i%101==0 reuses i-1's
+    pixels), so groups of size 2 exist by construction.
+    """
+    import pyarrow.compute as pc
+
+    ds, n = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "phash"])
+
+    def to_ordinal(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        return pa.Table.from_pydict({"i": i, "phash": batch["phash"]})
+
+    ds = ds.map_batches(to_ordinal, batch_format="pyarrow")
+    return dedup_stages.exact_dedup_min(ds, ["phash"], "i").select_columns(["i"])
+
+
+def q_image_features(sf_dir: str):
+    """Feature extraction over the image table (actor-pool multimodal stage)."""
+    from pygeoops_ray.stages.multimodal import FeatureStage
+
+    ds, n = _image_ds(sf_dir)
+    out = ds.map_batches(
+        FeatureStage, batch_format="pyarrow", concurrency=2, batch_size=1024
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        feats = batch["features"]
+        sums = [
+            int(np.floor(np.sum(np.asarray(f.as_py())) * 1000)) for f in feats
+        ]
+        return pa.Table.from_pydict(
+            {"image_id": batch["image_id"], "feat_sum_m": pa.array(sums, pa.int64())}
+        )
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # relational core (groupby / join / window engine capabilities)
 # ---------------------------------------------------------------------------
 
@@ -409,6 +464,8 @@ QUERIES = {
     "buffer_by_m": q_buffer_by_m,
     "view_angles": q_view_angles,
     "topo_simplify": q_topo_simplify,
+    "phash_dedup": q_phash_dedup,
+    "image_features": q_image_features,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names

@@ -139,6 +139,9 @@ def pip_join_rects_points(
     strategy: str = "groupby",
     rect_col_types: dict | None = None,
     coarse_bits: int = 10,
+    salt_hot: bool = False,
+    hot_threshold: int | None = None,
+    salt_factor: int = 8,
 ):
     """Distributed point-in-polygon join, co-partitioned on the Hilbert cell id.
 
@@ -249,9 +252,48 @@ def pip_join_rects_points(
 
         return rcells.map_batches(broadcast_join, batch_format="pyarrow")
 
+    # --- skew handling: salt hot buckets -------------------------------------
+    # A hot bucket (too many points for one group) is split into salt_factor
+    # sub-keys: each point goes to exactly one salt (hash of its id), the rect
+    # side is REPLICATED to every salt of that bucket — every pair still meets
+    # exactly once, but no single group exceeds ~hot_threshold points.
+    hot: dict[int, int] = {}
+    if salt_hot:
+        counts_df = (
+            pcells.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .count()
+            .to_pandas()
+        )
+        thr = hot_threshold
+        if thr is None:
+            thr = max(int(4 * counts_df["count()"].mean()), 10_000)
+        for _, row in counts_df[counts_df["count()"] > thr].iterrows():
+            hot[int(row["bucket"])] = salt_factor
+    MAXSALT = 64
+
+    def _mix(ids: np.ndarray) -> np.ndarray:
+        z = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((z >> np.uint64(33)) ^ z).astype(np.int64)
+
     def rside(b: pa.Table) -> pa.Table:
+        bucket = b["cell_id"].to_numpy() >> coarse_bits
+        if hot:
+            reps = np.array([hot.get(int(x), 1) for x in bucket], dtype=np.int64)
+            idx = np.repeat(np.arange(len(bucket)), reps)
+            offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+            salt = np.arange(int(reps.sum())) - np.repeat(offs, reps)
+            b = b.take(pa.array(idx))
+            bucket = bucket[idx]
+        else:
+            salt = np.zeros(len(bucket), dtype=np.int64)
         cols = {
-            "bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64()),
+            "skey": pa.array(bucket * MAXSALT + salt, pa.int64()),
             "cell_id": b["cell_id"],
             "side": pa.array(np.zeros(len(b), np.int8)),
         }
@@ -264,8 +306,16 @@ def pip_join_rects_points(
         return pa.Table.from_pydict(cols)
 
     def pside(b: pa.Table) -> pa.Table:
+        bucket = b["cell_id"].to_numpy() >> coarse_bits
+        if hot:
+            factors = np.array([hot.get(int(x), 1) for x in bucket], dtype=np.int64)
+            salt = np.where(
+                factors > 1, np.abs(_mix(b[pnames[0]].to_numpy())) % factors, 0
+            )
+        else:
+            salt = np.zeros(len(bucket), dtype=np.int64)
         cols = {
-            "bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64()),
+            "skey": pa.array(bucket * MAXSALT + salt, pa.int64()),
             "cell_id": b["cell_id"],
             "side": pa.array(np.ones(len(b), np.int8)),
         }
@@ -330,7 +380,7 @@ def pip_join_rects_points(
         out.update({c: p[c].to_numpy()[pi] for c in pnames})
         return pd.DataFrame(out)
 
-    joined = both.groupby("bucket").map_groups(join_group, batch_format="pandas")
+    joined = both.groupby("skey").map_groups(join_group, batch_format="pandas")
 
     def fix_types(batch: pa.Table) -> pa.Table:
         cols = {}

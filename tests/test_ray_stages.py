@@ -192,3 +192,51 @@ def test_image_table_determinism():
     # dup fixture: ordinal 101 duplicates pixels of 100
     t = I.generate_images_for_ordinals([100, 101], small=True)
     assert t["phash"][0].as_py() == t["phash"][1].as_py()
+
+
+def test_pip_join_salted_identical(rd):
+    from pygeoops_ray.stages import spatial as sp
+
+    imgs = rd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+    pts = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    base = sp.pip_join_rects_points(imgs, pts).to_pandas()
+    # force every bucket hot so the salting path fully engages
+    salted = sp.pip_join_rects_points(
+        imgs, pts, salt_hot=True, hot_threshold=1, salt_factor=4
+    ).to_pandas()
+    assert set(zip(base.i, base.event_id)) == set(zip(salted.i, salted.event_id))
+    assert len(base) > 0
+
+
+def test_multimodal_resize_features(rd):
+    from pygeoops_ray.stages.multimodal import FeatureStage, FrameSampleStage, ResizeStage
+    from pygeoops_ray.table import images as I
+
+    tab = I.generate_images_table(50, small=True)
+    resized = ResizeStage(16, 16)(tab)
+    assert resized["w"].to_numpy().tolist() == [16] * 50
+    # resized payloads still decode with the engine codec
+    pix = I.decode_image(resized["bytes"][0].as_py())
+    assert pix.shape == (16, 16, 3)
+
+    feats = FeatureStage(grid=4)(tab)
+    col = feats["features"]
+    assert len(col[0].as_py()) == 6 + 16
+    vals = np.array(col[0].as_py())
+    assert np.all((vals >= 0) & (vals <= 1))
+
+    # actor-pool plumbing through Ray Data
+    ds = rd.from_arrow(tab).map_batches(
+        ResizeStage, fn_constructor_args=(8, 8), batch_format="pyarrow", concurrency=2
+    )
+    out = ds.to_pandas()
+    assert (out["w"] == 8).all()
+
+    # stubbed video stage raises the documented contract error
+    vid = tab.set_column(4, "fmt", pa.array(["video/x"] * 50, pa.string()))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        FrameSampleStage()(vid)
