@@ -34,18 +34,37 @@ def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
 
 
 def _shingle_hashes(text: str, shingle: int = 3) -> np.ndarray:
-    """Hashes of word shingles (uint64)."""
+    """Hashes of word shingles (uint64), vectorized.
+
+    Word → crc32 (C-speed, deterministic across processes, unlike Python's
+    salted hash()); shingle hash = splitmix-style combination of the window's
+    word hashes (numpy-vectorized over all windows at once).
+    """
+    import zlib
+
     words = text.split()
-    if len(words) < shingle:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)]
-    if not grams:
+    if not words:
         return np.zeros(1, dtype=np.uint64)
-    return np.array([hash_str64(t) for t in grams], dtype=np.uint64)
+    wh = np.array([zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    if len(wh) < shingle:
+        g = np.zeros(1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(len(wh)):
+                g = (g * _MIX2) ^ (wh[k] + _MIX1)
+        return g
+    n = len(wh) - shingle + 1
+    with np.errstate(over="ignore"):
+        g = np.zeros(n, dtype=np.uint64)
+        for k in range(shingle):
+            g = (g * _MIX2) ^ (wh[k : k + n] + _MIX1)
+        g = (g ^ (g >> np.uint64(31))) * _MIX3
+    return g
 
 
 def hash_str64(s: str) -> int:
@@ -75,23 +94,25 @@ class _MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc to (band_id, band_hash, doc_id) rows."""
+        """Explode each doc to (band_id, band_hash, doc_id) rows (vectorized
+        band hashing: one numpy mix over the (ndocs, bands, rows) signature)."""
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                h = hash_str64(chunk.tobytes().hex()) & 0x7FFFFFFFFFFFFFFF
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_hash.append(h)
+        sigs = np.stack([self.signature(t) for t in texts])  # (ndocs, num_perm)
+        banded = sigs.reshape(len(ids), self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((len(ids), self.bands), dtype=np.uint64)
+            for r in range(self.rows):
+                bh = (bh * _MIX2) ^ (banded[:, :, r] + _MIX1)
+            bh = (bh ^ (bh >> np.uint64(31))) * _MIX3
+        bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int64()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int64), len(ids)), pa.int64()
+                ),
+                "band_hash": pa.array(bh.reshape(-1), pa.int64()),
             }
         )
 
@@ -117,15 +138,50 @@ def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4
     # small sessions
     bands = docs_ds.map_batches(_MinHasher(), batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    # coarse-group the (band, hash) buckets: grouping on the raw bucket key
+    # means one map_groups dispatch per bucket (≈ docs × bands tiny groups);
+    # instead shuffle on a coarse prefix and pair up all buckets of a group
+    # in one vectorized pass
+    def add_coarse(b: pa.Table) -> pa.Table:
+        bkey = (b["band_hash"].to_numpy().astype(np.uint64) << np.uint64(4)) ^ b[
+            "band_id"
+        ].to_numpy().astype(np.uint64)
+        out = b.append_column("bkey", pa.array(bkey.astype(np.int64), pa.int64()))
+        return out.append_column(
+            "coarse", pa.array((bkey >> np.uint64(52)).astype(np.int64), pa.int64())
+        )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        bk = group["bkey"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        order = np.lexsort((ids, bk))
+        bk = bk[order]
+        ids = ids[order]
+        out_a, out_b = [], []
+        # runs of equal bucket key → all intra-run pairs
+        starts = np.nonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(bk)]])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            uniq = np.unique(ids[s:e])
+            if len(uniq) < 2:
+                continue
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            out_a.append(uniq[ia])
+            out_b.append(uniq[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    pairs = (
+        bands.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -148,8 +204,24 @@ def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4
         t = batch.append_column("jaccard", pa.array(jac))
         return t.filter(pa.array(keep))
 
-    # dedup candidate pairs globally before verify (pairs can repeat across bands)
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    # dedup candidate pairs globally before verify (pairs can repeat across
+    # bands/coarse groups): coarse-key shuffle + vectorized drop_duplicates
+    def add_pair_coarse(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            ph = (
+                b["doc_a"].to_numpy().astype(np.uint64) * _MIX1
+                + b["doc_b"].to_numpy().astype(np.uint64)
+            ) * _MIX2
+        return b.append_column(
+            "pcoarse", pa.array((ph >> np.uint64(56)).astype(np.int64), pa.int64())
+        )
+
+    uniq = (
+        pairs.map_batches(add_pair_coarse, batch_format="pyarrow")
+        .groupby("pcoarse")
+        .map_groups(
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            batch_format="pandas",
+        )
     )
     return uniq.map_batches(verify, batch_format="pyarrow")
