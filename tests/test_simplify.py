@@ -133,3 +133,74 @@ def test_simplify_topo_combination_error():
             preserve_common_boundaries=True,
             preserve_topology=False,
         )
+
+
+def test_simplify_basic_lang_counts():
+    # ref tests/test_simplify.py:14-125 exact-count matrix
+    ls = g.LineString([(0, 0), (10, 10), (20, 20)])
+    assert len(simplify(ls, 1, algorithm="lang", lookahead=-1).coords) == 2
+    assert len(simplify(ls, 1, algorithm="lang").coords) == 2
+    poly = g.Polygon(
+        [(0, 0), (0, 10), (1, 10), (10, 10), (10, 0), (0, 0)],
+        [[(2, 2), (2, 8), (8, 8), (8, 2), (2, 2)]],
+    )
+    s = simplify(poly, 1, algorithm="lang", lookahead=-1)
+    assert isinstance(s, g.Polygon) and len(s.shell) == 5
+    s8 = simplify(poly, 1, algorithm="lang")
+    assert len(s8.shell) == 5
+    # two-point line: no simplification possible
+    assert len(simplify(g.LineString([(0, 0), (20, 20)]), 1, algorithm="lang").coords) == 2
+    # multilinestring
+    mls = g.MultiLineString([[(0, 0), (10, 10), (20, 20)], [(100, 100), (110, 110), (120, 120)]])
+    sm = simplify(mls, 1, algorithm="lang")
+    assert isinstance(sm, g.MultiLineString) and len(sm.geoms) == 2
+    assert len(sm.geoms[0].coords) == 2
+    # multipolygon
+    poly2 = g.Polygon([(100, 100), (100, 110), (110, 110), (110, 100), (100, 100)])
+    smp = simplify(g.MultiPolygon([poly, poly2]), 1, algorithm="lang")
+    assert isinstance(smp, g.MultiPolygon) and len(smp.geoms) == 2
+    assert len(smp.geoms[0].shell) == 5
+    # geometrycollection of all of the above
+    gc = g.GeometryCollection([g.Point(0, 0), g.MultiPoint([(0, 0), (10, 10), (20, 20)]), ls, mls, poly, g.MultiPolygon([poly, poly2])])
+    sgc = simplify(gc, 1, algorithm="lang")
+    assert isinstance(sgc, g.GeometryCollection) and len(sgc.geoms) == 6
+
+
+def test_simplify_invalid_geometry_reference_counts():
+    # ref tests/test_simplify.py:181-251: invalid/self-touching/crossing rings
+    poly = g.Polygon(
+        [(0, 0), (0, 10), (5, 10), (3, 12), (3, 9), (10, 10), (10, 0), (0, 0)],
+        [[(2, 2), (2, 8), (8, 8), (8, 2), (2, 2)]],
+    )
+    s = simplify(poly, 1, algorithm="lang")
+    assert isinstance(s, g.MultiPolygon)
+    counts = sorted(len(p.shell) for p in s.geoms)
+    assert 7 in counts  # the big part keeps 7 exterior coords (ref :191)
+    assert sum(len(p.holes) for p in s.geoms) == 1  # hole retained
+
+    m_touch = g.Polygon(
+        [(0, 0), (0, 10), (5, 5), (10, 10), (10, 0), (8, 0), (8, 5), (5, 4), (2, 5), (2, 0), (0, 0)]
+    )
+    st = simplify(m_touch, 1, algorithm="lang")
+    assert isinstance(st, g.MultiPolygon) and len(st.geoms) == 2
+
+    m_cross = g.Polygon(
+        [(0, 0), (0, 10), (5, 5), (10, 10), (10, 0), (8, 0), (8, 5.5), (5, 4.5), (2, 5.5), (2, 0), (0, 0)]
+    )
+    sc = simplify(m_cross, 1, algorithm="lang")
+    assert isinstance(sc, g.MultiPolygon) and len(sc.geoms) == 3
+
+
+@pytest.mark.parametrize(
+    "algorithm, tolerance", [("lang", 2), ("lang+", 2), ("rdp", 2), ("vw", 15)]
+)
+def test_simplify_keep_points_on_matrix(algorithm, tolerance):
+    # ref tests/test_simplify.py:275-313 — exact counts + area preservation
+    poly_input = g.Polygon([(0, 0), (0, 10), (5, 12), (10, 10), (10, 0), (5, 0), (0, 0)])
+    keep_line = g.LineString([(0, 0), (0, 12), (10, 12)])
+    plain = simplify(poly_input, tolerance, algorithm=algorithm)
+    assert len(plain.shell) == len(poly_input.shell) - 2
+    assert plain.area < poly_input.area
+    kept = simplify(poly_input, tolerance, algorithm=algorithm, keep_points_on=keep_line)
+    assert len(kept.shell) == len(poly_input.shell) - 1
+    assert kept.area == poly_input.area
