@@ -34,17 +34,62 @@ def _to_marty(geom: g.Geometry | None) -> list:
     raise ValueError(f"boolean ops support polygons, got {geom.geom_type}")
 
 
+def _split_pinched(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a ring that revisits a vertex (pinch point) into simple loops.
+
+    GEOS keeps polygons that touch at a single point as separate MultiPolygon
+    parts; the sweep's contour walk can emit them as one pinched ring instead.
+    """
+    body = ring[:-1]
+    seen: dict[tuple[float, float], int] = {}
+    dup = False
+    for p in body:
+        k = (p[0], p[1])
+        if k in seen:
+            dup = True
+            break
+        seen[k] = 1
+    if not dup:
+        return [ring]
+    from pygeoops_ray.geo.validity import split_ring_loops
+
+    loops = split_ring_loops(ring)
+    out = []
+    for lp in loops:
+        if abs(ring_area(lp)) > 1e-12:
+            closed = lp if np.array_equal(lp[0], lp[-1]) else np.concatenate([lp, lp[:1]])
+            out.append(closed)
+    return out if out else [ring]
+
+
 def _from_marty(polys: list) -> g.Geometry:
     """martinez output → Polygon / MultiPolygon / empty Polygon."""
     cleaned = []
     for rings in polys:
-        rr = []
-        for ring in rings:
+        shells = []
+        holes = []
+        for ri, ring in enumerate(rings):
             arr = np.asarray(ring, dtype=np.float64)
             if len(arr) >= 4 and abs(ring_area(arr)) > 1e-12:
-                rr.append(arr)
-        if rr:
-            cleaned.append(g.Polygon(rr[0], rr[1:]))
+                if ri == 0:
+                    shells.extend(_split_pinched(arr))
+                else:
+                    holes.append(arr)
+        if len(shells) == 1:
+            cleaned.append(g.Polygon(shells[0], holes))
+        elif len(shells) > 1:
+            # pinched shell split into parts: attach each hole to the shell
+            # containing it
+            from pygeoops_ray.geo.predicates import point_in_ring
+
+            part_holes: list[list] = [[] for _ in shells]
+            for h in holes:
+                for si, sh in enumerate(shells):
+                    if point_in_ring(h[0, 0], h[0, 1], sh) >= 0:
+                        part_holes[si].append(h)
+                        break
+            for sh, hs in zip(shells, part_holes):
+                cleaned.append(g.Polygon(sh, hs))
     if not cleaned:
         return g.Polygon()
     if len(cleaned) == 1:

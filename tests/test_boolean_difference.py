@@ -143,3 +143,56 @@ def test_buffer_by_m_array_and_none():
         np.array([wkt.loads("LINESTRING Z (0 0 1, 5 0 1)"), None], dtype=object)[:1]
     )
     assert isinstance(arr[0], g.Polygon)
+
+
+@pytest.mark.parametrize(
+    "descr, w, exp_type, rel",
+    [
+        # transcription of /root/reference/tests/test_buffer_by_m.py:27-144
+        ("point_pos_m", "POINT Z (0 0 1)", g.Polygon, None),
+        ("line_z", "LINESTRING Z (0 6 1, 0 0 2, 9 0 2)", g.Polygon, None),
+        ("line_z0_touches", "LINESTRING Z (0 6 1, 0 0 0, 9 0 2)", g.MultiPolygon, "touches"),
+        ("line_zneg_disjoint", "LINESTRING Z (0 6 1, 0 0 -1, 9 0 2)", g.MultiPolygon, "disjoint"),
+        ("line_all_neg_empty", "LINESTRING Z (0 6 -1, 0 0 -1, 9 0 -2)", None, None),
+        ("line_m", "LINESTRING M (0 6 1, 0 0 2, 9 0 2)", g.Polygon, None),
+        ("line_zm_m0", "LINESTRING ZM (0 6 -1 1, 0 0 -1 0, 9 0 -1 2)", g.MultiPolygon, "touches"),
+        ("multiline_z", "MULTILINESTRING Z ((0 6 1, 0 0 2, 9 0 2), (0 9 1, 5 9 2, 9 9 1))", g.MultiPolygon, None),
+        ("poly_z", "POLYGON Z ((0 0 0, 0 5 1, 5 2.5 2, 0 0 0))", g.Polygon, None),
+        (
+            "multipoly_z",
+            "MULTIPOLYGON Z (((0 0 0, 0 5 1, 5 5 2, 5 0 3, 0 0 0)), ((10 0 0, 10 5 1, 15 5 2, 15 0 3, 10 0 0)))",
+            g.MultiPolygon,
+            None,
+        ),
+    ],
+)
+def test_buffer_by_m_reference_matrix(descr, w, exp_type, rel):
+    from pygeoops_ray.geo import predicates
+
+    out = buffer_by_m(wkt.loads(w))
+    if exp_type is None:
+        assert out.is_empty
+        return
+    assert isinstance(out, exp_type)
+    if rel == "touches":
+        assert predicates.intersects(out.geoms[0], out.geoms[1])
+    elif rel == "disjoint":
+        assert not predicates.intersects(out.geoms[0], out.geoms[1])
+
+
+def test_buffer_by_m_geometrycollection():
+    # mixed + deeply nested collections (ref :120-144)
+    gc = g.GeometryCollection(
+        [
+            wkt.loads("LINESTRING Z (0 6 1, 0 0 2, 9 0 2)"),
+            g.Point(5, 9, 1),
+            wkt.loads("POLYGON Z ((10 0 0, 10 5 1, 15 5 2, 15 0 3, 10 0 0))"),
+        ]
+    )
+    out = buffer_by_m(gc)
+    assert isinstance(out, g.MultiPolygon)
+    nested = g.GeometryCollection(
+        [g.GeometryCollection([g.MultiPoint([g.Point(0, 0, 1), g.Point(0, 5, 2)])])]
+    )
+    out2 = buffer_by_m(nested)
+    assert isinstance(out2, g.MultiPolygon) and len(out2.geoms) == 2

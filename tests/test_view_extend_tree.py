@@ -147,3 +147,33 @@ def test_line_merge_junction_breaks():
     out = line_merge(mls)
     assert isinstance(out, g.MultiLineString)
     assert len(out.geoms) == 3  # degree-3 node breaks all chains
+
+
+@pytest.mark.parametrize(
+    "descr, exp_start, exp_end, w",
+    [
+        ["NE>NW_<360", 45.0, 135.0, "POLYGON((1 1, 1 -1, -1 -1, -1 1, -2 -2, 2 -2, 1 1))"],
+        ["NE>SW_<360", 0.0, 270.0, "POLYGON((1 0, 0 1, -1 0, 0 -1, -1 -1, -2 2, 2 2, 1 0))"],
+        ["NE>SW_360", 0.0, 360.0,
+         "POLYGON((1 0, 1 1, -1 1, -1 -1, 1 -1, 2 0, 2 -2, -2 -2, -2 2, 2 2, 1 0))"],
+        ["NE_SE", 315.0, 45.0, "POLYGON((1 1, 1 -1, 2 -1, 2 1, 1 1))"],
+        ["NE_y0", 0.0, 45.0, "POLYGON((1 0, 1 1, 2 1, 2 0, 1 0))"],
+        ["NW", 135.0, 180.0, "POLYGON((-1 0, -1 1, -2 1, -2 0, -1 0))"],
+        ["NW_SE", 135.0, 315.0, "POLYGON((-1 1, -1 0.5, 1 -1, -3 1, -1 1))"],
+        ["NW_SW", 135.0, 225.0, "POLYGON((-1 -1, -1 1, -2 1, -2 -1, -1 -1))"],
+        ["NWgtSE", 135.0, 360.0, "POLYGON((-1 1, -1 -1, 1 -1, 1 0, 2 -2, -2 -2, -1 1))"],
+        ["SE_yne0", 270.0, 315.0, "POLYGON((1 -1, 0 -1, 0 -2, 1 -1))"],
+        ["SE_y0", 315.0, 360.0, "POLYGON((1 0, 1 -1, 2 -1, 2 0, 1 0))"],
+        ["SWgtNW", 225.0, 135.0, "POLYGON((-1 -1, 2 -1, -1 1, 3 1, 3 -2, -1 -1))"],
+    ],
+)
+def test_view_angles_reference_matrix(descr, exp_start, exp_end, w):
+    # exact transcription of /root/reference/tests/test_view_angles.py:38-80
+    # (polygon offsets relative to viewpoint (10, 20)); all cases match GEOS
+    # outputs exactly.
+    geom = wkt.loads(w)
+    shifted = g.Polygon(
+        geom.shell[:, :2] + np.array([10.0, 20.0]),
+        [h[:, :2] + np.array([10.0, 20.0]) for h in geom.holes],
+    )
+    assert view_angles(VP, shifted) == (exp_start, exp_end)
