@@ -498,6 +498,22 @@ def box(minx: float, miny: float, maxx: float, maxy: float, ccw: bool = True) ->
     return Polygon(ring)
 
 
+def set_m_only(geom: Geometry) -> Geometry:
+    """Mark a 3-column geometry as XYM instead of XYZ (WKT/WKB 'M' variants)."""
+    if isinstance(geom, (Point, LineString)):
+        if geom.coords.shape[-1] == 3:
+            geom._has_z = False
+            geom._has_m = True
+    elif isinstance(geom, Polygon):
+        if len(geom.shell) and geom.shell.shape[1] == 3:
+            geom._has_z = False
+            geom._has_m = True
+    elif isinstance(geom, _Multi):
+        for p in geom.geoms:
+            set_m_only(p)
+    return geom
+
+
 def points(coords) -> np.ndarray:
     """Array of Points from an (N,2+) coordinate array."""
     arr = np.asarray(coords, dtype=np.float64)

@@ -78,6 +78,9 @@ def loads(data: bytes | None) -> g.Geometry | None:
     if data is None:
         return None
     geom, _ = _read(memoryview(data), 0)
+    code = struct.unpack_from("<I" if data[0] == 1 else ">I", data, 1)[0]
+    if code // 1000 == 2:  # M-only variant: reinterpret the 3rd column
+        g.set_m_only(geom)
     return geom
 
 

@@ -79,8 +79,19 @@ def _parse_coord_seq(t: _Tokens, ncols: int) -> np.ndarray:
 
 
 def _parse_geometry(t: _Tokens) -> g.Geometry:
+    geom, has_z, has_m = _parse_geometry_dims(t)
+    if has_m and not has_z:
+        g.set_m_only(geom)
+    return geom
+
+
+def _parse_geometry_dims(t: _Tokens) -> tuple[g.Geometry, bool, bool]:
     tag = t.next().upper()
     has_z, has_m = _parse_dims(t)
+    return _parse_body(t, tag), has_z, has_m
+
+
+def _parse_body(t: _Tokens, tag: str) -> g.Geometry:
     if t.peek() is not None and t.peek().upper() == "EMPTY":
         t.next()
         return {
