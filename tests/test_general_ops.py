@@ -1,0 +1,148 @@
+"""collect / collection_extract / remove_inner_rings / make_valid semantics.
+
+Transcribed from /root/reference/tests/test_general.py:37-640.
+"""
+
+import numpy as np
+import pytest
+
+from pygeoops_ray.geo import geom as g
+from pygeoops_ray.geo.general import (
+    collect,
+    collection_extract,
+    empty,
+    explode,
+    format_short,
+    get_parts_recursive,
+    get_primitivetype_id,
+    remove_inner_rings,
+)
+from pygeoops_ray.geo.types import GeometryType, PrimitiveType
+from pygeoops_ray.geo.validity import make_valid
+
+
+def test_collect_reference():
+    assert collect(None) is None
+    assert collect([None]) is None
+    assert collect([None, g.Polygon(), None, g.Polygon()]) is None
+    pt = g.Point(0, 0)
+    assert collect(pt) is pt
+    assert collect([pt]) is pt
+    mp = collect([pt, pt])
+    assert isinstance(mp, g.MultiPoint) and len(mp.geoms) == 2
+    line = g.LineString([(0, 0), (0, 1)])
+    assert isinstance(collect([line, line]), g.MultiLineString)
+    p23, p34, p45 = g.box(2, 0, 3, 1), g.box(3, 0, 4, 1), g.box(4, 0, 5, 1)
+    assert isinstance(collect([p23, p45]), g.MultiPolygon)
+    # adjacent polygons share an edge → invalid multipolygon → GeometryCollection
+    assert isinstance(collect([p34, p45]), g.GeometryCollection)
+    # mixed types → GeometryCollection; multi nested → GeometryCollection
+    p01 = g.box(0, 0, 1, 1)
+    assert isinstance(collect([pt, line, p01]), g.GeometryCollection)
+    assert isinstance(
+        collect([p01, g.MultiPolygon([p23, p45])]), g.GeometryCollection
+    )
+
+
+def test_collection_extract_reference():
+    assert collection_extract(None, 0) is None
+    assert collection_extract([None], 0)[0] is None
+    pt = g.Point(0, 0)
+    mpt = g.MultiPoint([pt, pt])
+    assert collection_extract(pt, 1) is pt
+    assert collection_extract(mpt, 1) is mpt
+    assert collection_extract(mpt, 2) is None
+    line = g.LineString([(0, 0), (0, 1)])
+    p1 = g.box(0, 0, 1, 1)
+    mpoly = g.MultiPolygon([g.box(2, 0, 3, 1), g.box(4, 0, 5, 1)])
+    gcoll = g.GeometryCollection([pt, line, p1, mpoly])
+    assert collection_extract(gcoll, 1) is pt
+    assert collection_extract(gcoll, PrimitiveType.POINT) is pt
+    assert collection_extract(gcoll, 2) is line
+    polys = collection_extract(gcoll, 3)
+    # poly + multipoly mix → GeometryCollection, like the reference (:131-135)
+    assert isinstance(polys, g.GeometryCollection)
+    assert collection_extract(gcoll, 0) is gcoll
+    with pytest.raises(ValueError, match="Invalid value for primitivetype"):
+        collection_extract(gcoll, 4)
+    with pytest.raises(ValueError, match="primitivetype is arraylike"):
+        collection_extract(pt, [1, 2])
+    # arraylike geometry with per-row primitive types
+    out = collection_extract([gcoll, gcoll], [1, 2])
+    assert out[0] is pt and out[1] is line
+    with pytest.raises(ValueError, match="len must be equal"):
+        collection_extract([gcoll], [1, 2])
+
+
+def test_empty_explode_parts():
+    assert empty(None) is None
+    assert empty(GeometryType.POLYGON).is_empty
+    assert empty(3).is_empty
+    mp = g.MultiPoint([g.Point(0, 0), g.Point(1, 1)])
+    parts = explode(mp)
+    assert len(parts) == 2
+    nested = g.GeometryCollection(
+        [g.GeometryCollection([mp]), g.Point(9, 9)]
+    )
+    flat = get_parts_recursive(nested)
+    assert len(flat) == 3
+    assert all(not isinstance(p, g._Multi) for p in flat)
+    assert explode(None) is None and get_parts_recursive(None) is None
+
+
+def test_get_primitivetype_id():
+    assert get_primitivetype_id(g.Point(0, 0)) == 1
+    assert get_primitivetype_id(g.LineString([(0, 0), (1, 1)])) == 2
+    assert get_primitivetype_id(g.box(0, 0, 1, 1)) == 3
+    assert get_primitivetype_id(g.GeometryCollection([g.Point(0, 0)])) == 0
+    out = get_primitivetype_id([g.Point(0, 0), g.box(0, 0, 1, 1)])
+    assert list(out) == [1, 3]
+
+
+def test_format_short():
+    assert format_short(None) == "None"
+    assert format_short(g.Point(1, 2)) == "POINT(1.0 2.0)"
+    assert format_short(g.LineString([(1, 2), (3, 4)])).startswith("LINESTRING(1.0 2.0")
+    assert format_short(g.box(0, 0, 1, 1)).startswith("POLYGON(")
+    nested = g.GeometryCollection([g.GeometryCollection([g.Point(5, 6)])])
+    s = format_short(nested)
+    assert s.startswith("GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(POINT(")
+
+
+def test_remove_inner_rings_reference():
+    assert remove_inner_rings(None, min_area_to_keep=1, crs=None) is None
+    poly = g.Polygon(
+        [(0, 0), (0, 10), (1, 10), (10, 10), (10, 0), (0, 0)],
+        [
+            [(2, 2), (2, 4), (4, 4), (4, 2), (2, 2)],  # area 4
+            [(5, 5), (5, 6), (7, 6), (7, 5), (5, 5)],  # area 2
+        ],
+    )
+    r1 = remove_inner_rings(poly, min_area_to_keep=1, crs=None)
+    assert isinstance(r1, g.Polygon) and len(r1.holes) == 2
+    r3 = remove_inner_rings(poly, min_area_to_keep=3, crs="epsg:31370")
+    assert len(r3.holes) == 1
+    r0 = remove_inner_rings(poly, min_area_to_keep=0, crs=None)
+    assert len(r0.holes) == 0
+    noholes = g.Polygon([(100, 100), (100, 110), (110, 110), (110, 100), (100, 100)])
+    assert len(remove_inner_rings(noholes, 0, None).holes) == 0
+    mp = g.MultiPolygon([poly, noholes])
+    rm = remove_inner_rings(mp, min_area_to_keep=3, crs=None)
+    assert isinstance(rm, g.MultiPolygon)
+    assert len(rm.geoms[0].holes) == 1
+    with pytest.raises(ValueError, match="remove_inner_rings impossible on LineString"):
+        remove_inner_rings(g.LineString([(0, 0), (0, 1)]), 1, None)
+
+
+def test_make_valid_variants():
+    valid = g.box(0, 0, 1, 1)
+    assert make_valid(valid, only_if_invalid=True) is valid
+    bow = g.Polygon([(0, 0), (10, 10), (10, 0), (0, 10), (0, 0)])
+    mv = make_valid(bow)
+    assert isinstance(mv, g.MultiPolygon) and len(mv.geoms) == 2
+    assert mv.area == pytest.approx(bow.shell.shape[0] and 50.0)
+    # array input
+    arr = make_valid(np.array([valid, bow], dtype=object))
+    assert arr[0] is valid or arr[0].equals_exact(valid, 0)
+    assert isinstance(arr[1], g.MultiPolygon)
+    assert make_valid(None) is None
