@@ -53,16 +53,31 @@ def simplify_coords_lang_idx(
     keep = np.ones(n, dtype=bool)
     ws = 0
     we = window_size
+    # plain python floats: windows are tiny (≤ lookahead points), scalar math
+    # beats both numpy slicing and per-point function calls here
+    xs = arr[:, 0].tolist()
+    ys = arr[:, 1].tolist()
+    tol2 = tolerance * tolerance
 
     while True:
         # Are all intermediate points within tolerance of chord (ws, we)?
+        # squared-distance compare: num² > tol²·|chord|² (degenerate chord →
+        # infinite distance, matching point_line_distance semantics)
+        ax = xs[ws]
+        ay = ys[ws]
+        dx = xs[we] - ax
+        dy = ys[we] - ay
+        denom2 = dx * dx + dy * dy
         outside = False
-        ax, ay = arr[ws, 0], arr[ws, 1]
-        bx, by = arr[we, 0], arr[we, 1]
-        for i in range(ws + 1, we):
-            if point_line_distance(arr[i, 0], arr[i, 1], ax, ay, bx, by) > tolerance:
-                outside = True
-                break
+        if denom2 == 0.0:
+            outside = we - ws > 1
+        else:
+            lim = tol2 * denom2
+            for i in range(ws + 1, we):
+                num = dx * (ay - ys[i]) - (ax - xs[i]) * dy
+                if num * num > lim:
+                    outside = True
+                    break
 
         if outside:
             we -= 1

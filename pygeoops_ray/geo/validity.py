@@ -25,23 +25,71 @@ _EPS = 1e-9
 
 
 def _ring_is_simple(ring: np.ndarray) -> bool:
-    """No two non-adjacent segments of the ring intersect."""
-    n = len(ring) - 1
-    for i in range(n):
-        a1, a2 = ring[i, :2], ring[i + 1, :2]
-        for j in range(i + 1, n):
-            if j == i or (j == i + 1) or (i == 0 and j == n - 1):
-                continue
-            b1, b2 = ring[j, :2], ring[j + 1, :2]
-            pts = segment_intersection_points(a1, a2, b1, b2)
-            for p in pts:
-                # shared endpoint of adjacent segments is fine; any other hit is not
-                if (
-                    np.hypot(p[0] - a2[0], p[1] - a2[1]) < _EPS and j == i + 1
-                ) or (np.hypot(p[0] - a1[0], p[1] - a1[1]) < _EPS and j == n - 1):
-                    continue
-                return False
-    return True
+    """No two non-adjacent segments of the ring intersect (vectorized).
+
+    All candidate pairs (j >= i+2, excluding the closing wrap pair) go through
+    a numpy bbox prefilter, then vectorized orientation tests: a proper
+    crossing or any collinear/endpoint touch between non-adjacent segments
+    makes the ring non-simple.
+    """
+    pts = ring[:, :2]
+    n = len(pts) - 1
+    if n < 3:
+        return True
+    a = pts[:-1]
+    b = pts[1:]
+    scale = 1.0 + np.abs(pts).max()
+    eps = 1e-12 * scale
+
+    minx = np.minimum(a[:, 0], b[:, 0])
+    maxx = np.maximum(a[:, 0], b[:, 0])
+    miny = np.minimum(a[:, 1], b[:, 1])
+    maxy = np.maximum(a[:, 1], b[:, 1])
+    ovl = (
+        (minx[:, None] <= maxx[None, :] + eps)
+        & (minx[None, :] <= maxx[:, None] + eps)
+        & (miny[:, None] <= maxy[None, :] + eps)
+        & (miny[None, :] <= maxy[:, None] + eps)
+    )
+    iu, ju = np.nonzero(np.triu(ovl, k=2))
+    keep = ~((iu == 0) & (ju == n - 1))
+    iu, ju = iu[keep], ju[keep]
+    if len(iu) == 0:
+        return True
+
+    a1 = a[iu]
+    a2 = b[iu]
+    b1 = a[ju]
+    b2 = b[ju]
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = cross(b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1], a1[:, 0], a1[:, 1])
+    d2 = cross(b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1], a2[:, 0], a2[:, 1])
+    d3 = cross(a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1], b1[:, 0], b1[:, 1])
+    d4 = cross(a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1], b2[:, 0], b2[:, 1])
+    proper = (((d1 > eps) & (d2 < -eps)) | ((d1 < -eps) & (d2 > eps))) & (
+        ((d3 > eps) & (d4 < -eps)) | ((d3 < -eps) & (d4 > eps))
+    )
+    if proper.any():
+        return False
+
+    def on_seg(px, py, sx1, sy1, sx2, sy2):
+        return (
+            (np.minimum(sx1, sx2) - eps <= px)
+            & (px <= np.maximum(sx1, sx2) + eps)
+            & (np.minimum(sy1, sy2) - eps <= py)
+            & (py <= np.maximum(sy1, sy2) + eps)
+        )
+
+    touch = (
+        ((np.abs(d1) <= eps) & on_seg(a1[:, 0], a1[:, 1], b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]))
+        | ((np.abs(d2) <= eps) & on_seg(a2[:, 0], a2[:, 1], b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1]))
+        | ((np.abs(d3) <= eps) & on_seg(b1[:, 0], b1[:, 1], a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1]))
+        | ((np.abs(d4) <= eps) & on_seg(b2[:, 0], b2[:, 1], a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1]))
+    )
+    return not touch.any()
 
 
 def is_valid(geometry: g.Geometry | None) -> bool:
