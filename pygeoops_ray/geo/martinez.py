@@ -116,8 +116,16 @@ def compare_segments(le1: SweepEvent, le2: SweepEvent) -> int:
             return -1 if le1.p[1] < le2.p[1] else 1
         if compare_events(le1, le2) == 1:
             # le2 was inserted first
-            return 1 if le2.is_above(le1.p) else -1
-        return -1 if le1.is_below(le2.p) else 1
+            s = _signed_area(le2.p, le2.other.p, le1.p)
+            if s != 0:
+                return 1 if s < 0 else -1
+            # le1.p lies exactly ON le2: order by where le1 heads
+            return 1 if le2.is_below(le1.other.p) else -1
+        s = _signed_area(le1.p, le1.other.p, le2.p)
+        if s != 0:
+            return -1 if s > 0 else 1
+        # le2.p lies exactly ON le1: order by where le2 heads
+        return -1 if le1.is_below(le2.other.p) else 1
     # collinear segments
     if le1.is_subject == le2.is_subject:
         if le1.p == le2.p:
@@ -132,6 +140,11 @@ def _cross(a, b) -> float:
     return a[0] * b[1] - a[1] * b[0]
 
 
+_T_EPS = 1e-9  # parametric tolerance: a crossing a few ulps past an endpoint
+# still counts (and snaps to it) — otherwise a vertex-on-edge division can be
+# missed at insert time and discovered one event too late, with stale fields
+
+
 def _segment_intersection(a1, a2, b1, b2):
     """0, 1 or 2 intersection points, endpoint-snapped (martinez-style)."""
     va = (a2[0] - a1[0], a2[1] - a1[1])
@@ -142,11 +155,13 @@ def _segment_intersection(a1, a2, b1, b2):
     sqr_len_a = va[0] * va[0] + va[1] * va[1]
     if sqr_kross > 0:
         s = _cross(e, vb) / kross
-        if s < 0 or s > 1:
+        if s < -_T_EPS or s > 1 + _T_EPS:
             return []
         t = _cross(e, va) / kross
-        if t < 0 or t > 1:
+        if t < -_T_EPS or t > 1 + _T_EPS:
             return []
+        s = 0.0 if s <= _T_EPS else (1.0 if s >= 1 - _T_EPS else s)
+        t = 0.0 if t <= _T_EPS else (1.0 if t >= 1 - _T_EPS else t)
         if s == 0 or s == 1:
             return [_mid(a1, s, va)]
         if t == 0 or t == 1:
@@ -414,8 +429,8 @@ def _connect_edges(sorted_events, operation):
         event = result_events[i]
         # depth / hole assignment via the nearest previous edge in the result
         prev = event.prev_in_result
-        if prev is not None:
-            lower_id = prev.output_contour_id
+        lower_id = prev.output_contour_id if prev is not None else -1
+        if prev is not None and 0 <= lower_id < len(contours):
             if prev.result_transition > 0:
                 # previous edge is an out-in transition: same parent, +1 depth
                 parent = contours[lower_id]
