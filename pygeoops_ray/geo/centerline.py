@@ -211,30 +211,70 @@ def _edges_inside(poly: g.Geometry, segs: np.ndarray) -> list[np.ndarray]:
             np.maximum(barr[:, 1], barr[:, 3]),
         ]
     )
-    tree = STRtree(bbox)
 
-    kept = []
-    for s in segs:
-        (x0, y0), (x1, y1) = s
-        mx, my = (x0 + x1) / 2, (y0 + y1) / 2
-        inside = False
-        for p in polys:
-            if predicates.point_in_polygon(p, mx, my) == 1:
-                inside = True
-                break
-        if not inside:
-            continue
-        # reject if the segment crosses any nearby boundary segment
-        q = tree.query(min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
-        crossed = False
-        for bi in q:
-            b = barr[bi]
-            if predicates.segments_intersect((x0, y0), (x1, y1), (b[0], b[1]), (b[2], b[3])):
-                crossed = True
-                break
-        if not crossed:
-            kept.append(np.asarray(s))
-    return kept
+    # vectorized midpoint-inside prefilter across ALL candidate segments
+    mids = (segs[:, 0, :] + segs[:, 1, :]) / 2.0
+    inside_any = np.zeros(len(segs), dtype=bool)
+    for p in polys:
+        inside_any |= predicates.points_in_polygon(p, mids) == 1
+    candidates = np.nonzero(inside_any)[0]
+    if len(candidates) == 0:
+        return []
+
+    # vectorized candidate-vs-boundary crossing: bbox prefilter then exact
+    # orientation tests over the surviving pairs
+    cs = segs[candidates]  # (N,2,2)
+    a1 = cs[:, 0, :]
+    a2 = cs[:, 1, :]
+    b1 = barr[:, :2]
+    b2 = barr[:, 2:]
+    eps = 1e-12 * (1.0 + np.abs(barr).max())
+    aminx = np.minimum(a1[:, 0], a2[:, 0])[:, None]
+    amaxx = np.maximum(a1[:, 0], a2[:, 0])[:, None]
+    aminy = np.minimum(a1[:, 1], a2[:, 1])[:, None]
+    amaxy = np.maximum(a1[:, 1], a2[:, 1])[:, None]
+    ovl = (
+        (aminx <= bbox[None, :, 2] + eps)
+        & (bbox[None, :, 0] <= amaxx + eps)
+        & (aminy <= bbox[None, :, 3] + eps)
+        & (bbox[None, :, 1] <= amaxy + eps)
+    )
+    ii, jj = np.nonzero(ovl)
+    crossed = np.zeros(len(cs), dtype=bool)
+    if len(ii):
+        p1 = a1[ii]
+        p2 = a2[ii]
+        q1 = b1[jj]
+        q2 = b2[jj]
+
+        def orient(ax, ay, bx, by, cx, cy):
+            return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        d1 = orient(q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1], p1[:, 0], p1[:, 1])
+        d2 = orient(q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1], p2[:, 0], p2[:, 1])
+        d3 = orient(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], q1[:, 0], q1[:, 1])
+        d4 = orient(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], q2[:, 0], q2[:, 1])
+        proper = (((d1 > eps) & (d2 < -eps)) | ((d1 < -eps) & (d2 > eps))) & (
+            ((d3 > eps) & (d4 < -eps)) | ((d3 < -eps) & (d4 > eps))
+        )
+
+        def on_seg(px, py, sx1, sy1, sx2, sy2):
+            return (
+                (np.minimum(sx1, sx2) - eps <= px)
+                & (px <= np.maximum(sx1, sx2) + eps)
+                & (np.minimum(sy1, sy2) - eps <= py)
+                & (py <= np.maximum(sy1, sy2) + eps)
+            )
+
+        touch = (
+            ((np.abs(d1) <= eps) & on_seg(p1[:, 0], p1[:, 1], q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1]))
+            | ((np.abs(d2) <= eps) & on_seg(p2[:, 0], p2[:, 1], q1[:, 0], q1[:, 1], q2[:, 0], q2[:, 1]))
+            | ((np.abs(d3) <= eps) & on_seg(q1[:, 0], q1[:, 1], p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1]))
+            | ((np.abs(d4) <= eps) & on_seg(q2[:, 0], q2[:, 1], p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1]))
+        )
+        np.logical_or.at(crossed, ii, proper | touch)
+
+    return [np.asarray(cs[k]) for k in np.nonzero(~crossed)[0]]
 
 
 def _segment_polygon_intersection(seg: np.ndarray, poly: g.Geometry) -> list[np.ndarray]:

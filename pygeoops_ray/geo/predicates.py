@@ -145,9 +145,51 @@ def point_in_polygon(poly: g.Polygon, px: float, py: float) -> int:
     return 1
 
 
+def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized point_in_ring for an (N,2) point array: array of {1,0,-1}."""
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    x = ring[:, 0]
+    y = ring[:, 1]
+    if len(ring) - 1 < 3:
+        return np.full(len(pts), -1, dtype=np.int8)
+    ax, ay = x[:-1][None, :], y[:-1][None, :]
+    bx, by = x[1:][None, :], y[1:][None, :]
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    scale = 1 + np.abs(ax) + np.abs(bx) + np.abs(py)
+    on = (np.abs(cross) <= _EPS * scale) & (
+        (np.minimum(ax, bx) - _EPS <= px)
+        & (px <= np.maximum(ax, bx) + _EPS)
+        & (np.minimum(ay, by) - _EPS <= py)
+        & (py <= np.maximum(ay, by) + _EPS)
+    )
+    on_any = on.any(axis=1)
+    cond = (ay <= py) != (by <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = ax + (py - ay) * (bx - ax) / (by - ay)
+    crossings = np.count_nonzero(cond & (px < xi), axis=1)
+    out = np.where(crossings % 2 == 1, 1, -1).astype(np.int8)
+    out[on_any] = 0
+    return out
+
+
 def points_in_polygon(poly: g.Polygon, pts: np.ndarray) -> np.ndarray:
-    """Vectorized-ish membership for an (N,2) point array: array of {1,0,-1}."""
-    return np.array([point_in_polygon(poly, p[0], p[1]) for p in pts], dtype=np.int8)
+    """Vectorized membership for an (N,2) point array: array of {1,0,-1}."""
+    pts = np.asarray(pts, dtype=np.float64)[:, :2]
+    if poly.is_empty or len(pts) == 0:
+        return np.full(len(pts), -1, dtype=np.int8)
+    out = points_in_ring_bulk(pts, poly.shell)
+    inside = out == 1
+    for hole in poly.holes:
+        if not inside.any():
+            break
+        h = points_in_ring_bulk(pts[inside], hole)
+        sub = out[inside]
+        sub[h == 0] = 0
+        sub[h == 1] = -1
+        out[inside] = sub
+        inside = out == 1
+    return out
 
 
 def bbox_intersects(a: g.Geometry, b: g.Geometry) -> bool:

@@ -44,24 +44,28 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     alive = np.zeros(cap, dtype=bool)
     m = 0
 
+    # python-list coordinate access: scalar math in the hot circumcircle path
+    # beats numpy scalar indexing by ~5x
+    xl = all_pts[:, 0].tolist()
+    yl = all_pts[:, 1].tolist()
+    inf = float("inf")
+
     def circum(i, j, k):
-        ax, ay = all_pts[i]
-        bx, by = all_pts[j]
-        kx, ky = all_pts[k]
+        ax = xl[i]
+        ay = yl[i]
+        bx = xl[j]
+        by = yl[j]
+        kx = xl[k]
+        ky = yl[k]
         d = 2 * (ax * (by - ky) + bx * (ky - ay) + kx * (ay - by))
         if d == 0:
-            return (np.inf, np.inf, np.inf)
-        ux = (
-            (ax * ax + ay * ay) * (by - ky)
-            + (bx * bx + by * by) * (ky - ay)
-            + (kx * kx + ky * ky) * (ay - by)
-        ) / d
-        uy = (
-            (ax * ax + ay * ay) * (kx - bx)
-            + (bx * bx + by * by) * (ax - kx)
-            + (kx * kx + ky * ky) * (bx - ax)
-        ) / d
-        rr = (ax - ux) ** 2 + (ay - uy) ** 2
+            return (inf, inf, inf)
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        k2 = kx * kx + ky * ky
+        ux = (a2 * (by - ky) + b2 * (ky - ay) + k2 * (ay - by)) / d
+        uy = (a2 * (kx - bx) + b2 * (ax - kx) + k2 * (bx - ax)) / d
+        rr = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
         return (ux, uy, rr)
 
     def add_tri(i, j, k):
@@ -144,11 +148,15 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
     maxx, maxy = pts.max(axis=0)
     ray_len = 2.0 * max(maxx - minx, maxy - miny, 1e-9)
 
+    finite = np.all(np.isfinite(centers), axis=1)
     segs = []
     for (ia, ib), ts in edge_map.items():
         if len(ts) == 2:
-            p0, p1 = centers[ts[0]], centers[ts[1]]
-            if np.all(np.isfinite(p0)) and np.all(np.isfinite(p1)) and not np.allclose(p0, p1):
+            t0, t1 = ts
+            if not (finite[t0] and finite[t1]):
+                continue
+            p0, p1 = centers[t0], centers[t1]
+            if abs(p0[0] - p1[0]) > 1e-11 or abs(p0[1] - p1[1]) > 1e-11:
                 segs.append((p0, p1))
         elif len(ts) == 1:
             # hull edge → unbounded Voronoi ray from the circumcenter,
