@@ -25,23 +25,28 @@ def point_buffer(x: float, y: float, radius: float, quad_segs: int = 8) -> np.nd
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain; returns CCW closed hull ring."""
+    """Andrew monotone chain; returns CCW closed hull ring (scalar-math hot loop)."""
     pts = np.unique(points[:, :2], axis=0)
     if len(pts) <= 2:
         return pts
     order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+    seq = pts[order].tolist()
 
-    def half(seq):
+    def half(s):
         out = []
-        for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
-                out.pop()
-            out.append(p)
+        for px, py in s:
+            while len(out) >= 2:
+                ox, oy = out[-1]
+                qx, qy = out[-2]
+                if (ox - qx) * (py - qy) - (oy - qy) * (px - qx) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(seq)
+    upper = half(seq[::-1])
     hull = np.array(lower[:-1] + upper[:-1])
     return np.concatenate([hull, hull[:1]], axis=0)
 
