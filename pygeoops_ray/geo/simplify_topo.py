@@ -83,6 +83,69 @@ class _Topology:
         return np.concatenate(parts, axis=0)
 
 
+def _insert_collinear_vertices(ring_list: list[np.ndarray]) -> list[np.ndarray]:
+    """Insert other rings' vertices that lie ON a segment into that segment.
+
+    topojson's shared-path detection finds collinear overlaps (one ring's edge
+    running along part of another's longer edge); inserting the on-edge
+    vertices first reduces that case to plain shared-vertex junction
+    detection. (Reference behaviour: tests/test_simplify_topo.py:15-38 — the
+    (10,0) vertex of poly1 splits poly2's (0,0)-(11,0) edge.)
+    """
+    from pygeoops_ray.geo.strtree import STRtree
+
+    all_v = np.unique(
+        np.concatenate([r[:, :2] for r in ring_list], axis=0), axis=0
+    )
+    if len(all_v) == 0:
+        return ring_list
+    eps = 1e-9 * (1.0 + np.abs(all_v).max())
+    vtree = STRtree(np.column_stack([all_v, all_v]))
+
+    out = []
+    for coords in ring_list:
+        pts = coords[:, :2]
+        inserts: dict[int, list[tuple[float, float, float]]] = {}
+        for i in range(len(pts) - 1):
+            a = pts[i]
+            b = pts[i + 1]
+            cand = vtree.query(
+                min(a[0], b[0]) - eps,
+                min(a[1], b[1]) - eps,
+                max(a[0], b[0]) + eps,
+                max(a[1], b[1]) + eps,
+            )
+            if len(cand) == 0:
+                continue
+            d = b - a
+            seg_len2 = float(d[0] * d[0] + d[1] * d[1])
+            if seg_len2 == 0:
+                continue
+            for vi in cand:
+                v = all_v[vi]
+                if (abs(v[0] - a[0]) <= eps and abs(v[1] - a[1]) <= eps) or (
+                    abs(v[0] - b[0]) <= eps and abs(v[1] - b[1]) <= eps
+                ):
+                    continue
+                cross = d[0] * (v[1] - a[1]) - d[1] * (v[0] - a[0])
+                if abs(cross) > eps * (1.0 + seg_len2**0.5):
+                    continue
+                t = ((v[0] - a[0]) * d[0] + (v[1] - a[1]) * d[1]) / seg_len2
+                if eps < t < 1 - eps:
+                    inserts.setdefault(i, []).append((t, float(v[0]), float(v[1])))
+        if not inserts:
+            out.append(coords)
+            continue
+        new_pts = []
+        for i in range(len(pts) - 1):
+            new_pts.append(pts[i])
+            for _, vx, vy in sorted(set(inserts.get(i, []))):
+                new_pts.append(np.array([vx, vy]))
+        new_pts.append(pts[-1])
+        out.append(np.array(new_pts))
+    return out
+
+
 def _find_junctions(ring_list: list[np.ndarray]) -> set:
     """topojson-style join: a vertex seen with two different (prev,next)
     neighborhoods (order-insensitive) is a junction."""
@@ -156,18 +219,21 @@ def simplify_topo(
     for geom in geoms:
         rings_of(geom)
 
-    junctions = _find_junctions(ring_list)
+    # reduce collinear-overlap boundaries to shared vertices, then find junctions
+    augmented = _insert_collinear_vertices(ring_list)
+    junctions = _find_junctions(augmented)
+    aug_iter = iter(augmented)
 
-    # build per-geometry arc references
+    # build per-geometry arc references (same traversal order as rings_of)
     topo = _Topology()
 
     def encode(geom):
         if geom is None or geom.is_empty:
             return None
         if isinstance(geom, g.Polygon):
-            return ("poly", [topo.add_ring(r, junctions) for r in geom.rings])
+            return ("poly", [topo.add_ring(next(aug_iter), junctions) for _ in geom.rings])
         if isinstance(geom, g.LineString):
-            return ("line", topo.add_line(geom.coords, junctions))
+            return ("line", topo.add_line(next(aug_iter), junctions))
         if isinstance(geom, g._Multi):
             return ("multi", type(geom), [encode(p) for p in geom.geoms])
         return ("asis", geom)

@@ -430,6 +430,34 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows per user: a >30-minute gap starts a new session.
+
+    Stream-shaped operator (ray_guide pattern): partition by key, sort by ts
+    within the group, sessionize with vectorized gap detection. The oracle is
+    the classic SQL lag/cumsum sessionization.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"])
+        ts = group["ts"].astype("int64")  # microseconds
+        new_session = (ts.diff().fillna(10**15) > 1_800_000_000).astype("int64")
+        group = group.copy()
+        group["session_seq"] = new_session.cumsum()
+        return group[["user_id", "session_seq", "event_id"]]
+
+    sessions = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        sessions.groupby(["user_id", "session_seq"])
+        .aggregate(Count(alias_name="n_events"), Min("event_id", alias_name="first_event"))
+    )
+
+
 def q_top_orders(sf_dir: str):
     """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -458,6 +486,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "top_orders": q_top_orders,
     "simplify_geo": q_simplify_geo,
     "centerline": q_centerline,
@@ -602,6 +631,27 @@ ORACLE_SQL = {
         SELECT o_orderkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                        OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM sessions GROUP BY user_id, session_seq
     """,
     # lang_id / fingerprint / near_dup_pairs / ann_lsh: intentionally no oracle
     # (non-SQL-expressible); driver records rows-only checks.

@@ -240,3 +240,27 @@ def test_multimodal_resize_features(rd):
     vid = tab.set_column(4, "fmt", pa.array(["video/x"] * 50, pa.string()))
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         FrameSampleStage()(vid)
+
+
+def test_distributed_difference(rd):
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.difference import difference_all_tiled
+    from pygeoops_ray.stages.geo_batch import distributed_difference
+
+    big = g.box(0, 0, 100, 100)
+    # force real subdivision: the box has 5 coords, so lower the threshold via
+    # a denser ring
+    import numpy as np
+
+    ring = []
+    for i in range(101):
+        ring.append((i, 0.0))
+    for i in range(101):
+        ring.append((100.0, i))
+    ring += [(0.0, 100.0)]
+    dense = g.Polygon(np.array(ring))
+    subs = [g.box(i, i, i + 8, i + 8) for i in range(0, 90, 10)]
+    local = difference_all_tiled(dense, subs, subdivide_coords=60)
+    dist = distributed_difference(dense, subs, subdivide_coords=60)
+    assert dist.area == pytest.approx(local.area, rel=1e-9)
+    assert dist.area == pytest.approx(dense.area - sum(s.area for s in subs), rel=1e-9)
