@@ -111,3 +111,27 @@ def test_normalize_lines():
     ml = g.MultiLineString([g.LineString([(9, 9), (8, 8)]), g.LineString([(1, 1), (0, 0)])])
     out = normalize_lines(ml)
     assert tuple(out.geoms[0].coords[0][:2]) == (0.0, 0.0)
+
+
+@pytest.mark.parametrize(
+    "poly_wkt",
+    [
+        # ref tests/test_centerline.py:195-225 — real-world polygons that
+        # crashed older reference versions (degenerate near-duplicate hole,
+        # dense sliver boundary)
+        "POLYGON ((139770.26822331376024522 188334.00010800323798321, 139769.5 188338.01162790699163452, 139769.5 188338.3723930635896977, 139769.5 188338.5, 139769.81343283582828008 188338.5, 139770.375 188339.375, 139772.39924806414637715 188340.26989983080420643, 139770.26822331376024522 188334.00010800323798321),(139769.75256541155977175 188338.40516005983226933, 139769.75256541153066792 188338.40516005983226933, 139769.75256541153066792 188338.4051600598031655, 139769.75256541155977175 188338.40516005983226933))",
+        "POLYGON ((178951.875 232219.875, 178937.875 232223.875, 178933.125 232234.125, 178930.125 232238.125, 178916.375 232270.125, 178913.375 232282.625, 178913.375 232286.23988888890016824, 178913.375 232287.625, 178911.375 232290.625, 178911.2054976865183562 232290.82441448644385673, 178907.125 232295.625, 178905.125 232300.125, 178903.125 232303.375, 178912.375 232308.375, 178918.125 232297.375, 178918.85213925343123265 232295.53897338511887938, 178918.85200000001350418 232295.51199999998789281, 178918.85213925343123265 232295.53897338508977555, 178921.44179962016642094 232289.00008095911471173, 178921.84463567720376886 232287.98291991505539045, 178928.125 232272.125, 178929.125 232271.625, 178929.125 232266.625, 178931.375 232262.625, 178933.875 232256.875, 178937.875 232251.125, 178938.375 232248.875, 178939.375 232248.125, 178945.125 232237.625, 178951.875 232219.875))",
+    ],
+)
+def test_centerline_gave_errors(poly_wkt):
+    cl = centerline(wkt.loads(poly_wkt))
+    assert cl is not None
+    assert cl.length > 0
+
+
+@pytest.mark.parametrize("densify_distance", [9, 3.884847166975124])
+def test_centerline_extend_gave_errors(densify_distance):
+    # ref tests/test_centerline.py:211-225
+    poly_wkt = "POLYGON ((201339.625 216496.375, 201330.125 216502.125, 201334.625 216505.625, 201348.125 216514.375, 201339.01432334355195053 216508.46993179674609564, 201339.10899999999674037 216508.48199999998905696, 201340.86999999999534339 216508.17499999998835847, 201342.46199999999953434 216507.36400000000139698, 201343.7440000000060536 216506.1190000000060536, 201344.60300000000279397 216504.55100000000675209, 201344.96299999998882413 216502.79999999998835847, 201344.79000000000814907 216501.02100000000791624, 201344.75351527496241033 216500.93368024443043396, 201339.625 216496.375))"
+    cl = centerline(wkt.loads(poly_wkt), densify_distance=densify_distance, extend=True)
+    assert cl is not None

@@ -264,3 +264,22 @@ def test_distributed_difference(rd):
     dist = distributed_difference(dense, subs, subdivide_coords=60)
     assert dist.area == pytest.approx(local.area, rel=1e-9)
     assert dist.area == pytest.approx(dense.area - sum(s.area for s in subs), rel=1e-9)
+
+
+def test_lang_id_classifier():
+    import pyarrow as pa2
+
+    from pygeoops_ray.stages.text import LangId
+
+    samples = {
+        "en": "the cat and the dog sat in a house for it is warm",
+        "de": "der hund und die katze sind nicht in das haus zu gehen",
+        "fr": "le chien et la maison est dans les champs pour une heure",
+        "es": "el perro y la casa es una cosa para los que quieren",
+        "zh": "这是一个测试 房子 和 猫",
+    }
+    batch = pa2.Table.from_pydict(
+        {"doc_id": list(range(len(samples))), "text": list(samples.values())}
+    )
+    preds = LangId()(batch)["lang_pred"].to_pylist()
+    assert preds == list(samples.keys())
