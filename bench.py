@@ -68,6 +68,9 @@ def run_bench() -> dict:
         "ann_topk",
         "pricing_summary",
         "near_dup_pairs",
+        "simplify_geo",
+        "centerline",
+        "sessionize",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -439,22 +439,40 @@ def q_sessionize(sf_dir: str):
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count, Min
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"])
-        ts = group["ts"].astype("int64")  # microseconds
-        new_session = (ts.diff().fillna(10**15) > 1_800_000_000).astype("int64")
-        group = group.copy()
-        group["session_seq"] = new_session.cumsum()
-        return group[["user_id", "session_seq", "event_id"]]
+    # coarse-bucket the shuffle (one Ray group per 64-user bucket, not per
+    # user): the per-user windowing runs vectorized inside the group
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % 64, pa.int64())
+        )
 
-    sessions = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["user_id", "ts", "event_id"])
+        ts = group["ts"].astype("int64")  # microseconds
+        gap = ts.diff().fillna(10**15)
+        user_change = group["user_id"].ne(group["user_id"].shift())
+        new_session = ((gap > 1_800_000_000) | user_change).astype("int64")
+        # per-user cumulative session counter: global cumsum minus the value
+        # at each user's first row
+        cum = new_session.cumsum()
+        first_of_user = cum.where(user_change).ffill() - 1
+        group = group.copy()
+        group["session_seq"] = (cum - first_of_user).astype("int64")
+        # each user lives wholly in this bucket → the per-session aggregate is
+        # final here; a Ray-level groupby over ~1 group/session would pay
+        # per-group overhead for nothing
+        out = group.groupby(["user_id", "session_seq"], as_index=False).agg(
+            n_events=("event_id", "size"), first_event=("event_id", "min")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
     return (
-        sessions.groupby(["user_id", "session_seq"])
-        .aggregate(Count(alias_name="n_events"), Min("event_id", alias_name="first_event"))
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
     )
 
 
