@@ -190,8 +190,13 @@ def q_centerline(sf_dir: str):
     """Centerline (Voronoi medial axis) of the corpus via an actor pool."""
     from pygeoops_ray.stages import geo_batch as gb
 
+    import ray
+
+    # size the actor pool to the session, always leaving cpus for the read
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    pool = max(2, min(8, ncpu // 3))
     ds = _geom_corpus(sf_dir).map_batches(
-        gb.CenterlineStage, batch_format="pyarrow", concurrency=2, batch_size=16
+        gb.CenterlineStage, batch_format="pyarrow", concurrency=pool, batch_size=16
     )
     import pyarrow.compute as pc
 
