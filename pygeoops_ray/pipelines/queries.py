@@ -155,6 +155,13 @@ def q_ann_topk(sf_dir: str):
     return ann_stages.brute_force_topk(emb, q_ids, qm, k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-style approximate top-10 (rows-only; recall checked in pytest)."""
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.ivf_topk(emb, q_ids, qm, k=10)
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-10 (rows-only; recall checked in pytest)."""
     q_ids, qm = _query_vectors(sf_dir)
@@ -507,6 +514,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "sessionize": q_sessionize,

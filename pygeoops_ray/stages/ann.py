@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "train_ivf_centroids"]
 
 
 def _embedding_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -146,6 +146,99 @@ class _LshPartial(_PartialCosine):
                 "sim": pa.array(np.concatenate(out_s)),
             }
         )
+
+
+def train_ivf_centroids(emb_ds, n_centroids: int = 16, iters: int = 8, sample: int = 4096, seed: int = 5):
+    """Coarse quantizer: numpy k-means (Lloyd) on a driver-side sample.
+
+    At 100 TB the sample is a `random_sample` pushdown; the trained centroids
+    are tiny and broadcast via ray.put.
+    """
+    tab = emb_ds.limit(sample).to_pandas()
+    ids = tab["vec_id"].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(emb_ds, q_ids, q_matrix, k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 5):
+    """IVF-style approximate top-k: score only vectors whose coarse cell is
+    among each query's nprobe nearest centroids (the classic inverted-file
+    scale path; brute force within probed cells)."""
+    import ray
+
+    cent = train_ivf_centroids(emb_ds, n_centroids=n_centroids, seed=seed)
+    qm = np.asarray(q_matrix, np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_sims = qn @ cent.T
+    probe = np.argsort(-q_sims, axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_cells = set(probe.reshape(-1).tolist())
+    ref = ray.put((np.asarray(q_ids, np.int64), qn, cent, probed_cells))
+
+    class _IvfPartial:
+        def __init__(self):
+            self.state = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.state is None:
+                self.state = ray.get(ref)
+            ids_q, qn_, cent_, cells = self.state
+            ids, m = _embedding_matrix(batch)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            mn = m / norms
+            assign = (mn @ cent_.T).argmax(axis=1)
+            mask = np.isin(assign, list(cells))
+            if not mask.any():
+                return pa.Table.from_pydict(
+                    {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            sub = mn[mask]
+            sub_ids = ids[mask]
+            sub_assign = assign[mask]
+            sims = qn_ @ sub.T
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                # only candidates in this query's probed cells
+                cand = np.isin(sub_assign, probe[qi])
+                if not cand.any():
+                    continue
+                srow = sims[qi][cand]
+                cids = sub_ids[cand]
+                kk = min(k, len(srow))
+                idx = np.argpartition(-srow, kk - 1)[:kk] if kk < len(srow) else np.arange(len(srow))
+                out_q.append(np.full(len(idx), ids_q[qi], dtype=np.int64))
+                out_v.append(cids[idx])
+                out_s.append(srow[idx])
+            if not out_q:
+                return pa.Table.from_pydict(
+                    {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            return pa.Table.from_pydict(
+                {
+                    "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    partials = emb_ds.map_batches(_IvfPartial(), batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()
+        group["rnk"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["q_id", "vec_id", "rnk"]]
+
+    return partials.groupby("q_id").map_groups(merge, batch_format="pandas")
 
 
 def lsh_topk(

@@ -283,3 +283,18 @@ def test_lang_id_classifier():
     )
     preds = LangId()(batch)["lang_pred"].to_pylist()
     assert preds == list(samples.keys())
+
+
+def test_ivf_topk_recall(rd):
+    from pygeoops_ray.pipelines.queries import q_ann_topk
+    from pygeoops_ray.pipelines.queries import q_ann_ivf
+
+    exact = q_ann_topk(SF).to_pandas()
+    approx = q_ann_ivf(SF).to_pandas()
+    recall = []
+    for q in exact.q_id.unique():
+        e = set(exact[exact.q_id == q].vec_id)
+        a = set(approx[approx.q_id == q].vec_id)
+        recall.append(len(e & a) / max(len(e), 1))
+    # IVF with nprobe=4/16 centroids should recover most of the exact top-10
+    assert np.mean(recall) > 0.5

@@ -177,3 +177,76 @@ def test_view_angles_reference_matrix(descr, exp_start, exp_end, w):
         [h[:, :2] + np.array([10.0, 20.0]) for h in geom.holes],
     )
     assert view_angles(VP, shifted) == (exp_start, exp_end)
+
+
+# --- segment-extension math matrix (ref tests/test_extend_line.py:236-313) ---
+
+import math
+
+from pygeoops_ray.geo.extend_line import (
+    _extend_segment_by_distance,
+    _extend_segment_by_ratio,
+    _extend_segment_to_bbox,
+)
+
+
+@pytest.mark.parametrize(
+    "p1, p2, distance, exp",
+    [
+        ((0, 0), (1, 1), 0, (1, 1)),
+        ((0, 0), (1, 1), math.sqrt(2), (2, 2)),
+        ((0, 0), (1, 1), 2 * math.sqrt(2), (3, 3)),
+        ((0, 0), (1, 0), 1, (2, 0)),
+        ((0, 0), (0, 1), 1, (0, 2)),
+    ],
+)
+def test_extend_segment_by_distance_matrix(p1, p2, distance, exp):
+    _, ext = _extend_segment_by_distance(p1, p2, distance)
+    assert tuple(np.round(ext, 9)) == exp
+
+
+def test_extend_segment_by_distance_invalid():
+    with pytest.raises(ValueError, match="distance must be >= 0"):
+        _extend_segment_by_distance((0, 0), (1, 1), -1)
+    with pytest.raises(ValueError, match="lenght of input segment cannot be 0"):
+        _extend_segment_by_distance((0, 0), (0, 0), 1)
+
+
+@pytest.mark.parametrize(
+    "p1, p2, ratio, exp",
+    [
+        ((0, 0), (1, 1), 0, (1, 1)),
+        ((0, 0), (1, 1), 1, (2, 2)),
+        ((0, 0), (1, 1), 0.5, (1.5, 1.5)),
+        ((1, 1), (0, 0), 1, (-1, -1)),
+        ((1, 1), (0, 0), 0.5, (-0.5, -0.5)),
+        ((1, 0), (0, 1), 1, (-1, 2)),
+        ((0, 1), (1, 0), 1, (2, -1)),
+        ((0, 0), (1, 0), 0.5, (1.5, 0)),
+        ((0, 0), (0, 1), 0.5, (0, 1.5)),
+    ],
+)
+def test_extend_segment_by_ratio_matrix(p1, p2, ratio, exp):
+    _, ext = _extend_segment_by_ratio(p1, p2, ratio)
+    assert tuple(np.round(ext, 9)) == exp
+    with pytest.raises(ValueError, match="ratio must be >= 0"):
+        _extend_segment_by_ratio((0, 0), (1, 1), -1)
+
+
+@pytest.mark.parametrize(
+    "p1, p2, bbox, exp",
+    [
+        ((1, 1), (2, 2), (0, 0, 4, 4), ((0, 0), (4, 4))),
+        ((2, 2), (4, 4), (0, 0, 4, 4), ((0, 0), (4, 4))),
+        ((2, 2), (1, 1), (0, 0, 4, 4), ((4, 4), (0, 0))),
+        ((4, 4), (2, 2), (0, 0, 4, 4), ((4, 4), (0, 0))),
+        ((5, 5), (2, 2), (0, 0, 4, 4), ((4, 4), (0, 0))),
+        ((1, 1), (2, 1), (0, 0, 4, 4), ((0, 1), (4, 1))),
+        ((2, 1), (1, 1), (0, 0, 4, 4), ((4, 1), (0, 1))),
+        ((1, 1), (1, 2), (0, 0, 4, 4), ((1, 0), (1, 4))),
+        ((1, 2), (1, 1), (0, 0, 4, 4), ((1, 4), (1, 0))),
+    ],
+)
+def test_extend_segment_to_bbox_matrix(p1, p2, bbox, exp):
+    a, b = _extend_segment_to_bbox(p1, p2, bbox)
+    assert (tuple(np.round(a, 9)), tuple(np.round(b, 9))) == exp
