@@ -164,3 +164,29 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
         strategy="broadcast",
     )
     return joined.groupby("image_id").aggregate(Count(alias_name="n_points"))
+
+
+def flagship_write(sf_dir: str, out_dir: str, n_images: int | None = None, n_buckets: int = 16):
+    """Flagship chain with a RESUMABLE partitioned sink.
+
+    The per-image join counts land as one parquet file per image-ordinal
+    bucket with a lineage manifest (state/manifest.py); a rerun after a
+    partial failure recomputes only the missing buckets.
+    """
+    from pygeoops_ray.state.manifest import write_partitioned
+
+    res = flagship(sf_dir, n_images=n_images)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        bucket = pc.multiply(pc.divide(i, pa.scalar(1_000_000 // n_buckets + 1)), 1)
+        return batch.append_column("bucket", pc.cast(bucket, pa.int64()))
+
+    ds = res.map_batches(bucketize, batch_format="pyarrow")
+    report = write_partitioned(
+        ds, out_dir, "bucket", stage="flagship",
+        lineage={"sf_dir": sf_dir, "n_images": n_images},
+    )
+    return report

@@ -298,3 +298,18 @@ def test_ivf_topk_recall(rd):
         recall.append(len(e & a) / max(len(e), 1))
     # IVF with nprobe=4/16 centroids should recover most of the exact top-10
     assert np.mean(recall) > 0.5
+
+
+def test_flagship_write_resumable(rd, tmp_path):
+    from pygeoops_ray.pipelines.flagship import flagship_write
+    from pygeoops_ray.state.manifest import read_output
+
+    out = str(tmp_path / "flagship_out")
+    rep1 = flagship_write(SF, out, n_images=1000, n_buckets=4)
+    assert (~rep1.skipped).sum() >= 1
+    first = read_output(out).to_pandas().sort_values("image_id").reset_index(drop=True)
+    # rerun: everything already in the manifest → all skipped, identical output
+    rep2 = flagship_write(SF, out, n_images=1000, n_buckets=4)
+    assert rep2.skipped.all()
+    again = read_output(out).to_pandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(first, again)
