@@ -15,6 +15,10 @@ list/array of (x, y) with implicit closure. Operations: "intersection",
 from __future__ import annotations
 
 import heapq
+import itertools
+import math
+
+_SEQ = itertools.count()
 
 __all__ = ["boolean_op"]
 
@@ -49,6 +53,7 @@ class SweepEvent:
         "processed",
         "contour_id",
         "output_contour_id",
+        "key",
     )
 
     def __init__(self, p, left, other, is_subject):
@@ -78,8 +83,31 @@ class SweepEvent:
     def is_vertical(self) -> bool:
         return self.p[0] == self.other.p[0]
 
-    def __lt__(self, other) -> bool:  # heapq ordering = compare_events
-        return compare_events(self, other) < 0
+    def set_key(self):
+        """Static heap key equivalent to compare_events' total order:
+        (x, y, rights-first, direction pseudo-angle — ascending for left
+        events / descending for right — subject-first on collinear ties, seq).
+
+        Left events: e1 < e2 at the same point iff e1's direction angle is
+        smaller (the lower segment). Right events: the reverse. Both verified
+        against the comparator's signed-area derivation.
+        """
+        ox, oy = self.other.p
+        if self.left:
+            ang = math.atan2(oy - self.p[1], ox - self.p[0])
+        else:
+            ang = -math.atan2(self.p[1] - oy, self.p[0] - ox)
+        self.key = (
+            self.p[0],
+            self.p[1],
+            1 if self.left else 0,
+            ang,
+            0 if self.is_subject else 1,
+            next(_SEQ),
+        )
+
+    def __lt__(self, other) -> bool:  # heapq ordering (≡ compare_events order)
+        return self.key < other.key
 
 
 def compare_events(e1: SweepEvent, e2: SweepEvent) -> int:
@@ -253,6 +281,10 @@ def _divide_segment(se: SweepEvent, p, queue: list):
         l.left = False
     se.other.other = l
     se.other = r
+    # keys depend on p/left/other: (re)compute for everything touched
+    l.set_key()
+    r.set_key()
+    l.other.set_key()  # the far right event (its left flag may have flipped)
     heapq.heappush(queue, l)
     heapq.heappush(queue, r)
 
@@ -328,10 +360,12 @@ def _fill_queue(subject, clipping):
                     e2 = SweepEvent(p2, False, e1, is_subject)
                     e1.other = e2
                     e1.contour_id = e2.contour_id = contour_id
-                    if compare_events(e1, e2) < 0:
+                    if (p1[0], p1[1]) < (p2[0], p2[1]):
                         e1.left = True
                     else:
                         e2.left = True
+                    e1.set_key()
+                    e2.set_key()
                     heapq.heappush(queue, e1)
                     heapq.heappush(queue, e2)
     return queue
@@ -388,14 +422,9 @@ def _order_events(sorted_events: list[SweepEvent]) -> list[SweepEvent]:
     result_events = [
         e for e in sorted_events if (e.left and e.in_result) or (not e.left and e.other.in_result)
     ]
-    # events may be out of order due to segment division; insertion-sort to fix
-    is_sorted = False
-    while not is_sorted:
-        is_sorted = True
-        for i in range(len(result_events) - 1):
-            if compare_events(result_events[i], result_events[i + 1]) > 0:
-                result_events[i], result_events[i + 1] = result_events[i + 1], result_events[i]
-                is_sorted = False
+    # events may be out of order due to segment division; the static key is a
+    # total order consistent with compare_events
+    result_events.sort(key=lambda e: e.key[:5])
     for i, e in enumerate(result_events):
         e.pos = i
     for i, e in enumerate(result_events):
