@@ -168,8 +168,34 @@ def run_scaling():
     )
 
 
+def append_csv(result: dict, path: str = "bench_results.csv"):
+    """Append rows in the reference harness's RunResult/CSV shape
+    (benchmark/benchmarker.py:25-58,134-141): one row per operation with
+    run datetime, package, operation, secs_taken, run_details."""
+    import csv
+    import datetime
+
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(
+                ["run_datetime", "package", "package_version", "operation", "secs_taken", "run_details"]
+            )
+        now = datetime.datetime.now().isoformat(timespec="seconds")
+        w.writerow(
+            [now, "pygeoops_ray", "0.1.0", "flagship_spatial_join", result["value"],
+             json.dumps({"sf": result["sf"], "num_cpus": result["num_cpus"], "n_images": result["n_images"]})]
+        )
+        for name, sec in result["queries"].items():
+            w.writerow([now, "pygeoops_ray", "0.1.0", name, sec, ""])
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        if "--csv" in sys.argv:
+            append_csv(res)
+        print(json.dumps(res))
