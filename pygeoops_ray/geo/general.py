@@ -307,9 +307,27 @@ def subdivide(geometry: g.Geometry, num_coords_max: int = 1000):
         nb_squarish_tiles=math.ceil(num_coords / num_coords_max),
     )
     input_primitivetype_id = get_primitivetype_id(geometry)
+
+    # polygons with holes go through the exact boolean intersection (a hole
+    # crossing a cell boundary needs real ring surgery); hole-free polygons
+    # and lines take the fast Sutherland-Hodgman / Liang-Barsky clip
+    def has_holes(geom) -> bool:
+        if isinstance(geom, g.Polygon):
+            return bool(geom.holes)
+        if isinstance(geom, g._Multi):
+            return any(has_holes(p) for p in geom.geoms)
+        return False
+
+    use_boolean = input_primitivetype_id == 3 and has_holes(geometry)
+    if use_boolean:
+        from pygeoops_ray.geo import boolean as _boolean
+
     parts = []
     for cell in cells:
-        piece = _clip.rect_clip(geometry, cell.bounds)
+        if use_boolean:
+            piece = _boolean.intersection(geometry, cell)
+        else:
+            piece = _clip.rect_clip(geometry, cell.bounds)
         piece = _collection_extract_one(piece, input_primitivetype_id)
         if piece is not None and not piece.is_empty:
             parts.append(piece)

@@ -98,3 +98,18 @@ def test_subdivide_line():
     total = sum(p.length for p in parts)
     assert total == pytest.approx(line.length, rel=1e-9)
     assert all(isinstance(p, (g.LineString, g.MultiLineString)) for p in parts)
+
+
+def test_subdivide_polygon_with_crossing_hole():
+    # a hole crossing cell boundaries needs exact ring surgery (boolean path)
+    from pygeoops_ray.geo.validity import is_valid
+
+    poly = g.Polygon(
+        [(0, 0), (25, 0), (50, 0), (75, 0), (100, 0), (100, 50), (100, 100),
+         (50, 100), (0, 100), (0, 50), (0, 0)],
+        [[(30, 30), (70, 30), (70, 70), (30, 70), (30, 30)]],
+    )
+    parts = subdivide(poly, num_coords_max=4)
+    assert len(parts) >= 2
+    assert sum(p.area for p in parts) == pytest.approx(poly.area)
+    assert all(is_valid(p) for p in parts)
