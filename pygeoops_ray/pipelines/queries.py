@@ -488,6 +488,57 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    click. Bucketed co-partition on user (users are bucket-local), vectorized
+    searchsorted within the group — the engine's as-of/range-join shape.
+    Oracle: DuckDB's native ASOF JOIN.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % 32, pa.int64())
+        )
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        out_pid, out_cid = [], []
+        for _, u in group.groupby("user_id", sort=False):
+            clicks = u[u.event_type == "click"].sort_values(["ts", "event_id"])
+            purch = u[u.event_type == "purchase"]
+            if len(purch) == 0:
+                continue
+            if len(clicks) == 0:
+                out_pid.extend(purch.event_id.tolist())
+                out_cid.extend([None] * len(purch))
+                continue
+            cts = clicks["ts"].astype("int64").to_numpy()
+            cid = clicks["event_id"].to_numpy()
+            pts = purch["ts"].astype("int64").to_numpy()
+            # strictly prior: rightmost click with ts < purchase ts
+            idx = np.searchsorted(cts, pts, side="left") - 1
+            out_pid.extend(purch.event_id.tolist())
+            out_cid.extend([int(cid[i]) if i >= 0 else None for i in idx])
+        return pd.DataFrame(
+            {
+                "purchase_id": pd.array(out_pid, dtype="int64"),
+                "click_id": pd.array(out_cid, dtype="Int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
 def q_top_orders(sf_dir: str):
     """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -518,6 +569,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "top_orders": q_top_orders,
     "simplify_geo": q_simplify_geo,
     "centerline": q_centerline,
@@ -662,6 +714,12 @@ ORACLE_SQL = {
         SELECT o_orderkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "asof_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
     """,
     "sessionize": """
         WITH marked AS (
