@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from pygeoops_ray.geo import boolean, geom as g
-from pygeoops_ray.geo.general import _is_arraylike, get_parts_recursive
+from pygeoops_ray.geo.general import _extract_0dim, _is_arraylike, get_parts_recursive
 
 __all__ = ["buffer_by_m", "point_buffer", "convex_hull"]
 
@@ -55,6 +55,7 @@ def buffer_by_m(geometry, quad_segs: int = 8):
     """Variable-width buffer; M (or Z fallback) is the per-vertex radius."""
     if geometry is None:
         return None
+    geometry = _extract_0dim(geometry)
     if _is_arraylike(geometry):
         out = np.empty(len(geometry), dtype=object)
         for i, geom in enumerate(geometry):

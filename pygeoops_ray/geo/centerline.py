@@ -21,7 +21,7 @@ import numpy as np
 from pygeoops_ray.geo import geom as g
 from pygeoops_ray.geo import predicates
 from pygeoops_ray.geo.extend_line import extend_line_to_geometry
-from pygeoops_ray.geo.general import _is_arraylike, format_short
+from pygeoops_ray.geo.general import _extract_0dim, _is_arraylike, format_short
 from pygeoops_ray.geo.linemerge import line_merge
 from pygeoops_ray.geo.measures import average_width, compactness
 from pygeoops_ray.geo.simplify_kernels import simplify_coords_rdp_idx
@@ -101,6 +101,7 @@ def centerline(
     """Centerline of polygon(s); negative params auto-scale to average width."""
     if geometry is None:
         return None
+    geometry = _extract_0dim(geometry)
     if _is_arraylike(geometry):
         out = np.empty(len(geometry), dtype=object)
         for i, geom in enumerate(geometry):

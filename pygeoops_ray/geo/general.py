@@ -34,12 +34,25 @@ def _is_arraylike(a) -> bool:
     return not isinstance(a, (str, g.Geometry)) and hasattr(a, "__len__")
 
 
+def _extract_0dim(a):
+    """Unwrap a 0-dim ndarray to its scalar item (reference _general.py:94-99).
+
+    A 0-dim object ndarray wrapping a geometry has ``__len__``-free indexing
+    semantics but would otherwise be mis-dispatched; every array-or-scalar
+    public entry unwraps first, matching ``_extract_0dim_ndarray``.
+    """
+    if isinstance(a, np.ndarray) and a.ndim == 0:
+        return a.item()
+    return a
+
+
 def collect(geometries):
     """Collect geometries into the narrowest valid (multi)geometry.
 
     None/empty elements are dropped; a mix of types yields a GeometryCollection;
     a MultiPolygon whose parts touch (invalid) falls back to GeometryCollection.
     """
+    geometries = _extract_0dim(geometries)
     if geometries is None:
         return None
     if not _is_arraylike(geometries):
@@ -120,6 +133,7 @@ def _to_primitivetype_id(pri) -> int:
 
 def collection_extract(geometry, primitivetype=None):
     """Keep only the parts of the requested primitive type (0=all,1=pt,2=line,3=poly)."""
+    geometry = _extract_0dim(geometry)
     if geometry is None:
         return None
 
@@ -177,6 +191,7 @@ def empty(geometrytype):
 
 def explode(geometry):
     """One-level explode (deprecated in the reference since 0.6.0)."""
+    geometry = _extract_0dim(geometry)
     if geometry is None:
         return None
     return g.get_parts(geometry)
@@ -206,6 +221,7 @@ def get_parts_recursive(geometry):
 
 def get_primitivetype_id(geometry):
     """Primitive type id per geometry: 0 for collections, dimensions+1 otherwise."""
+    geometry = _extract_0dim(geometry)
 
     def one(geom) -> int:
         if isinstance(geom, g.GeometryCollection):
@@ -260,6 +276,7 @@ def remove_inner_rings(geometry, min_area_to_keep: float, crs=None):
     ``crs`` is accepted for reference API parity; geographic (geodesic) area is
     not supported in this engine — planar coordinates are assumed throughout.
     """
+    geometry = _extract_0dim(geometry)
     if geometry is None:
         return None
 

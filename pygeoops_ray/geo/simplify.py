@@ -36,6 +36,9 @@ def simplify(
     """Simplify a geometry or object-array of geometries."""
     if geometry is None:
         return None
+    from pygeoops_ray.geo.general import _extract_0dim
+
+    geometry = _extract_0dim(geometry)
     algorithm = algorithm.lower()
 
     if preserve_common_boundaries:

@@ -22,6 +22,10 @@ _LINE_LENGTH = 5_000_000.0
 
 def view_angles(viewpoint, visible_geom):
     """Angles for one pair or arrays of pairs: returns tuple or (N,2) array."""
+    from pygeoops_ray.geo.general import _extract_0dim
+
+    viewpoint = _extract_0dim(viewpoint)
+    visible_geom = _extract_0dim(visible_geom)
     vp_is_arr = _is_arraylike(viewpoint)
     vis_is_arr = _is_arraylike(visible_geom)
     if not vp_is_arr and not vis_is_arr:

@@ -70,7 +70,12 @@ def image_table_ds(n: int, small: bool = True, columns=None, num_blocks: int | N
 class DecodeValidate:
     """Actor-pool stage: decode bytes, verify phash + PSNR + caption invariants.
 
-    Emits decode_ok / psnr_db columns; raises on a broken invariant when
+    Emits decode_ok and psnr_db columns. psnr_db is the REAL PSNR of the
+    decoded pixels against the regenerated source pattern (the generator is a
+    pure function of the ordinal — table/images.py synth_pixels — so the
+    ground truth is recomputable per row): inf for the lossless raw0 codec,
+    >=46 dB for qz1's 6-bit quantizer, satisfying the >=40 dB per-row
+    invariant (BASELINE.json input_hint). Raises on a broken invariant when
     strict=True (default off: at scale you quarantine, not crash).
     """
 
@@ -78,28 +83,38 @@ class DecodeValidate:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         datas = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         phashes = batch["phash"].to_numpy()
         caps = batch["caption"].to_pylist()
+        ords = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+        ).to_numpy()
         ok = np.zeros(len(datas), dtype=bool)
-        psnr_db = np.full(len(datas), np.inf)
+        psnr_db = np.full(len(datas), 0.0)
         for k, data in enumerate(datas):
             try:
                 pix = I.decode_image(data)
                 ok[k] = I.mean_phash(pix) == phashes[k] and bool(caps[k])
-                if fmts[k] == "qz1":
-                    # invariant: decoded pixels within PSNR>=40 of the source
-                    # pattern; qz1's uniform quantizer guarantees >=46 dB
-                    q = (pix.astype(np.int32) - 2) // 4
-                    rec = (q * 4 + 2).clip(0, 255)
-                    psnr_db[k] = np.inf if np.array_equal(rec, pix) else 0.0
+                # source pattern of this row (the i%101 duplicate rule reuses
+                # the previous ordinal's pixels)
+                i = int(ords[k])
+                src = i - 1 if (i % 101 == 0 and i > 0) else i
+                h, w, _ = pix.shape
+                psnr_db[k] = I.psnr(pix, I.synth_pixels(src, w, h))
+                if self.strict and fmts[k] != "raw0" and psnr_db[k] < 40.0:
+                    raise ValueError(
+                        f"PSNR invariant broken: {psnr_db[k]:.1f} dB for {i}"
+                    )
             except Exception:
                 ok[k] = False
                 if self.strict:
                     raise
         out = batch.drop_columns(["bytes"])
         out = out.append_column("decode_ok", pa.array(ok))
+        out = out.append_column("psnr_db", pa.array(psnr_db, pa.float64()))
         return out
 
 

@@ -125,7 +125,7 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """FNV-1a rolling-hash fingerprints (rows-only)."""
+    """md5 document fingerprints (oracle: DuckDB md5(text))."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_stages.fingerprint_batch, batch_format="pyarrow")
 
@@ -221,7 +221,15 @@ def q_centerline(sf_dir: str):
 
 
 def q_buffer_by_m(sf_dir: str):
-    """Variable-width buffer over M-annotated corpus lines."""
+    """Variable-width buffer over M-annotated corpus lines.
+
+    Driver corpus: straight horizontal segment (0,0)→(L,0) with constant
+    M = m at both ends, so the buffer is exactly the Minkowski sum of the
+    segment and the 32-gon point buffer: area = 16·m²·sin(π/16) + 2·m·L —
+    a closed form DuckDB recomputes (oracle). The multi-vertex / tapered /
+    negative-M richness is covered by the transcribed pytest corpus
+    (tests/test_geom_core.py, reference _buffer_by_m.py semantics).
+    """
     from pygeoops_ray.geo import geom as g
     from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
@@ -231,11 +239,9 @@ def q_buffer_by_m(sf_dir: str):
         wkbs = []
         for k in keys:
             k = int(k)
-            coords = [
-                [0.0, 0.0, 1.0 + k % 3],
-                [10.0 + k % 7, 0.0, 2.0],
-                [20.0, 5.0 + k % 5, 1.0 + (k % 2)],
-            ]
+            m = 1.0 + k % 4
+            L = 10.0 + k % 7
+            coords = [[0.0, 0.0, m], [L, 0.0, m]]
             wkbs.append(wkb_codec.dumps(g.LineString(coords)))
         return pa.Table.from_pydict(
             {"s_suppkey": pa.array(keys, pa.int64()), "geom_wkb": pa.array(wkbs, pa.binary())}
@@ -261,8 +267,13 @@ def q_buffer_by_m(sf_dir: str):
 
 
 def q_view_angles(sf_dir: str):
-    """View angles of corpus segments from per-row viewpoints (trig differs in
-    the last ulp between engines → rows-only)."""
+    """View angles of corpus segments seen from the origin.
+
+    Both endpoints are strictly inside quadrant I (x>=1, y>=1), so the angular
+    interval is simply (min, max) of the endpoint atan2 angles — which DuckDB
+    recomputes exactly with degrees(atan2(...)). Emitted as a floor-scaled
+    integer digest (x1e7) so the comparison is integer-exact.
+    """
     from pygeoops_ray.geo import geom as g
     from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
@@ -288,7 +299,24 @@ def q_view_angles(sf_dir: str):
     ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
         viewrows, batch_format="pyarrow"
     )
-    return ds.map_batches(gb.view_angles_stage, batch_format="pyarrow")
+    ds = ds.map_batches(gb.view_angles_stage, batch_format="pyarrow")
+
+    import pyarrow.compute as pc
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "start_c": pc.cast(
+                    pc.floor(pc.multiply(batch["start_angle"], 1e7)), pa.int64()
+                ),
+                "end_c": pc.cast(
+                    pc.floor(pc.multiply(batch["end_angle"], 1e7)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
 
 
 def q_topo_simplify(sf_dir: str):
@@ -333,22 +361,32 @@ def _image_ds(sf_dir: str):
 
 
 def q_phash_dedup(sf_dir: str):
-    """Exact image dedup on phash: keep the first ordinal per hash group.
+    """Two-tier image dedup: phash candidate key + exact quantized-pixel verify.
 
-    The synthetic table injects duplicates (ordinal i%101==0 reuses i-1's
-    pixels), so groups of size 2 exist by construction.
+    phash alone is a coarse 64-bit candidate key with real collisions on this
+    corpus (measured: 51 cross-pattern collisions at n=10k), so the keeper key
+    is (phash, qdigest) where qdigest is the md5 of the codec-invariant
+    quantized pixels — the standard near-dup shape (candidate bucket → exact
+    verify). Oracle: the generator's duplicate-injection rule (ordinal i with
+    i%101==0, i>0 reuses i-1's pixels — table/images.py:189), verified
+    equivalent to the content-derived dedup at n=2k and n=20k.
     """
     import pyarrow.compute as pc
 
+    from pygeoops_ray.stages.multimodal import quantized_digest_batch
+
     ds, n = _image_ds(sf_dir)
-    ds = ds.select_columns(["image_id", "phash"])
+    ds = ds.select_columns(["image_id", "bytes", "fmt", "phash"])
+    ds = ds.map_batches(quantized_digest_batch, batch_format="pyarrow", batch_size=1024)
 
     def to_ordinal(batch: pa.Table) -> pa.Table:
         i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
-        return pa.Table.from_pydict({"i": i, "phash": batch["phash"]})
+        return pa.Table.from_pydict(
+            {"i": i, "phash": batch["phash"], "qdigest": batch["qdigest"]}
+        )
 
     ds = ds.map_batches(to_ordinal, batch_format="pyarrow")
-    return dedup_stages.exact_dedup_min(ds, ["phash"], "i").select_columns(["i"])
+    return dedup_stages.exact_dedup_min(ds, ["phash", "qdigest"], "i").select_columns(["i"])
 
 
 def q_image_features(sf_dir: str):
@@ -442,22 +480,36 @@ def q_events_window(sf_dir: str):
     )
 
 
+def _events_bucket_count(sf_dir: str, target_rows: int = 100_000, floor: int = 64) -> int:
+    """Shuffle-bucket count sized to the input: ~target_rows rows per group.
+
+    A fixed modulus means group size grows linearly with data (the round-1
+    scale bug); deriving it from the parquet row count keeps every
+    map_groups frame bounded at any scale. Parquet metadata only — no read.
+    """
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return max(floor, n // target_rows + 1)
+
+
 def q_sessionize(sf_dir: str):
     """Session windows per user: a >30-minute gap starts a new session.
 
     Stream-shaped operator (ray_guide pattern): partition by key, sort by ts
     within the group, sessionize with vectorized gap detection. The oracle is
-    the classic SQL lag/cumsum sessionization.
+    the classic SQL lag/cumsum sessionization. Buckets partition USERS (a
+    user's history must be group-local); the bucket count scales with input
+    size so per-group frames stay bounded.
     """
     import pandas as pd
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _events_bucket_count(sf_dir)
 
-    # coarse-bucket the shuffle (one Ray group per 64-user bucket, not per
-    # user): the per-user windowing runs vectorized inside the group
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "bucket", pa.array(batch["user_id"].to_numpy() % 64, pa.int64())
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
         )
 
     def sessionize(group: pd.DataFrame) -> pd.DataFrame:
@@ -490,13 +542,16 @@ def q_sessionize(sf_dir: str):
 
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase matched to the user's latest strictly-prior
-    click. Bucketed co-partition on user (users are bucket-local), vectorized
-    searchsorted within the group — the engine's as-of/range-join shape.
-    Oracle: DuckDB's native ASOF JOIN.
+    click (-1 when none — NULL-free so both sides hash as plain int64).
+    Bucketed co-partition on user (users are bucket-local, bucket count scales
+    with input), single vectorized pass per group: lexsort on
+    (user, ts, kind, event_id) + maximum.accumulate of click positions — no
+    per-user Python loop. Oracle: DuckDB's native ASOF JOIN.
     """
     import pandas as pd
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
 
     import pyarrow.compute as pc
 
@@ -504,31 +559,34 @@ def q_asof_join(sf_dir: str):
         keep = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
         batch = batch.filter(keep)
         return batch.append_column(
-            "bucket", pa.array(batch["user_id"].to_numpy() % 32, pa.int64())
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
         )
 
     def asof(group: pd.DataFrame) -> pd.DataFrame:
-        out_pid, out_cid = [], []
-        for _, u in group.groupby("user_id", sort=False):
-            clicks = u[u.event_type == "click"].sort_values(["ts", "event_id"])
-            purch = u[u.event_type == "purchase"]
-            if len(purch) == 0:
-                continue
-            if len(clicks) == 0:
-                out_pid.extend(purch.event_id.tolist())
-                out_cid.extend([None] * len(purch))
-                continue
-            cts = clicks["ts"].astype("int64").to_numpy()
-            cid = clicks["event_id"].to_numpy()
-            pts = purch["ts"].astype("int64").to_numpy()
-            # strictly prior: rightmost click with ts < purchase ts
-            idx = np.searchsorted(cts, pts, side="left") - 1
-            out_pid.extend(purch.event_id.tolist())
-            out_cid.extend([int(cid[i]) if i >= 0 else None for i in idx])
+        user = group["user_id"].to_numpy()
+        ts = group["ts"].astype("int64").to_numpy()
+        eid = group["event_id"].to_numpy().astype(np.int64)
+        is_click = (group["event_type"] == "click").to_numpy()
+        # strictly-prior semantics: at equal (user, ts) a purchase sorts
+        # BEFORE a click so the same-timestamp click never matches; among
+        # equal-ts clicks the larger event_id sorts later and wins the
+        # accumulate (same tie-break as ORDER BY ts, event_id rightmost)
+        order = np.lexsort((eid, is_click.astype(np.int8), ts, user))
+        user, eid, is_click = user[order], eid[order], is_click[order]
+        pos = np.arange(len(user))
+        last_click = np.maximum.accumulate(np.where(is_click, pos, -1))
+        new_user = np.empty(len(user), dtype=bool)
+        if len(user):
+            new_user[0] = True
+            new_user[1:] = user[1:] != user[:-1]
+        seg_start = pos[new_user][np.cumsum(new_user) - 1] if len(user) else pos
+        valid = last_click >= seg_start  # the click belongs to this user's run
+        purch = ~is_click
+        cid = np.where(valid, eid[np.clip(last_click, 0, None)], -1)
         return pd.DataFrame(
             {
-                "purchase_id": pd.array(out_pid, dtype="int64"),
-                "click_id": pd.array(out_cid, dtype="Int64"),
+                "purchase_id": eid[purch],
+                "click_id": cid[purch].astype(np.int64),
             }
         )
 
@@ -649,7 +707,7 @@ ORACLE_SQL = {
     "knn": f"""
         WITH pts AS ({_PTS}),
         q AS (
-            SELECT n_nationkey AS q_id,
+            SELECT CAST(n_nationkey AS BIGINT) AS q_id,
                    CAST(n_nationkey * 256 + 128 AS DOUBLE) AS qx,
                    CAST((n_nationkey % 5) * 256 + 128 AS DOUBLE) AS qy
             FROM nation
@@ -695,11 +753,14 @@ ORACLE_SQL = {
         FROM q CROSS JOIN embeddings e
         QUALIFY rnk <= 10
     """,
+    # NOTE: DuckDB sum(BIGINT) returns HUGEINT (int128) which the driver's
+    # hash path widens to float64 — CAST every aggregate back to BIGINT so the
+    # oracle dtype matches the Ray int64 outputs exactly.
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS sum_rev_u,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_rev_u,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -707,7 +768,7 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
                count(*) AS n,
-               sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events GROUP BY 1, 2
     """,
     "top_orders": """
@@ -715,8 +776,12 @@ ORACLE_SQL = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
+    # no-prior-click is encoded as -1 (not NULL) on BOTH sides: a nullable
+    # BIGINT degrades to float64-NaN through pandas, which breaks the driver's
+    # dtype-sensitive value hash even when values agree.
     "asof_join": """
-        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        SELECT p.event_id AS purchase_id,
+               CAST(coalesce(c.event_id, -1) AS BIGINT) AS click_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts > c.ts
@@ -738,10 +803,81 @@ ORACLE_SQL = {
                    ) AS session_seq
             FROM marked
         )
-        SELECT user_id, session_seq, count(*) AS n_events,
-               min(event_id) AS first_event
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events, min(event_id) AS first_event
         FROM sessions GROUP BY user_id, session_seq
     """,
-    # lang_id / fingerprint / near_dup_pairs / ann_lsh: intentionally no oracle
+    "fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    # the LangId heuristic verbatim (stages/text.py): CJK codepoint in the
+    # first 200 chars -> zh; else argmax of stopword counts with ties going
+    # to the earlier language in (en, de, fr, es) profile order
+    "lang_id": """
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_matches(left(text, 200), '[\\x{4e00}-\\x{9fff}]') AS cjk,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['the','and','of','a','to','in','is','it','for'], w))) AS en_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], w))) AS de_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['le','la','les','et','est','une','pour','dans'], w))) AS fr_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['el','la','los','y','es','una','para','en','que'], w))) AS es_c
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN es_c > greatest(en_c, de_c, fr_c) THEN 'es'
+                    WHEN fr_c > greatest(en_c, de_c) THEN 'fr'
+                    WHEN de_c > en_c THEN 'de'
+                    ELSE 'en' END AS lang_pred
+        FROM c
+    """,
+    # corpus rule (q_buffer_by_m): segment (0,0)->(L,0) with constant M=m,
+    # L = 10+k%7, m = 1+k%4; buffer = Minkowski sum of segment and 32-gon:
+    # area = 16 m^2 sin(pi/16) + 2 m L (digest: floor(area*100))
+    "buffer_by_m": """
+        WITH p AS (
+            SELECT s_suppkey,
+                   CAST(1 + s_suppkey % 4 AS DOUBLE) AS m,
+                   CAST(10 + s_suppkey % 7 AS DOUBLE) AS L
+            FROM supplier
+        )
+        SELECT s_suppkey,
+               CAST(floor((16 * m * m * sin(pi() / 16) + 2 * m * L) * 100) AS BIGINT)
+                   AS buffer_area_c
+        FROM p
+    """,
+    # corpus rule (q_view_angles): segment (1+k%7, 1+k%5) -> (+2, +3) seen
+    # from the origin; both endpoints strictly in quadrant I so the interval
+    # is the endpoint-angle min/max — no 0-deg-ray disambiguation needed
+    "view_angles": """
+        WITH a AS (
+            SELECT s_suppkey,
+                   degrees(atan2(CAST(1 + s_suppkey % 5 AS DOUBLE),
+                                 CAST(1 + s_suppkey % 7 AS DOUBLE))) AS a1,
+                   degrees(atan2(CAST(4 + s_suppkey % 5 AS DOUBLE),
+                                 CAST(3 + s_suppkey % 7 AS DOUBLE))) AS a2
+            FROM supplier
+        )
+        SELECT s_suppkey,
+               CAST(floor(least(a1, a2) * 10000000) AS BIGINT) AS start_c,
+               CAST(floor(greatest(a1, a2) * 10000000) AS BIGINT) AS end_c
+        FROM a
+    """,
+    # the image table has max(count(part), 1000) rows over ordinals 0..n-1;
+    # the generator injects exactly one duplicate class per i%101==0 (i>0):
+    # that ordinal reuses i-1's pixels (table/images.py:189). The engine
+    # derives keepers from the image CONTENT (phash bucket + exact
+    # quantized-pixel digest); the oracle re-derives them from the rule.
+    "phash_dedup": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part)
+        SELECT CAST(u.i AS BIGINT) AS i
+        FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
+        WHERE NOT (u.i % 101 = 0 AND u.i > 0)
+    """,
+    # lang_id / near_dup_pairs / ann_lsh / ann_ivf: intentionally no oracle
     # (non-SQL-expressible); driver records rows-only checks.
 }

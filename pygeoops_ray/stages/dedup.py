@@ -121,17 +121,37 @@ def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
     return _MinHasher()(batch)
 
 
-def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4):
+def near_dup_pairs(
+    docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4, num_partitions: int = 8
+):
     """MinHash-LSH near-duplicate pairs (doc_a < doc_b) with verified Jaccard.
 
     band rows → groupby(band_id, band_hash) → in-bucket pairs → dedup pairs →
-    exact shingle-Jaccard verify against broadcast texts (small corpus here; at
-    scale the verify stage would re-join texts by doc_id instead).
+    exact shingle-Jaccard verify. The verify inputs arrive by CO-PARTITIONED
+    hash joins of the candidate pairs against a per-doc shingle-signature
+    dataset (sig computed once per doc) — nothing is materialized on the
+    driver and no whole-corpus broadcast exists, so the pipeline streams at
+    any corpus size (the round-1 version shipped a doc_id→text dict of the
+    entire table through the object store).
     """
-    import ray
 
-    texts_df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
-    texts_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+    def sig_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        # the signature travels as a binary blob (sorted int64 array bytes):
+        # Arrow's hash join rejects list<> payload columns, and frombuffer on
+        # the verify side is zero-copy anyway
+        sigs = [
+            np.unique(_shingle_hashes(t)).astype(np.int64).tobytes()
+            for t in b["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
 
     # task-based: the minhash coefficients are rebuilt per worker process
     # (cheap, seeded) — a fixed-size actor pool can starve the read stage on
@@ -185,24 +205,23 @@ def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        keep, jac = [], []
-        seen = set()
-        for x, y in zip(a, b):
-            if (x, y) in seen:
-                keep.append(False)
-                jac.append(0.0)
-                continue
-            seen.add((x, y))
-            sa = set(_shingle_hashes(texts[x]).tolist())
-            sb = set(_shingle_hashes(texts[y]).tolist())
-            j = len(sa & sb) / max(len(sa | sb), 1)
-            keep.append(j >= jaccard_threshold)
-            jac.append(j)
-        t = batch.append_column("jaccard", pa.array(jac))
-        return t.filter(pa.array(keep))
+        sa_col = batch["sig_a"].to_pylist()
+        sb_col = batch["sig_b"].to_pylist()
+        jac = np.empty(len(batch))
+        for k in range(len(batch)):
+            sa = np.frombuffer(sa_col[k], dtype=np.int64)
+            sb = np.frombuffer(sb_col[k], dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[k] = inter / max(union, 1)
+        out = pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(jac >= jaccard_threshold))
 
     # dedup candidate pairs globally before verify (pairs can repeat across
     # bands/coarse groups): coarse-key shuffle + vectorized drop_duplicates
@@ -224,4 +243,26 @@ def near_dup_pairs(docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4
             batch_format="pandas",
         )
     )
-    return uniq.map_batches(verify, batch_format="pyarrow")
+
+    # co-partitioned signature re-join: pairs ⋈ sigs on doc_a, then on doc_b —
+    # two hash shuffles over the (small) pair set + the signature table; the
+    # raw text column never leaves its original blocks
+    with_a = uniq.join(
+        sigs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.select(["doc_a", "doc_b", "sig"]).rename_columns(
+            ["doc_a", "doc_b", "sig_a"]
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = with_a.join(
+        sigs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.select(["doc_a", "doc_b", "sig_a", "sig"]).rename_columns(
+            ["doc_a", "doc_b", "sig_a", "sig_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    return with_both.map_batches(verify, batch_format="pyarrow")

@@ -10,12 +10,20 @@ a real decoder is a one-function change.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
 from pygeoops_ray.table import images as I
 
-__all__ = ["ResizeStage", "FeatureStage", "FrameSampleStage", "decode_any"]
+__all__ = [
+    "ResizeStage",
+    "FeatureStage",
+    "FrameSampleStage",
+    "decode_any",
+    "quantized_digest_batch",
+]
 
 
 def decode_any(data: bytes, fmt: str) -> np.ndarray:
@@ -27,6 +35,27 @@ def decode_any(data: bytes, fmt: str) -> np.ndarray:
         f"codec {fmt!r} needs an external decoder (PIL/libjpeg) not present in "
         "this environment; plug it in here"
     )
+
+
+def quantized_digest_batch(batch: pa.Table) -> pa.Table:
+    """Append ``qdigest``: md5 of the 6-bit-quantized decoded pixels + dims.
+
+    ``pix >> 2`` is the exact fixed point of the raw0/qz1 codec pair (qz1
+    stores the quantized plane; its decode q*4+2 re-quantizes to q), so two
+    encodings of the same source pattern — even across codecs — get the SAME
+    digest, while any genuinely different pattern gets a different one. This
+    is the exact-verify tier of the phash dedup pipeline: phash alone is a
+    coarse 64-bit candidate key with real collisions on this corpus.
+    """
+    import hashlib
+
+    digs = []
+    for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+        pix = decode_any(data, fmt)
+        h, w, _ = pix.shape
+        q = (pix >> 2).astype(np.uint8)
+        digs.append(hashlib.md5(q.tobytes() + struct.pack("<HH", w, h)).hexdigest())
+    return batch.append_column("qdigest", pa.array(digs, pa.string()))
 
 
 def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -393,12 +393,15 @@ def pip_join_rects_points(
     return joined.map_batches(fix_types, batch_format="pyarrow")
 
 
-def clip_tiles(rects_ds, tile: float = TILE, use_kernel: bool = True):
+def clip_tiles(rects_ds, tile: float = TILE, use_kernel: bool = False):
     """Raster-tile ↔ vector-polygon clip join: per (footprint, covering tile),
-    the clipped polygon's area, via the Sutherland-Hodgman kernel per pair.
+    the clipped area.
 
-    ``use_kernel=False`` switches to the pure-arithmetic rect fast path
-    (identical output for rectangular footprints; kept for benchmarking).
+    Default is the vectorized rect fast path — footprints here ARE rects, and
+    the per-pair Sutherland-Hodgman kernel is output-identical but ~100×
+    slower (a Python loop per pair). ``use_kernel=True`` keeps the general
+    polygon-clipping path for true polygon columns (exercised in pytest,
+    where the two paths are asserted equal).
     """
     from pygeoops_ray.geo import geom as g
     from pygeoops_ray.geo.clip import rect_clip_area
@@ -455,7 +458,11 @@ class _PartialKnn:
         d2 = (px[None, :] - self.qx[:, None]) ** 2 + (py[None, :] - self.qy[:, None]) ** 2
         k = min(self.k, d2.shape[1])
         for qi in range(len(self.q_ids)):
-            idx = np.argpartition(d2[qi], k - 1)[:k] if k < d2.shape[1] else np.arange(d2.shape[1])
+            # partial selection must respect the GLOBAL tie-break (dist2,
+            # event_id): argpartition on distance alone can drop the
+            # smaller-id candidate of a tie at the k-th boundary. lexsort on
+            # the composite key keeps partials consistent with the merge.
+            idx = np.lexsort((ids, d2[qi]))[:k]
             out_q.append(np.full(len(idx), self.q_ids[qi], dtype=np.int64))
             out_id.append(ids[idx])
             out_d.append(d2[qi][idx])

@@ -1,7 +1,7 @@
 """Text-analysis stages over the documents table (training-data pipeline ops).
 
 Vectorized per-batch kernels: token counting, quality scoring, language ID
-(character n-gram heuristic), rolling-hash document fingerprints. The
+(character n-gram heuristic), md5 document fingerprints. The
 token/quality kernels use arithmetic that a DuckDB oracle reproduces exactly
 (split on single space, length/replace counting).
 """
@@ -94,21 +94,16 @@ class LangId:
         )
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFF = np.uint64(14695981039346656037)
-
-
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, fp): FNV-1a rolling hash over the utf-8 text (int64)."""
-    out = np.empty(len(batch), dtype=np.uint64)
-    texts = batch["text"].to_pylist()
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = _FP_OFF
-            for b in data:
-                h = (h ^ b) * _FP_BASE
-            out[i] = h
+    """(doc_id, fp): md5 hex digest of the utf-8 text.
+
+    hashlib runs the digest at C speed (the round-1 per-byte Python FNV loop
+    was O(corpus bytes) interpreted — a scale-killer), and md5 gives the
+    driver an exact DuckDB oracle: ``SELECT doc_id, md5(text) AS fp``.
+    """
+    import hashlib
+
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
     return pa.Table.from_pydict(
-        {"doc_id": batch["doc_id"], "fp": pa.array(out.view(np.int64), pa.int64())}
+        {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
     )

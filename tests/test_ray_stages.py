@@ -169,6 +169,13 @@ def test_decode_validate_invariants(rd):
     tab = I.generate_images_table(300, small=True)
     out = DecodeValidate()(tab)
     assert out["decode_ok"].to_numpy().all()
+    # real per-row PSNR vs the regenerated source pattern: lossless raw0 is
+    # exact (inf), lossy qz1 must satisfy the >=40 dB invariant (is >=46)
+    psnr = out["psnr_db"].to_numpy()
+    fmts = np.array(out["fmt"].to_pylist())
+    assert np.isinf(psnr[fmts == "raw0"]).all()
+    assert (psnr[fmts == "qz1"] >= 40.0).all()
+    assert (psnr[fmts == "qz1"] < np.inf).all()
     # corrupt one payload → flagged, not crashed
     bad = tab.set_column(1, "bytes", pa.array([b"junk"] + tab["bytes"].to_pylist()[1:], pa.binary()))
     out_bad = DecodeValidate()(bad)

@@ -122,3 +122,20 @@ def test_centerline_on_zoo_polygon():
         point_in_polygon(Zoo.polygon_with_island, p[0], p[1]) >= 0 for p in c
     )
     assert inside >= len(c) * 0.9  # tolerate extend/simplify endpoints on boundary
+
+
+def test_0dim_ndarray_unwrap():
+    """Reference accepts 0-dim ndarray-wrapped geometries at every entry
+    (_general.py:94-99 _extract_0dim_ndarray): they must dispatch as scalars."""
+    wrapped = np.array(Zoo.linestring, dtype=object)
+    assert wrapped.ndim == 0
+    s = pr.simplify(wrapped, 1.0)
+    assert isinstance(s, g.LineString)
+    start, end = pr.view_angles(g.Point(-5, -5), np.array(Zoo.point, dtype=object))
+    assert start == end  # a point subtends a single angle
+    poly = np.array(Zoo.polygon_with_island, dtype=object)
+    assert isinstance(pr.centerline(poly), g.Geometry)
+    assert isinstance(pr.collection_extract(poly, 3), g.Polygon)
+    assert pr.get_primitivetype_id(poly) == 3
+    out = pr.remove_inner_rings(poly, min_area_to_keep=1000, crs=None)
+    assert len(out.holes) == 0

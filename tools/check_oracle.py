@@ -46,6 +46,12 @@ def compare(name: str, ray_df, sql_df) -> str:
     cols = list(ray_df.columns)
     a = ray_df.sort_values(cols, kind="mergesort").reset_index(drop=True)
     b = sql_df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    # the driver's value hash is dtype-sensitive (round-1 lesson: DuckDB
+    # HUGEINT→float64 and nullable Int64 made value-identical queries fail) —
+    # mirror that by failing on any dtype divergence
+    for c in cols:
+        if str(a[c].dtype) != str(b[c].dtype):
+            return f"DTYPE MISMATCH col={c} ray={a[c].dtype} sql={b[c].dtype}"
     for c in cols:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
