@@ -6,10 +6,13 @@ dual) → keep edges inside the polygon → line_merge → prune short branches
 (STRtree endpoint adjacency, _centerline.py:285-387) → simplify (RDP, auto
 tolerance) → optional extend to the boundary → normalize.
 
-Deviation from GEOS noted for the judge: vertex placement of Voronoi edges
-matches exact arithmetic of circumcenters, not GEOS's snapped precision model,
-so outputs agree structurally (same topology, vertices within densify
-resolution) rather than bit-for-bit with the reference's golden WKTs.
+Golden parity (tests/test_centerline.py): every reference golden WKT —
+rectangle, ellipse (all 3 parameterizations), fancy-L (all 3), L-shape,
+narrow survey sliver, degenerate collection — matches equals_exact(1e-6)
+INCLUDING multiline part order (GEOS-normalize parity, see normalize_lines).
+Remaining deviation: the square's 4-way-tied branch pruning picks a symmetric
+variant (GEOS's overlay-internal part order decides which tied branches go;
+documented in test_centerline_square).
 """
 
 from __future__ import annotations
@@ -65,17 +68,25 @@ def _dedup_coords(coords: np.ndarray, tol: float = 1e-8) -> np.ndarray:
 
 
 def normalize_lines(geometry: g.Geometry | None) -> g.Geometry | None:
-    """Canonical form: each line starts at its lexicographically larger end
-    reversed to smaller-first; multi parts sorted (GEOS-normalize-like)."""
+    """GEOS-normalize parity (verified against the reference's golden WKTs,
+    tests/test_centerline.py:93-131): each line is oriented so the first
+    differing endpoint pair (compared from both ends inward) starts smaller;
+    multi parts are sorted DESCENDING by their reversed coordinate sequence —
+    the empirical ordering of ``shapely.normalize`` on every multi-part
+    centerline golden."""
     if geometry is None:
         return None
 
     def norm_line(ln: g.LineString) -> g.LineString:
         c = ln.coords[:, :2]
-        a = tuple(c[0])
-        b = tuple(c[-1])
-        if b < a:
-            c = c[::-1]
+        n = len(c)
+        for i in range(n // 2):
+            a = tuple(c[i])
+            b = tuple(c[n - 1 - i])
+            if a != b:
+                if a > b:
+                    c = c[::-1]
+                break
         return g.LineString(c)
 
     if isinstance(geometry, g.LineString):
@@ -83,7 +94,8 @@ def normalize_lines(geometry: g.Geometry | None) -> g.Geometry | None:
     if isinstance(geometry, g.MultiLineString):
         parts = sorted(
             (norm_line(p) for p in geometry.geoms),
-            key=lambda ln: tuple(ln.coords[0, :2]) + tuple(ln.coords[-1, :2]),
+            key=lambda ln: tuple(map(tuple, ln.coords[::-1, :2])),
+            reverse=True,
         )
         if len(parts) == 1:
             return parts[0]
@@ -112,6 +124,19 @@ def centerline(
     return _centerline(geometry, densify_distance, min_branch_length, simplifytolerance, extend)
 
 
+def _translate(geom: g.Geometry, dx: float, dy: float) -> g.Geometry:
+    off = np.array([dx, dy])
+    if isinstance(geom, g.Point):
+        return g.Point(geom.coords[0, 0] + dx, geom.coords[0, 1] + dy)
+    if isinstance(geom, g.LineString):
+        return g.LineString(geom.coords[:, :2] + off)
+    if isinstance(geom, g.Polygon):
+        return g.Polygon(geom.shell[:, :2] + off, [h[:, :2] + off for h in geom.holes])
+    if isinstance(geom, g._Multi):
+        return type(geom)([_translate(p, dx, dy) for p in geom.geoms])
+    return geom
+
+
 def _centerline(
     geom: g.Geometry | None,
     densify_distance: float = -1,
@@ -121,6 +146,29 @@ def _centerline(
 ) -> g.Geometry | None:
     if geom is None or geom.is_empty:
         return None
+    # survey-scale conditioning: predicates and circumcenters on coordinates
+    # like (64438.00000007, 218000.0000000003) cancel catastrophically; the
+    # centerline is translation-invariant, so shift large inputs to a local
+    # integer origin and shift the result back. Small inputs stay untouched
+    # (bit-exact goldens).
+    c0 = g.get_coordinates(geom)
+    shift = (0.0, 0.0)
+    if np.abs(c0[:, :2]).max() > 1e4:
+        shift = tuple(np.floor(c0[:, :2].mean(axis=0)))
+        geom = _translate(geom, -shift[0], -shift[1])
+    res = _centerline_local(geom, densify_distance, min_branch_length, simplifytolerance, extend)
+    if res is not None and shift != (0.0, 0.0):
+        res = _translate(res, shift[0], shift[1])
+    return res
+
+
+def _centerline_local(
+    geom: g.Geometry,
+    densify_distance: float,
+    min_branch_length: float,
+    simplifytolerance: float,
+    extend: bool,
+) -> g.Geometry | None:
     try:
         average_width_val = None
         geom_for_voronoi = geom
@@ -145,7 +193,14 @@ def _centerline(
                     if max_area > 0 and (max_area - min_area) / max_area <= 0.1:
                         geom_for_voronoi = densified
 
-        boundary_pts = _dedup_coords(g.get_coordinates(geom_for_voronoi))
+        # drop only (near-)exact consecutive duplicates: the tolerance scales
+        # with the geometry so micro-scale features (the reference's "very
+        # narrow polygon" golden spans 3e-10 in y) survive — GEOS's
+        # remove_repeated_points empirically keeps them too, and the exact
+        # circumcenter fallback in voronoi.py handles the conditioning
+        bc = g.get_coordinates(geom_for_voronoi)
+        extent = float(np.ptp(bc[:, :2], axis=0).max()) if len(bc) else 0.0
+        boundary_pts = _dedup_coords(bc, tol=1e-12 * (1.0 + extent))
         segs = voronoi_edges(boundary_pts)
 
         # keep only edges inside the polygon (reference: prepared contains)
@@ -161,7 +216,13 @@ def _centerline(
             for s in segs:
                 runs.extend(_segment_polygon_intersection(np.asarray(s), geom))
             if not runs:
-                return g.LineString()
+                # fully degenerate input (e.g. a sliver whose deduped boundary
+                # has < 3 points): return a valid zero-length line at the
+                # first shell vertex rather than an empty geometry — the
+                # reference's "return a valid line anyway" contract and its
+                # 'Became GeometryCollection' golden (test_centerline.py:141)
+                p0 = g.get_coordinates(geom)[0, :2]
+                return g.LineString([p0, p0])
             lines = line_merge(g.MultiLineString([g.LineString(r) for r in runs]))
 
         min_branch_cur = min_branch_length
@@ -333,7 +394,10 @@ def _remove_short_branches_notempty(line, min_branch_length: float):
 def _remove_short_branches(line, min_branch_length: float, remove_one_by_one: bool):
     if line is None or isinstance(line, g.LineString) or min_branch_length <= 0:
         return line
-    cleaned = line
+    # normalize before pruning (reference _centerline.py:307): among
+    # equal-length branch candidates the stable length sort then follows the
+    # normalized part order, which decides WHICH tied branch goes first
+    cleaned = normalize_lines(line)
     while isinstance(cleaned, g.MultiLineString):
         parts = list(cleaned.geoms)
         boxes = np.array([p.bounds for p in parts])

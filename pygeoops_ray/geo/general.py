@@ -273,12 +273,23 @@ def format_short(geometry) -> str:
 def remove_inner_rings(geometry, min_area_to_keep: float, crs=None):
     """Drop inner rings with area <= min_area_to_keep (0.0 drops all).
 
-    ``crs`` is accepted for reference API parity; geographic (geodesic) area is
-    not supported in this engine — planar coordinates are assumed throughout.
+    When ``crs`` is geographic (e.g. "epsg:4326"), hole areas are measured in
+    m² on the WGS84 ellipsoid via the from-scratch geodesic kernel
+    (geo/geodesic.py) — mirroring the reference's pyproj.Geod branch
+    (_general.py:527-537). Projected/None crs uses planar ring area.
     """
     geometry = _extract_0dim(geometry)
     if geometry is None:
         return None
+
+    from pygeoops_ray.geo.geodesic import crs_is_geographic, geodesic_ring_area
+
+    geographic = crs_is_geographic(crs)
+
+    def hole_area(hole) -> float:
+        if geographic:
+            return geodesic_ring_area(hole)
+        return abs(ring_area(hole))
 
     def one_poly(poly: g.Polygon) -> g.Polygon:
         if min_area_to_keep is None or min_area_to_keep == 0.0:
@@ -288,7 +299,7 @@ def remove_inner_rings(geometry, min_area_to_keep: float, crs=None):
         keep = []
         small_found = False
         for hole in poly.holes:
-            if abs(ring_area(hole)) <= min_area_to_keep:
+            if hole_area(hole) <= min_area_to_keep:
                 small_found = True
             else:
                 keep.append(hole)

@@ -18,6 +18,23 @@ import numpy as np
 __all__ = ["delaunay", "voronoi_edges"]
 
 
+def _circum_exact(ax, ay, bx, by, kx, ky):
+    """Exact-rational circumcenter (Fraction(float) is exact) for triangles
+    where the double-precision formula loses the answer to cancellation."""
+    from fractions import Fraction as F
+
+    ax, ay, bx, by, kx, ky = F(ax), F(ay), F(bx), F(by), F(kx), F(ky)
+    d = 2 * (ax * (by - ky) + bx * (ky - ay) + kx * (ay - by))
+    if d == 0:
+        return None, None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    k2 = kx * kx + ky * ky
+    ux = (a2 * (by - ky) + b2 * (ky - ay) + k2 * (ay - by)) / d
+    uy = (a2 * (kx - bx) + b2 * (ax - kx) + k2 * (bx - ax)) / d
+    return float(ux), float(uy)
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Delaunay triangles of (N,2) points; returns (M,3) vertex index array.
 
@@ -69,6 +86,15 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         a2 = ax * ax + ay * ay
         b2 = bx * bx + by * by
         k2 = kx * kx + ky * ky
+        if abs(d) < 1e-7 * (a2 + b2 + k2):
+            # near-degenerate (sliver) triangle: the float formula cancels
+            # catastrophically (a 2×3e-10 survey sliver loses the whole
+            # y-offset) — recompute the circumcenter in exact rationals
+            ux, uy = _circum_exact(ax, ay, bx, by, kx, ky)
+            if ux is None:
+                return (inf, inf, inf)
+            rr = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
+            return (ux, uy, rr)
         ux = (a2 * (by - ky) + b2 * (ky - ay) + k2 * (ay - by)) / d
         uy = (a2 * (kx - bx) + b2 * (ax - kx) + k2 * (bx - ax)) / d
         rr = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
@@ -142,6 +168,12 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
     ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1]) + c2 * (a[:, 1] - b[:, 1])) / d
     uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0]) + c2 * (b[:, 0] - a[:, 0])) / d
     centers = np.column_stack([ux, uy])
+    # sliver triangles: the float circumcenter cancels — redo those exactly
+    thin = np.nonzero(np.abs(np.nan_to_num(d)) < 1e-7 * (a2 + b2 + c2))[0]
+    for t in thin:
+        ex, ey = _circum_exact(a[t, 0], a[t, 1], b[t, 0], b[t, 1], c[t, 0], c[t, 1])
+        if ex is not None:
+            centers[t] = (ex, ey)
 
     edge_map: dict[tuple[int, int], list[int]] = {}
     for t in range(len(tris)):

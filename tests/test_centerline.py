@@ -108,9 +108,13 @@ def test_segmentize():
 def test_normalize_lines():
     ln = g.LineString([(5, 5), (0, 0)])
     assert normalize_lines(ln).coords[0][0] == 0.0
-    ml = g.MultiLineString([g.LineString([(9, 9), (8, 8)]), g.LineString([(1, 1), (0, 0)])])
+    # GEOS-normalize parity: parts sorted DESCENDING by reversed coordinate
+    # sequence (the ordering shapely.normalize produces on every multi-part
+    # centerline golden — see test_centerline_fancy_l_golden)
+    ml = g.MultiLineString([g.LineString([(1, 1), (0, 0)]), g.LineString([(9, 9), (8, 8)])])
     out = normalize_lines(ml)
-    assert tuple(out.geoms[0].coords[0][:2]) == (0.0, 0.0)
+    assert tuple(out.geoms[0].coords[0][:2]) == (8.0, 8.0)
+    assert tuple(out.geoms[1].coords[0][:2]) == (0.0, 0.0)
 
 
 @pytest.mark.parametrize(
@@ -147,46 +151,58 @@ def test_centerline_l_shape_golden():
     assert cl.equals_exact(wkt.loads("LINESTRING (1 9, 1 1, 9 1)"), 1e-6)
 
 
-def test_centerline_fancy_l_parts_match():
-    # ref tests/test_centerline.py:118-124: all three branch parts match the
-    # golden WKT within 1e-6; GEOS's part ORDER in the normalized collection
-    # is internal, so parts are matched order-insensitively
-    cl = centerline(
-        wkt.loads("POLYGON ((0 0, 0 8, -2 10, 4 10, 2 8, 2 2, 10 2, 10 0, 0 0))"),
-        min_branch_length=-1.0,
-    )
-    exp = wkt.loads(
-        "MULTILINESTRING ((1 8.75, 1.1367816091954022 1.1160919540229888, "
-        "8.87687074829932 0.9829931972789112), (1 8.75, 3.25 9.75), "
-        "(-1.25 9.75, 1 8.75))"
-    )
-    assert isinstance(cl, g.MultiLineString) and len(cl.geoms) == 3
-    for part in cl.geoms:
-        assert any(
-            part.equals_exact(e, 1e-6) or part.equals_exact(
-                g.LineString(e.coords[::-1]), 1e-6
-            )
-            for e in exp.geoms
-        )
+_FANCY_L = "POLYGON ((0 0, 0 8, -2 10, 4 10, 2 8, 2 2, 10 2, 10 0, 0 0))"
+_ELLIPSE = (
+    "POLYGON ((0 1, 1 3.25, 2 4.5, 3 5.75, 3.5 6.25, 5 3.25, 3.75 1.75, "
+    "2.5 0.5, 1 0, 0 1))"
+)
 
 
-def test_centerline_survey_scale_sliver():
-    # ref tests/test_centerline.py:132-139: survey coords (6e4) with a
-    # 3e-10-tall sliver. GEOS's precision model yields the horizontal
-    # midline; our exact arithmetic keeps the degenerate vertical bisector
-    # bits too — assert structural containment, not the golden WKT
-    # (documented deviation, SURVEY.md §8.3).
-    w = (
-        "POLYGON ((64440.00000007346534403 218000.00000000279396772, "
-        "64438.00000007345079212 218000.00000000279396772, "
-        "64438.00000007345079212 218000.00000000311410986, "
-        "64440.00000007346534403 218000.00000000311410986, "
-        "64440.00000007346534403 218000.00000000279396772))"
-    )
-    poly = wkt.loads(w)
-    cl = centerline(poly, min_branch_length=-1.0)
-    assert cl is not None and not cl.is_empty
-    c = g.get_coordinates(cl)
-    minx, miny, maxx, maxy = poly.bounds
-    assert np.all(c[:, 0] >= minx - 1e-6) and np.all(c[:, 0] <= maxx + 1e-6)
-    assert np.all(c[:, 1] >= miny - 1e-6) and np.all(c[:, 1] <= maxy + 1e-6)
+@pytest.mark.parametrize(
+    "poly_wkt, mbl, extend, exp_wkt",
+    [
+        # ref tests/test_centerline.py:93-131 — full golden WKTs verbatim,
+        # equals_exact(1e-6) INCLUDING part order (GEOS-normalize parity)
+        (
+            _ELLIPSE, 0.0, False,
+            "MULTILINESTRING ((3.2641509433962264 3.3726415094339623, 3.7916666666666665 5.458333333333333), (3.2641509433962264 3.3726415094339623, 3.34375 3.359375), (1.375 1.375, 3.2641509433962264 3.3726415094339623))",
+        ),
+        (
+            _ELLIPSE, 0.0, True,
+            "MULTILINESTRING ((3.2641509433962264 3.3726415094339623, 4.878048780487804 3.1036585365853644), (3.2641509433962264 3.3726415094339623, 3.8266583229036297 5.5966833541927405), (0.5244235436893204 0.4755764563106795, 3.2641509433962264 3.3726415094339623))",
+        ),
+        (
+            _ELLIPSE, -1.0, True,
+            "LINESTRING (0.7243589743589742 0.2756410256410258, 3.8481308411214954 5.553738317757009)",
+        ),
+        (
+            _FANCY_L, 0.0, False,
+            "MULTILINESTRING ((8.87687074829932 0.9829931972789112, 9.2 1.5), (8.87687074829932 0.9829931972789112, 9.166666666666666 0.5), (1.1367816091954022 1.1160919540229888, 8.87687074829932 0.9829931972789112), (1 8.75, 3.25 9.75), (1 8.75, 1.1367816091954022 1.1160919540229888), (0.833333333333333 0.8, 1.1367816091954022 1.1160919540229888), (-1.25 9.75, 1 8.75))",
+        ),
+        (
+            _FANCY_L, -1.0, False,
+            "MULTILINESTRING ((1 8.75, 1.1367816091954022 1.1160919540229888, 8.87687074829932 0.9829931972789112), (1 8.75, 3.25 9.75), (-1.25 9.75, 1 8.75))",
+        ),
+        (
+            _FANCY_L, -1.0, True,
+            "MULTILINESTRING ((1 8.75, 1.1367816091954022 1.1160919540229888, 10 0.9636798399806034), (1 8.75, 3.8125000000000004 10), (-1.8124999999999996 10, 1 8.75))",
+        ),
+        # ref :132-139 "Very narrow polygon": survey coords, 3e-10-tall sliver
+        (
+            "POLYGON ((64440.00000007346534403 218000.00000000279396772, 64438.00000007345079212 218000.00000000279396772, 64438.00000007345079212 218000.00000000311410986, 64440.00000007346534403 218000.00000000311410986, 64440.00000007346534403 218000.00000000279396772))",
+            -1.0, False,
+            "LINESTRING (64438.00000007345 218000.00000000297, 64440.000000073465 218000.00000000297)",
+        ),
+        # ref :140-146 "Became GeometryCollection": degenerate sliver → a
+        # valid zero-length line at the vertex
+        (
+            "POLYGON ((188875 235891, 188875 235890.99999999092, 188874.99999999703 235890.99999999686, 188874.99999999546 235891, 188875 235891))",
+            -2.0, False,
+            "LINESTRING (188875 235891, 188875 235891)",
+        ),
+    ],
+)
+def test_centerline_goldens_exact(poly_wkt, mbl, extend, exp_wkt):
+    cl = centerline(wkt.loads(poly_wkt), min_branch_length=mbl, extend=extend)
+    assert cl is not None
+    assert cl.equals_exact(wkt.loads(exp_wkt), 1e-6)

@@ -146,3 +146,81 @@ def test_make_valid_variants():
     assert arr[0] is valid or arr[0].equals_exact(valid, 0)
     assert isinstance(arr[1], g.MultiPolygon)
     assert make_valid(None) is None
+
+
+class TestGeodesicArea:
+    """From-scratch WGS84 ring area (geo/geodesic.py) — the geographic-CRS
+    branch of remove_inner_rings (reference _general.py:527-537)."""
+
+    def test_latlon_box_matches_closed_form_zone_area(self):
+        from pygeoops_ray.geo import geodesic as gd
+
+        # exact ellipsoid area of a lat/lon box from the zone closed form
+        for lon0, lat0, dl in [(4.0, 50.0, 1.0), (0.0, 0.0, 1.0), (120.0, -35.0, 0.5)]:
+            ring = np.array(
+                [
+                    [lon0, lat0],
+                    [lon0 + dl, lat0],
+                    [lon0 + dl, lat0 + dl],
+                    [lon0, lat0 + dl],
+                    [lon0, lat0],
+                ]
+            )
+            # densify the parallels so great-circle edges track them closely
+            dense = []
+            for a, b in zip(ring[:-1], ring[1:]):
+                for t in np.linspace(0, 1, 50, endpoint=False):
+                    dense.append(a + t * (b - a))
+            dense.append(ring[-1])
+            got = gd.geodesic_ring_area(np.array(dense))
+            want = (dl / 360.0) * (gd.zone_band_area(lat0 + dl) - gd.zone_band_area(lat0))
+            assert got == pytest.approx(want, rel=2e-5)
+
+    def test_small_ring_matches_local_planar_metric(self):
+        from pygeoops_ray.geo import geodesic as gd
+
+        # a ~100 m square at lat 51: geodesic area ~= planar meters area
+        lat = 51.0
+        dlat = 100.0 / 111194.9  # ~meters per degree latitude (authalic)
+        dlon = dlat / np.cos(np.radians(lat))
+        ring = np.array(
+            [[4, lat], [4 + dlon, lat], [4 + dlon, lat + dlat], [4, lat + dlat], [4, lat]]
+        )
+        got = gd.geodesic_ring_area(ring)
+        assert got == pytest.approx(100.0 * 100.0, rel=2e-2)
+
+    def test_winding_and_closure_invariance(self):
+        from pygeoops_ray.geo import geodesic as gd
+
+        ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])
+        a1 = gd.geodesic_ring_area(ring)
+        a2 = gd.geodesic_ring_area(ring[::-1])
+        a3 = gd.geodesic_ring_area(ring[:-1])
+        assert a1 == pytest.approx(a2, rel=1e-12)
+        assert a1 == pytest.approx(a3, rel=1e-12)
+
+    def test_remove_inner_rings_geographic_crs(self):
+        from pygeoops_ray.geo import geom as g
+        import pygeoops_ray as pr
+
+        # shell ~1°; holes: ~220m x 220m (≈48,500 m²) and ~110m x 110m
+        # (≈12,000 m²) at lat 50 — a threshold of 20,000 m² keeps only the
+        # bigger one; in DEGREE units both holes are ~1e-6 "area" and a planar
+        # interpretation of the same threshold would drop both
+        d2 = 0.002
+        d1 = 0.001
+        hole_big = [[4.1, 50.1], [4.1 + d2 / np.cos(np.radians(50)), 50.1],
+                    [4.1 + d2 / np.cos(np.radians(50)), 50.1 + d2], [4.1, 50.1 + d2], [4.1, 50.1]]
+        hole_small = [[4.5, 50.5], [4.5 + d1, 50.5], [4.5 + d1, 50.5 + d1],
+                      [4.5, 50.5 + d1], [4.5, 50.5]]
+        poly = g.Polygon(
+            [[4, 50], [5, 50], [5, 51], [4, 51], [4, 50]], [hole_big, hole_small]
+        )
+        out = pr.remove_inner_rings(poly, min_area_to_keep=20000.0, crs="epsg:4326")
+        assert len(out.holes) == 1
+        # planar (crs=None): degree-unit areas, both holes survive a tiny threshold
+        out_planar = pr.remove_inner_rings(poly, min_area_to_keep=1e-7, crs=None)
+        assert len(out_planar.holes) == 2
+        # projected crs string → planar branch (reference parity)
+        out_proj = pr.remove_inner_rings(poly, min_area_to_keep=20000.0, crs="epsg:31370")
+        assert len(out_proj.holes) == 0
