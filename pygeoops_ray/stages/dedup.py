@@ -168,7 +168,13 @@ def near_dup_pairs(
         ].to_numpy().astype(np.uint64)
         out = b.append_column("bkey", pa.array(bkey.astype(np.int64), pa.int64()))
         return out.append_column(
-            "coarse", pa.array((bkey >> np.uint64(52)).astype(np.int64), pa.int64())
+            # 64 coarse groups: map_groups pays ~1ms of pandas dispatch per
+            # GROUP, so a 12-bit prefix (4096 near-empty groups) spent seconds
+            # on dispatch alone; the in-group pairing is vectorized over
+            # bucket runs, so fewer/bigger groups are strictly cheaper until
+            # a group outgrows a block (raise the shift when corpus × bands
+            # per group approaches block size)
+            "coarse", pa.array((bkey >> np.uint64(58)).astype(np.int64), pa.int64())
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -204,65 +210,116 @@ def near_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sa_col = batch["sig_a"].to_pylist()
-        sb_col = batch["sig_b"].to_pylist()
-        jac = np.empty(len(batch))
-        for k in range(len(batch)):
-            sa = np.frombuffer(sa_col[k], dtype=np.int64)
-            sb = np.frombuffer(sb_col[k], dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[k] = inter / max(union, 1)
-        out = pa.Table.from_pydict(
+    # NOTE: pairs can repeat across bands/coarse groups; the duplicates ride
+    # into the doc-bucket cogroup (2 small rows per repeat) and are dropped
+    # there — cheaper than a dedicated global-dedup shuffle.
+
+    # co-partitioned signature re-join WITHOUT Dataset.join: the hash-join
+    # operator spins up an aggregator actor pool per stage (~1.5s fixed cost
+    # each at this scale), while groupby's task-based shuffle reuses the same
+    # machinery as every other stage. Shape: explode each pair into one row
+    # per side keyed by that side's doc_id, union with the sig rows, cogroup
+    # on the doc bucket to attach sigs, then regroup on the pair to pair up
+    # sig_a/sig_b and verify — 2 shuffles, payloads only for candidate docs.
+    def pair_sides(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy()
+        db = b["doc_b"].to_numpy()
+        return pa.Table.from_pydict(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard": pa.array(jac, pa.float64()),
+                "jkey": pa.array(np.concatenate([da, db]), pa.int64()),
+                "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+                "sig": pa.nulls(2 * len(da), pa.binary()),
             }
         )
-        return out.filter(pa.array(jac >= jaccard_threshold))
 
-    # dedup candidate pairs globally before verify (pairs can repeat across
-    # bands/coarse groups): coarse-key shuffle + vectorized drop_duplicates
-    def add_pair_coarse(b: pa.Table) -> pa.Table:
+    def sig_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "jkey": b["doc_id"],
+                "doc_a": pa.nulls(len(b), pa.int64()),
+                "doc_b": pa.nulls(len(b), pa.int64()),
+                "sig": b["sig"],
+            }
+        )
+
+    tagged = pairs.map_batches(pair_sides, batch_format="pyarrow").union(
+        sigs.map_batches(sig_side, batch_format="pyarrow")
+    )
+
+    def add_jbucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "jb", pa.array(b["jkey"].to_numpy() % num_partitions, pa.int64())
+        )
+
+    def attach_sig(group: pd.DataFrame) -> pd.DataFrame:
+        is_sig = group["doc_a"].isna()
+        lut = dict(
+            zip(group.loc[is_sig, "jkey"].to_numpy(), group.loc[is_sig, "sig"].to_numpy())
+        )
+        p = group.loc[~is_sig].drop_duplicates(["doc_a", "doc_b", "jkey"])
+        if not len(p):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jkey": pd.Series([], dtype="int64"),
+                    "sig": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": p["doc_a"].astype("int64").to_numpy(),
+                "doc_b": p["doc_b"].astype("int64").to_numpy(),
+                "jkey": p["jkey"].to_numpy(),
+                "sig": [lut.get(k) for k in p["jkey"].to_numpy()],
+            }
+        )
+
+    with_sig = (
+        tagged.map_batches(add_jbucket, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(attach_sig, batch_format="pandas")
+    )
+
+    def add_pbucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
             ph = (
                 b["doc_a"].to_numpy().astype(np.uint64) * _MIX1
                 + b["doc_b"].to_numpy().astype(np.uint64)
             ) * _MIX2
         return b.append_column(
-            "pcoarse", pa.array((ph >> np.uint64(56)).astype(np.int64), pa.int64())
+            "pb", pa.array((ph % np.uint64(num_partitions)).astype(np.int64), pa.int64())
         )
 
-    uniq = (
-        pairs.map_batches(add_pair_coarse, batch_format="pyarrow")
-        .groupby("pcoarse")
-        .map_groups(
-            lambda df: df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-            batch_format="pandas",
+    def pairup_verify(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for _, rows in group.groupby(["doc_a", "doc_b"], sort=False):
+            sigs_by_key = dict(zip(rows["jkey"].to_numpy(), rows["sig"].to_numpy()))
+            da = int(rows["doc_a"].iloc[0])
+            db = int(rows["doc_b"].iloc[0])
+            ba, bb = sigs_by_key.get(da), sigs_by_key.get(db)
+            if ba is None or bb is None:
+                continue
+            sa = np.frombuffer(ba, dtype=np.int64)
+            sb = np.frombuffer(bb, dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / max(union, 1)
+            if j >= jaccard_threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
         )
-    )
 
-    # co-partitioned signature re-join: pairs ⋈ sigs on doc_a, then on doc_b —
-    # two hash shuffles over the (small) pair set + the signature table; the
-    # raw text column never leaves its original blocks
-    with_a = uniq.join(
-        sigs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.select(["doc_a", "doc_b", "sig"]).rename_columns(
-            ["doc_a", "doc_b", "sig_a"]
-        ),
-        batch_format="pyarrow",
+    return (
+        with_sig.map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pairup_verify, batch_format="pandas")
     )
-    with_both = with_a.join(
-        sigs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.select(["doc_a", "doc_b", "sig_a", "sig"]).rename_columns(
-            ["doc_a", "doc_b", "sig_a", "sig_b"]
-        ),
-        batch_format="pyarrow",
-    )
-    return with_both.map_batches(verify, batch_format="pyarrow")
