@@ -118,6 +118,51 @@ def q_dedup_docs(sf_dir: str):
     return dedup_stages.exact_dedup_min(ds, ["text"], "doc_id").select_columns(["doc_id"])
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity self-join at t=0.5.
+
+    Prefix-filter candidate generation has guaranteed recall (see
+    stages/dedup.exact_jaccard_pairs), so the oracle is the literal all-pairs
+    SQL over DuckDB string shingle lists. Docs with <3 tokens have no
+    3-shingles and are excluded on both sides.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    ds = ds.map_batches(flt, batch_format="pyarrow")
+    return dedup_stages.exact_jaccard_pairs(ds, jaccard_threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (oracle: md5_number_lower bit votes in SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dedup_stages.simhash_batch, batch_format="pyarrow")
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at hamming<=3 via 4-band pigeonhole grouping.
+
+    Banding guarantees recall (<=3 differing bits leave >=1 of 4 bands
+    intact), so the oracle is the all-pairs bit_count(xor(...)) SQL.
+    """
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.simhash_pairs(ds, max_hamming=3)
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs at cos>=0.45 (baseline path:
+    broadcast corpus matrix + per-batch matmul strip; IVF/LSH buckets are the
+    10^12-scale candidate path, measured against this exact baseline)."""
+    ids, m = _corpus_matrix(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.cosine_dup_pairs(emb, ids, m, threshold=0.45)
+
+
 def q_near_dup_pairs(sf_dir: str):
     """MinHash-LSH near-duplicate pairs (rows-only check: not SQL-expressible).
 
@@ -170,17 +215,54 @@ def q_fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _query_vectors(sf_dir: str, nq: int = 8):
-    import pyarrow.parquet as pq
-
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+def _matrix_of(tab: pa.Table):
     ids = tab["vec_id"].to_numpy()
-    order = np.argsort(ids)[:nq]
     emb = tab["embedding"].combine_chunks()
     flat = np.asarray(emb.values, dtype=np.float64)
-    dim = len(flat) // len(ids)
-    m = flat.reshape(len(ids), dim)
-    return ids[order], m[order]
+    dim = len(flat) // max(len(ids), 1)
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _query_vectors(sf_dir: str, nq: int = 8):
+    """The nq smallest-vec_id vectors, via ROW-GROUP-PRUNED reads.
+
+    Row groups are read in ascending order of their vec_id min-statistic and
+    reading stops as soon as the collected rows must contain the global nq
+    smallest (every unread group's min exceeds our nq-th candidate) — at
+    scale this touches one row group, not the table.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    md = pf.metadata
+    vec_col = next(
+        i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "vec_id"
+    )
+    mins = [md.row_group(g).column(vec_col).statistics.min for g in range(md.num_row_groups)]
+    order = sorted(range(len(mins)), key=lambda g: mins[g])
+    tabs, best = [], None
+    for pos, g in enumerate(order):
+        tabs.append(pf.read_row_group(g, columns=["vec_id", "embedding"]))
+        got = np.sort(np.concatenate([t["vec_id"].to_numpy() for t in tabs]))
+        if len(got) >= nq:
+            best = got[nq - 1]
+            nxt = mins[order[pos + 1]] if pos + 1 < len(order) else None
+            if nxt is None or best < nxt:
+                break
+    tab = pa.concat_tables(tabs)
+    ids, m = _matrix_of(tab)
+    sel = np.argsort(ids)[:nq]
+    return ids[sel], m[sel]
+
+
+def _corpus_matrix(sf_dir: str):
+    """Full (vec_id, embedding) matrix — broadcast side of the exact
+    cosine-pair baseline (column-pruned read; the matrix IS the operator's
+    small side, ray.put once by the stage)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _matrix_of(tab)
 
 
 def q_ann_topk(sf_dir: str):
@@ -652,6 +734,10 @@ QUERIES = {
     "dedup_events": q_dedup_events,
     "dedup_docs": q_dedup_docs,
     "near_dup_pairs": q_near_dup_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_pairs": q_cosine_pairs,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -912,6 +998,73 @@ ORACLE_SQL = {
         SELECT CAST(u.i AS BIGINT) AS i
         FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
         WHERE NOT (u.i % 101 = 0 AND u.i > 0)
+    """,
+    # exact word-3-gram Jaccard all-pairs: the Ray side's prefix filter has
+    # guaranteed recall, so the literal O(n^2) recomputation is an exact
+    # oracle. DuckDB integer division of the same ints is IEEE-identical to
+    # the Ray side's inter/union.
+    "jaccard_pairs": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+    """,
+    # 64-bit SimHash recomputed bit-by-bit: token hash = md5_number_lower
+    # (the Ray side uses the little-endian low 8 bytes of hashlib.md5 — the
+    # identical value), votes +1/-1 per token occurrence, bit set iff vote>0
+    "simhash": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM tok),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+                    AS UBIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "simhash_pairs": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM tok),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+                        AS UBIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # exact cosine pairs: threshold 0.45 sits >=1e-4 away from every pair's
+    # similarity at sf0.001/0.01/0.1 (measured), far above float64-vs-DOUBLE[]
+    # rounding (~1e-15), so the numpy and DuckDB pair sets are identical
+    "cosine_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
     # lang_id / near_dup_pairs / ann_lsh / ann_ivf: intentionally no oracle
     # (non-SQL-expressible); driver records rows-only checks.

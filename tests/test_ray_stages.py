@@ -320,3 +320,115 @@ def test_flagship_write_resumable(rd, tmp_path):
     assert rep2.skipped.all()
     again = read_output(out).to_pandas().sort_values("image_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(first, again)
+
+
+def _brute_jaccard_pairs(texts_by_id, t):
+    """All-pairs exact word-3-shingle Jaccard (string sets, no hashing)."""
+    def sset(text):
+        w = text.split()
+        return set(tuple(w[i : i + 3]) for i in range(len(w) - 2))
+
+    S = {i: sset(x) for i, x in texts_by_id.items() if len(x.split()) >= 3}
+    out = set()
+    ids = sorted(S)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            inter = len(S[ids[a]] & S[ids[b]])
+            union = len(S[ids[a]]) + len(S[ids[b]]) - inter
+            if union and inter / union >= t:
+                out.add((ids[a], ids[b]))
+    return out
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(rd):
+    """Prefix-filter join == brute force: guaranteed recall, exact verify."""
+    from pygeoops_ray.stages.dedup import exact_jaccard_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = np.array("alpha beta gamma delta eps zeta eta theta iota kappa".split())
+    texts = {}
+    base = {}
+    for i in range(60):
+        words = list(rng.choice(vocab, size=rng.randint(8, 30)))
+        texts[i] = " ".join(words)
+        base[i] = words
+    # inject near-dups: copy with one word changed
+    for j, src in [(60, 5), (61, 17), (62, 30)]:
+        w = list(base[src])
+        w[2] = "changed"
+        texts[j] = " ".join(w)
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    ).repartition(4)
+    got = exact_jaccard_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    want = _brute_jaccard_pairs(texts, 0.5)
+    assert got_pairs == want
+    assert len(want) >= 3  # the injected near-dups are found
+
+
+def test_simhash_matches_reference_and_pairs_bruteforce(rd):
+    """SimHash value = md5-lower-64 bit votes; banded pairs == all-pairs."""
+    import hashlib
+    import struct
+
+    from pygeoops_ray.stages.dedup import simhash_batch, simhash_pairs
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy cat",  # 1 word off
+        2: "completely different words entirely here now",
+        3: "the quick brown fox jumps over the lazy dog",  # identical to 0
+    }
+
+    def ref_simhash(text):
+        votes = [0] * 64
+        for w in text.split():
+            h = struct.unpack("<Q", hashlib.md5(w.encode()).digest()[8:16])[0]
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(64) if votes[b] > 0)
+
+    tab = pa.Table.from_pydict(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+    )
+    got = simhash_batch(tab).to_pandas().set_index("doc_id")["simhash"]
+    for i, t in texts.items():
+        assert int(got[i]) == ref_simhash(t), i
+
+    # banded pair generation: identical docs (hamming 0) always found
+    ds = rd.from_arrow(tab).repartition(2)
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    vals = {i: ref_simhash(t) for i, t in texts.items()}
+    want = set()
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3:
+                want.add((a, b))
+    assert found == want
+    assert (0, 3) in found
+
+
+def test_cosine_dup_pairs_exact(rd):
+    """Broadcast-matmul pair scan == numpy all-pairs at the same threshold."""
+    from pygeoops_ray.stages.ann import cosine_dup_pairs
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(80, 16)
+    m[40] = m[7] + 0.01 * rng.randn(16)  # near-dup pair
+    m[55] = m[7] * 2.0  # same direction → cos 1
+    ids = np.arange(80, dtype=np.int64)
+    tab = pa.Table.from_pydict(
+        {"vec_id": ids, "embedding": pa.array([r.tolist() for r in m.astype(np.float32)], pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+    got = cosine_dup_pairs(ds, ids, np.array([np.asarray(r, np.float64) for r in tab["embedding"].to_pylist()]), threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    mf = np.array(tab["embedding"].to_pylist(), dtype=np.float64)
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    want = set(zip(ids[iu[sims[iu, ju] >= 0.95]], ids[ju[sims[iu, ju] >= 0.95]]))
+    assert got_pairs == want
+    assert (7, 40) in want and (7, 55) in want
