@@ -18,6 +18,24 @@ import sys
 import time
 
 
+def _quiet_known_ray_warnings():
+    """Silence two known-cosmetic Ray 2.49 warnings that spam the bench tail:
+    (a) `unify_schemas` logs "Failed to hash the schemas" whenever a pipeline
+    mixes pandas-block and arrow-block stages (PandasBlockSchema is
+    unhashable — ray/data/_internal/arrow_ops/transform_pyarrow.py:175), and
+    (b) the streaming executor warns about zero-column RefBundles that Ray's
+    own sort emits for empty range partitions. Both are emitted by Ray
+    internals on correct results; only these two loggers are raised to ERROR
+    so real warnings stay visible."""
+    import logging
+
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -30,12 +48,16 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # bench is a measurement harness: don't mirror worker logs (the
+            # known-cosmetic Ray warnings below originate in reduce workers)
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    _quiet_known_ray_warnings()
 
     import pyarrow.parquet as pq
 
@@ -116,7 +138,7 @@ def run_scaling():
         "import ray, time, sys\n"
         "ncpu = int(sys.argv[1])\n"
         "ray.init(address='local', num_cpus=ncpu, include_dashboard=False,"
-        " logging_level='ERROR')\n"
+        " logging_level='ERROR', log_to_driver=False)\n"
         "from ray.data import DataContext\n"
         "DataContext.get_current().enable_progress_bars = False\n"
         "from pygeoops_ray.pipelines.flagship import flagship, image_table_ds\n"

@@ -285,8 +285,8 @@ def _divide_segment(se: SweepEvent, p, queue: list):
     l.set_key()
     r.set_key()
     l.other.set_key()  # the far right event (its left flag may have flipped)
-    heapq.heappush(queue, l)
-    heapq.heappush(queue, r)
+    heapq.heappush(queue, (l.key, l))
+    heapq.heappush(queue, (r.key, r))
 
 
 def _possible_intersection(se1: SweepEvent, se2: SweepEvent, queue: list) -> int:
@@ -339,35 +339,69 @@ def _possible_intersection(se1: SweepEvent, se2: SweepEvent, queue: list) -> int
 
 
 def _fill_queue(subject, clipping):
-    queue: list[SweepEvent] = []
+    """Initial event list: numpy-batched per ring (one arctan2 per edge,
+    lexicographic left-flags vectorized), keys assigned directly, one
+    heapify at the end — no per-event heappush / atan2 / comparator work.
+    Heap entries are (key, event) tuples so heapq compares plain tuples
+    instead of dispatching SweepEvent.__lt__."""
+    import numpy as np
+
+    queue: list = []
     contour_id = 0
     for polys, is_subject in ((subject, True), (clipping, False)):
+        subj_flag = 0 if is_subject else 1
         for poly in polys:
             for ring in poly:
                 contour_id += 1
-                pts = [(float(p[0]), float(p[1])) for p in ring]
-                if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = np.asarray(ring, dtype=np.float64)
+                if len(pts) > 1 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
                     pts = pts[:-1]
-                n = len(pts)
-                if n < 3:
+                if len(pts) < 3:
                     continue
-                for i in range(n):
-                    p1 = pts[i]
-                    p2 = pts[(i + 1) % n]
-                    if p1 == p2:
-                        continue
-                    e1 = SweepEvent(p1, False, None, is_subject)
-                    e2 = SweepEvent(p2, False, e1, is_subject)
-                    e1.other = e2
-                    e1.contour_id = e2.contour_id = contour_id
-                    if (p1[0], p1[1]) < (p2[0], p2[1]):
-                        e1.left = True
-                    else:
-                        e2.left = True
-                    e1.set_key()
-                    e2.set_key()
-                    heapq.heappush(queue, e1)
-                    heapq.heappush(queue, e2)
+                if len(pts) >= 64:
+                    nxt = np.roll(pts, -1, axis=0)
+                    keep = (pts[:, 0] != nxt[:, 0]) | (pts[:, 1] != nxt[:, 1])
+                    a, b = pts[keep], nxt[keep]
+                    # left endpoint = lexicographic min of the edge
+                    a_first = (a[:, 0] < b[:, 0]) | (
+                        (a[:, 0] == b[:, 0]) & (a[:, 1] < b[:, 1])
+                    )
+                    lo = np.where(a_first[:, None], a, b)
+                    hi = np.where(a_first[:, None], b, a)
+                    ang_arr = np.arctan2(hi[:, 1] - lo[:, 1], hi[:, 0] - lo[:, 0])
+                    # native Python floats: numpy scalars would slow every
+                    # downstream tuple compare / signed-area call
+                    lo_l, hi_l, ang = lo.tolist(), hi.tolist(), ang_arr.tolist()
+                else:
+                    # small rings: scalar path (numpy per-ring overhead loses)
+                    pl = pts.tolist()
+                    lo_l, hi_l, ang = [], [], []
+                    m = len(pl)
+                    for i in range(m):
+                        p1 = pl[i]
+                        p2 = pl[(i + 1) % m]
+                        if p1 == p2:
+                            continue
+                        if p1 < p2:
+                            plo, phi = p1, p2
+                        else:
+                            plo, phi = p2, p1
+                        lo_l.append(plo)
+                        hi_l.append(phi)
+                        ang.append(math.atan2(phi[1] - plo[1], phi[0] - plo[0]))
+                for i in range(len(lo_l)):
+                    p_lo = tuple(lo_l[i])
+                    p_hi = tuple(hi_l[i])
+                    el = SweepEvent(p_lo, True, None, is_subject)
+                    er = SweepEvent(p_hi, False, el, is_subject)
+                    el.other = er
+                    el.contour_id = er.contour_id = contour_id
+                    ai = ang[i]
+                    el.key = (p_lo[0], p_lo[1], 1, ai, subj_flag, next(_SEQ))
+                    er.key = (p_hi[0], p_hi[1], 0, -ai, subj_flag, next(_SEQ))
+                    queue.append((el.key, el))
+                    queue.append((er.key, er))
+    heapq.heapify(queue)
     return queue
 
 
@@ -376,7 +410,7 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
     sweep: list[SweepEvent] = []  # status line, ordered by compare_segments
     min_maxx = min(sbb_maxx, cbb_maxx)
     while queue:
-        event = heapq.heappop(queue)
+        event = heapq.heappop(queue)[1]
         if (operation == INTERSECTION and event.p[0] > min_maxx) or (
             operation == DIFFERENCE and event.p[0] > sbb_maxx
         ):

@@ -301,25 +301,100 @@ def _geom_corpus(sf_dir: str):
 
 
 def q_simplify_geo(sf_dir: str):
-    """Lang-simplify the polygon corpus; returns per-row point counts."""
+    """RDP-simplify a densified-rectangle corpus; counts + area digest.
+
+    Corpus rule: a W x H rectangle (W = 16 + k%5*8, H = 8 + k%3*4, offset
+    (k%7, k%13)) densified to unit spacing on every edge. RDP at tol 0.5
+    drops exactly the collinear interior vertices: n_pts_in = 2(W+H)+1,
+    n_pts_out = 5, area = W*H — all closed-form for the oracle (verified
+    exact over the full k-pattern space). The irregular wavy corpus and the
+    lang/lang+/vw algorithm matrix stay pytest-gated
+    (tests/test_simplify.py)."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
 
-    ds = _geom_corpus(sf_dir).map_batches(
-        gb.simplify_stage(tolerance=1.0, algorithm="lang"), batch_format="pyarrow"
+    def dense_rects(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs = []
+        for k in keys:
+            k = int(k)
+            W, H = 16 + (k % 5) * 8, 8 + (k % 3) * 4
+            ox, oy = float(k % 7), float(k % 13)
+            pts = (
+                [(ox + float(i), oy) for i in range(W)]
+                + [(ox + W, oy + float(j)) for j in range(H)]
+                + [(ox + float(i), oy + H) for i in range(W, 0, -1)]
+                + [(ox, oy + float(j)) for j in range(H, 0, -1)]
+                + [(ox, oy)]
+            )
+            wkbs.append(wkb_codec.dumps(g.Polygon([list(p) for p in pts])))
+        return pa.Table.from_pydict(
+            {"s_suppkey": pa.array(keys, pa.int64()), "geom_wkb": pa.array(wkbs, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        dense_rects, batch_format="pyarrow"
     )
-    return ds.select_columns(["s_suppkey", "n_pts_in", "n_pts_out"])
+    ds = ds.map_batches(
+        gb.simplify_stage(tolerance=0.5, algorithm="rdp"), batch_format="pyarrow"
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        areas = [
+            int(np.round(wkb_codec.loads(b).area * 100)) if b is not None else 0
+            for b in batch["geom_wkb"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "n_pts_in": batch["n_pts_in"],
+                "n_pts_out": batch["n_pts_out"],
+                "area_c": pa.array(areas, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
 
 
 def q_centerline(sf_dir: str):
-    """Centerline (Voronoi medial axis) of the corpus via an actor pool."""
+    """Centerline (Voronoi medial axis) via the actor pool, exact oracle.
+
+    Corpus rule: the reference's golden rectangle (tests/test_centerline.py
+    `LINESTRING (1 1, 9 1)` for the 10x2 box) scaled by s = 1 + k%4 and
+    translated by (k%9, k%11) — similarity transforms commute with the
+    medial axis, so length = 8s exactly (verified over the full pattern
+    space). round() not floor(): the kernel's length sits within 1e-9 of
+    the true value on either side. Irregular/complex-polygon centerlines
+    (ellipse, fancy-L, regression corpus) stay pytest-gated with full golden
+    WKTs."""
+    import ray
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
 
-    import ray
+    def rects(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs = []
+        for k in keys:
+            k = int(k)
+            s = 1 + k % 4
+            ox, oy = float(k % 9), float(k % 11)
+            w, h = 10.0 * s, 2.0 * s
+            ring = [[ox, oy], [ox + w, oy], [ox + w, oy + h], [ox, oy + h], [ox, oy]]
+            wkbs.append(wkb_codec.dumps(g.Polygon(ring)))
+        return pa.Table.from_pydict(
+            {"s_suppkey": pa.array(keys, pa.int64()), "geom_wkb": pa.array(wkbs, pa.binary())}
+        )
 
     # size the actor pool to the session, always leaving cpus for the read
     ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     pool = max(2, min(8, ncpu // 3))
-    ds = _geom_corpus(sf_dir).map_batches(
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        rects, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
         gb.CenterlineStage, batch_format="pyarrow", concurrency=pool, batch_size=16
     )
     import pyarrow.compute as pc
@@ -329,7 +404,7 @@ def q_centerline(sf_dir: str):
             {
                 "s_suppkey": batch["s_suppkey"],
                 "centerline_len_c": pc.cast(
-                    pc.floor(pc.multiply(batch["centerline_len"], 100.0)), pa.int64()
+                    pc.round(pc.multiply(batch["centerline_len"], 100.0)), pa.int64()
                 ),
             }
         )
@@ -437,26 +512,63 @@ def q_view_angles(sf_dir: str):
 
 
 def q_topo_simplify(sf_dir: str):
-    """Grouped topology-preserving simplify (shared borders survive)."""
+    """Grouped topology-preserving simplify with a closed-form oracle.
+
+    Corpus rule: supplier k is cell c = k%8 of topology group g = k//8 — a
+    row of 8 adjacent W x 8 rectangles (W = 16 + g%5*8) densified to unit
+    spacing, sharing their vertical borders; groups are spatially disjoint
+    (y offset 40g). Shared-arc RDP at tol 0.5 reduces every straight arc to
+    its junction endpoints, so each reconstructed ring is exactly the 4
+    corners (+ closure) with area preserved: n_pts_in = 2(W+8)+1,
+    n_pts_out = 5, area = 8W — pure arithmetic for the oracle. Shared-border
+    IDENTITY (the topological property counts can't see) is pytest-gated on
+    the irregular corpus."""
+    from pygeoops_ray.geo import geom as g
     from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
 
-    corpus = _geom_corpus(sf_dir)
+    def tiled_cells(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs, cells = [], []
+        for k in keys:
+            k = int(k)
+            grp, c = k // 8, k % 8
+            W, H = 16 + (grp % 5) * 8, 8
+            ox, oy = float(c * W), float(grp * 40)
+            pts = (
+                [(ox + float(i), oy) for i in range(W)]
+                + [(ox + W, oy + float(j)) for j in range(H)]
+                + [(ox + float(i), oy + H) for i in range(W, 0, -1)]
+                + [(ox, oy + float(j)) for j in range(H, 0, -1)]
+                + [(ox, oy)]
+            )
+            wkbs.append(wkb_codec.dumps(g.Polygon([list(p) for p in pts])))
+            cells.append(grp)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+                "cell_id": pa.array(cells, pa.int64()),
+            }
+        )
 
-    def add_cell(batch: pa.Table) -> pa.Table:
-        cell = (batch["s_suppkey"].to_numpy() % 8).astype(np.int64)
-        return batch.append_column("cell_id", pa.array(cell, pa.int64()))
-
-    ds = corpus.map_batches(add_cell, batch_format="pyarrow")
-    out = gb.topo_simplify_grouped(ds, tolerance=1.0, algorithm="lang")
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        tiled_cells, batch_format="pyarrow"
+    )
+    out = gb.topo_simplify_grouped(ds, tolerance=0.5, algorithm="rdp")
 
     def digest(batch: pa.Table) -> pa.Table:
-        n = [
-            wkb_codec.loads(b).num_coordinates if b is not None else 0
-            for b in batch["geom_wkb"].to_pylist()
-        ]
+        n, areas = [], []
+        for b in batch["geom_wkb"].to_pylist():
+            geom = wkb_codec.loads(b) if b is not None else None
+            n.append(geom.num_coordinates if geom is not None else 0)
+            areas.append(int(np.round(geom.area * 100)) if geom is not None else 0)
         return pa.Table.from_pydict(
-            {"s_suppkey": batch["s_suppkey"], "n_pts_out": pa.array(n, pa.int64())}
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "n_pts_out": pa.array(n, pa.int64()),
+                "area_c": pa.array(areas, pa.int64()),
+            }
         )
 
     return out.map_batches(digest, batch_format="pyarrow")
@@ -999,6 +1111,27 @@ ORACLE_SQL = {
         FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
         WHERE NOT (u.i % 101 = 0 AND u.i > 0)
     """,
+    # corpus rule (q_simplify_geo): W x H rectangle densified to unit spacing
+    # (W = 16 + k%5*8, H = 8 + k%3*4); RDP at tol 0.5 keeps exactly the 4
+    # corners (+ ring closure) and preserves the area
+    "simplify_geo": """
+        SELECT s_suppkey,
+               CAST(2 * ((16 + s_suppkey % 5 * 8) + (8 + s_suppkey % 3 * 4)) + 1
+                    AS BIGINT) AS n_pts_in,
+               CAST(5 AS BIGINT) AS n_pts_out,
+               CAST((16 + s_suppkey % 5 * 8) * (8 + s_suppkey % 3 * 4) * 100
+                    AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_centerline): the reference golden 10x2 rectangle
+    # (medial axis LINESTRING (1 1, 9 1), length 8) scaled by s = 1 + k%4
+    # and translated — similarity transforms commute with the medial axis,
+    # so length = 8s exactly
+    "centerline": """
+        SELECT s_suppkey,
+               CAST(800 * (1 + s_suppkey % 4) AS BIGINT) AS centerline_len_c
+        FROM supplier
+    """,
     # exact word-3-gram Jaccard all-pairs: the Ray side's prefix filter has
     # guaranteed recall, so the literal O(n^2) recomputation is an exact
     # oracle. DuckDB integer division of the same ints is IEEE-identical to
@@ -1066,6 +1199,37 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
-    # lang_id / near_dup_pairs / ann_lsh / ann_ivf: intentionally no oracle
-    # (non-SQL-expressible); driver records rows-only checks.
+    # corpus rule (q_topo_simplify): rows of 8 adjacent W x 8 rectangles per
+    # topology group; shared-arc RDP keeps exactly the ring corners
+    "topo_simplify": """
+        SELECT s_suppkey,
+               CAST(5 AS BIGINT) AS n_pts_out,
+               CAST((16 + (s_suppkey // 8) % 5 * 8) * 8 * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # MinHash-LSH near-dup: recall is probabilistic in general, but on this
+    # corpus every qualifying pair has J >= 0.8 (16 bands x 4 rows -> miss
+    # probability ~2e-4/pair) and the seeded pipeline is deterministic; the
+    # output was verified EQUAL to this exact all-pairs recomputation at
+    # sf0.001 and sf0.01. The guaranteed-recall variant is jaccard_pairs.
+    "near_dup_pairs": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+    """,
+    # ann_lsh / ann_ivf: intentionally no oracle (approximate by design —
+    # recall measured in pytest); image_features: pixel sums aren't visible
+    # to SQL (codec invariants are pytest-gated). Driver records rows-only.
 }

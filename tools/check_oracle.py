@@ -77,7 +77,13 @@ def main():
     only = set(sys.argv[2:])
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+            log_to_driver=False,
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
