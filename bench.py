@@ -79,6 +79,18 @@ def run_bench() -> dict:
     n_out = res.count()
     headline = time.time() - t0
 
+    # join-only variant: same chain minus the per-row decode/PSNR invariant
+    # (metadata columns pruned at the read). The invariant validation is a
+    # real per-row cost the full headline keeps honest; this second number
+    # isolates the spatial-join + tile-assignment throughput the north rule
+    # names. (Round 1's headline ran a PSNR equality proxy, so its 5.2 s is
+    # comparable to THIS number, not to the full honest headline.)
+    t0 = time.time()
+    n_out2 = flagship(
+        sf_dir, n_images=n_images, decode=False, concurrency=max(2, num_cpus // 2)
+    ).count()
+    join_only = time.time() - t0
+
     qtimes: dict[str, float] = {}
     bench_queries = [
         "tile_assignment",
@@ -90,6 +102,9 @@ def run_bench() -> dict:
         "ann_topk",
         "pricing_summary",
         "near_dup_pairs",
+        "jaccard_pairs",
+        "simhash_pairs",
+        "cosine_pairs",
         "simplify_geo",
         "centerline",
         "sessionize",
@@ -115,8 +130,11 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_images": n_images,
         "images_per_sec": round(n_images / headline, 1),
+        "join_only_sec": round(join_only, 3),
+        "join_only_images_per_sec": round(n_images / join_only, 1),
         "n_out": n_out,
     }
+    assert n_out2 == n_out, "join-only and full chains must agree on rows"
     ray.shutdown()
     return result
 

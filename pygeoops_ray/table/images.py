@@ -81,14 +81,21 @@ def decode_image(data: bytes) -> np.ndarray:
     if magic == _MAGIC_RAW0:
         return arr
     if magic == _MAGIC_QZ1:
-        return (arr.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+        # stored values are 6-bit (<=63): v*4+2 <= 254 never wraps, so pure
+        # uint8 arithmetic — no widen/clip/narrow passes
+        return arr * np.uint8(4) + np.uint8(2)
     raise ValueError(f"unknown image magic: {magic!r}")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0:
+    # exact sum-of-squares via a float64 dot: every |diff| <= 255 so each
+    # partial sum is an integer < 2^53 — bit-exact regardless of summation
+    # order, and ~5x cheaper than the float64 mean-of-squares path
+    d = np.subtract(a, b, dtype=np.int16).ravel().astype(np.float64)
+    total = d.dot(d)
+    if total == 0:
         return float("inf")
+    mse = total / d.size
     return 10.0 * np.log10(255.0**2 / mse)
 
 
@@ -109,12 +116,16 @@ def _phash_geom(h: int, w: int):
 
 
 def mean_phash(pixels: np.ndarray) -> int:
-    """64-bit mean hash: 8x8 block-mean grayscale thresholded at its mean."""
+    """64-bit mean hash: 8x8 block-mean grayscale thresholded at its mean.
+
+    Channel sum happens LAST (on the 8x8x3 block sums, not per pixel): the
+    row reduceat reads the uint8 array directly, skipping the full-size
+    uint32 grayscale materialization (~3x on the whole hash).
+    """
     h, w, _ = pixels.shape
-    gray = pixels.sum(axis=2, dtype=np.uint32)  # 3x grayscale; scale cancels out
     ys, xs, areas = _phash_geom(h, w)
-    rows = np.add.reduceat(gray, ys, axis=0)
-    blocks = np.add.reduceat(rows, xs, axis=1) / areas
+    rows = np.add.reduceat(pixels, ys, axis=0, dtype=np.uint32)  # (8, w, 3)
+    blocks = np.add.reduceat(rows, xs, axis=1).sum(axis=2) / areas
     bits = (blocks > blocks.mean()).flatten()
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return int(np.int64(np.uint64(v)))  # reinterpret as signed for Arrow int64
@@ -122,25 +133,58 @@ def mean_phash(pixels: np.ndarray) -> int:
 
 def _splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     """Deterministic 64-bit mix (public splitmix64 constants)."""
-    z = (np.uint64(x) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):
+        z = (np.uint64(x) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+_ROW_GRAD: dict[int, np.ndarray] = {}
+_COL_GRAD: dict[int, np.ndarray] = {}
 
 
 def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic (h, w, 3) test pattern for image ordinal i: gradient + hash offsets."""
+    """Deterministic (h, w, 3) test pattern for image ordinal i: gradient + hash offsets.
+
+    Bit-identical to the original definition ((rows*[3,7,1] + cols*[5,2,11]
+    + offs) % 256 per channel): the per-axis gradients are pre-reduced mod
+    256 and cached by h / w (only ~151 / ~193 distinct values each), and the
+    final (h, w, 3) combine is a single uint8 broadcast add — wrap-around
+    uint8 addition IS mod-256.
+    """
     with np.errstate(over="ignore"):
         seed = _splitmix64(np.uint64(i))
-    o0 = int(seed & np.uint64(0xFF))
-    o1 = int((seed >> np.uint64(8)) & np.uint64(0xFF))
-    o2 = int((seed >> np.uint64(16)) & np.uint64(0xFF))
-    rows = np.arange(h, dtype=np.uint16)[:, None]
-    cols = np.arange(w, dtype=np.uint16)[None, :]
-    r = ((rows * 3 + cols * 5 + o0) % 256).astype(np.uint8)
-    g = ((rows * 7 + cols * 2 + o1) % 256).astype(np.uint8)
-    b = ((rows * 1 + cols * 11 + o2) % 256).astype(np.uint8)
-    return np.stack([r, g, b], axis=2)
+    offs = np.array(
+        [
+            int(seed & np.uint64(0xFF)),
+            int((seed >> np.uint64(8)) & np.uint64(0xFF)),
+            int((seed >> np.uint64(16)) & np.uint64(0xFF)),
+        ],
+        dtype=np.uint8,
+    )
+    rg = _ROW_GRAD.get(h)
+    if rg is None:
+        rg = np.ascontiguousarray(
+            (np.arange(h, dtype=np.int64)[:, None] * np.array([3, 7, 1]) % 256)
+            .astype(np.uint8)
+            .T
+        )  # (3, h)
+        _ROW_GRAD[h] = rg
+    cg = _COL_GRAD.get(w)
+    if cg is None:
+        cg = np.ascontiguousarray(
+            (np.arange(w, dtype=np.int64)[:, None] * np.array([5, 2, 11]) % 256)
+            .astype(np.uint8)
+            .T
+        )  # (3, w)
+        _COL_GRAD[w] = cg
+    out = np.empty((h, w, 3), np.uint8)
+    # per-channel 2D broadcast beats one 3D broadcast with innermost dim 3
+    for c in range(3):
+        np.add(rg[c][:, None], cg[c][None, :], out=out[:, :, c])
+    out += offs
+    return out
 
 
 _CAPTION_WORDS = (
