@@ -2,9 +2,11 @@
 
 The centerline kernel's engine (the reference delegates to GEOS
 ``voronoi_polygons(only_edges=True)``, _centerline.py:163). Implemented from
-the classic Bowyer-Watson incremental algorithm with a numpy-vectorized
-bad-triangle search per insertion: per point, the circumcircle test runs as
-one vectorized pass over the live triangle arrays.
+the classic Bowyer-Watson incremental algorithm with a visibility-walk point
+location + BFS cavity search over an incrementally-maintained edge-adjacency
+map (expected O(n log n) with the spatially-coherent insertion order), with a
+vectorized full circumcircle scan as a per-point robustness fallback whenever
+the walk fails to land on a containing triangle.
 
 Only finite Voronoi edges (between circumcenters of adjacent triangles) are
 emitted — the infinite hull rays would be dropped by the centerline's
@@ -59,16 +61,8 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     all_pts = np.concatenate([pts, sup], axis=0)
     si = n  # super vertex indices n, n+1, n+2
 
-    cap = max(4 * n + 16, 64)
-    verts = np.zeros((cap, 3), dtype=np.int64)
-    ccx = np.zeros(cap)
-    ccy = np.zeros(cap)
-    r2 = np.zeros(cap)
-    alive = np.zeros(cap, dtype=bool)
-    m = 0
-
-    # python-list coordinate access: scalar math in the hot circumcircle path
-    # beats numpy scalar indexing by ~5x
+    # pure-python triangle store: scalar list access/append beats numpy
+    # scalar indexing/assignment ~5x in the insertion/walk/BFS hot loops
     xl = all_pts[:, 0].tolist()
     yl = all_pts[:, 1].tolist()
     inf = float("inf")
@@ -100,44 +94,151 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         rr = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
         return (ux, uy, rr)
 
-    def add_tri(i, j, k):
-        nonlocal m, cap, verts, ccx, ccy, r2, alive
-        if m >= cap:
-            cap *= 2
-            verts = np.resize(verts, (cap, 3))
-            ccx = np.resize(ccx, cap)
-            ccy = np.resize(ccy, cap)
-            r2 = np.resize(r2, cap)
-            alive = np.resize(alive, cap)
-        verts[m] = (i, j, k)
-        ux, uy, rr = circum(i, j, k)
-        ccx[m], ccy[m], r2[m] = ux, uy, rr
-        alive[m] = True
-        m += 1
+    vlist: list[tuple[int, int, int]] = []
+    circ_l: list[tuple[float, float, float]] = []  # (ccx, ccy, r^2) per tri
+    alive_l: list[bool] = []
+    # edge-adjacency: sorted vertex pair -> alive triangle ids (1 or 2)
+    emap: dict[tuple[int, int], list[int]] = {}
+    vlist_append = vlist.append
+    circ_append = circ_l.append
+    alive_append = alive_l.append
+    emap_get = emap.get
+
+    def add_tri(a, b, p):
+        # store CCW so the visibility walk's right-of-edge test is consistent
+        if (xl[b] - xl[a]) * (yl[p] - yl[a]) - (yl[b] - yl[a]) * (xl[p] - xl[a]) < 0:
+            a, b = b, a
+        t = len(alive_l)
+        vlist_append((a, b, p))
+        circ_append(circum(a, b, p))
+        alive_append(True)
+        key = (a, b) if a < b else (b, a)
+        lst = emap_get(key)
+        if lst is None:
+            emap[key] = [t]
+        else:
+            lst.append(t)
+        key = (b, p) if b < p else (p, b)
+        lst = emap_get(key)
+        if lst is None:
+            emap[key] = [t]
+        else:
+            lst.append(t)
+        key = (p, a) if p < a else (a, p)
+        lst = emap_get(key)
+        if lst is None:
+            emap[key] = [t]
+        else:
+            lst.append(t)
+        return t
 
     add_tri(si, si + 1, si + 2)
+    last = 0
 
-    # insertion in spatially-coherent order tends to keep the cavity local
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    for p in order:
-        px, py = all_pts[p]
-        bad = np.nonzero(alive[:m] & ((px - ccx[:m]) ** 2 + (py - ccy[:m]) ** 2 <= r2[:m]))[0]
-        if len(bad) == 0:
-            continue  # degenerate duplicate point
-        # cavity boundary: edges appearing exactly once among the bad triangles
+    def locate(px, py):
+        """Visibility walk from the last-created triangle; None on failure."""
+        t = last
+        if not alive_l[t]:
+            return None
+        max_steps = 200 + 4 * int(np.sqrt(len(vlist)))
+        for step in range(max_steps):
+            tv = vlist[t]
+            nxt = -1
+            for e in range(3):
+                a = tv[e]
+                b = tv[e - 2]  # (e+1) % 3 without the modulo
+                if (xl[b] - xl[a]) * (py - yl[a]) - (yl[b] - yl[a]) * (px - xl[a]) < 0:
+                    key = (a, b) if a < b else (b, a)
+                    ts = emap_get(key)
+                    if ts is None:
+                        return None
+                    for cand in ts:
+                        if cand != t:
+                            nxt = cand
+                            break
+                    if nxt >= 0:
+                        break
+                    return None  # hull edge crossed: outside (shouldn't happen)
+            if nxt < 0:
+                return t  # no edge has p strictly outside: containing triangle
+            t = nxt
+        return None
+
+    # insertion in Hilbert-curve order keeps the walk + cavity local (a plain
+    # x-sort leaves y random between consecutive points → O(sqrt n) walks)
+    from pygeoops_ray.cellindex import hilbert_xy2d
+
+    span = max(maxx - minx, maxy - miny, 1e-9)
+    hx = ((pts[:, 0] - minx) / span * 1023).astype(np.int64).clip(0, 1023)
+    hy = ((pts[:, 1] - miny) / span * 1023).astype(np.int64).clip(0, 1023)
+    order = np.argsort(hilbert_xy2d(10, hx, hy), kind="stable")
+    for p in order.tolist():
+        px = xl[p]
+        py = yl[p]
+        t0 = locate(px, py)
+        bad_list: list[int]
+        if t0 is not None:
+            ux, uy, rr = circ_l[t0]
+            in0 = (px - ux) ** 2 + (py - uy) ** 2 <= rr
+        else:
+            in0 = False
+        if in0:
+            # BFS over edge-neighbors: the bad region is connected and
+            # contains the containing triangle (same <= predicate as the
+            # full scan, so cocircular tie semantics are identical)
+            bad_list = []
+            bad_append = bad_list.append
+            seen = {t0}
+            seen_add = seen.add
+            stack = [t0]
+            stack_pop = stack.pop
+            stack_append = stack.append
+            while stack:
+                t = stack_pop()
+                ux, uy, rr = circ_l[t]
+                if (px - ux) ** 2 + (py - uy) ** 2 <= rr:
+                    bad_append(t)
+                    i, j, k = vlist[t]
+                    for u, v in ((i, j), (j, k), (k, i)):
+                        key = (u, v) if u < v else (v, u)
+                        for nb in emap[key]:
+                            if nb not in seen:
+                                seen_add(nb)
+                                stack_append(nb)
+        else:
+            # walk failed (degenerate geometry / duplicate point): exact
+            # fallback — vectorized circumcircle scan over all live triangles
+            # (arrays built on demand; this path is rare, the walk covers the
+            # regular case)
+            circ = np.array(circ_l)
+            aalive = np.array(alive_l, dtype=bool)
+            bad_list = np.nonzero(
+                aalive
+                & ((px - circ[:, 0]) ** 2 + (py - circ[:, 1]) ** 2 <= circ[:, 2])
+            )[0].tolist()
+            if not bad_list:
+                continue  # degenerate duplicate point
+        # kill the cavity and count its edges in one pass: edges appearing
+        # exactly once among the bad triangles form the cavity boundary
         edges: dict[tuple[int, int], int] = {}
-        for t in bad:
-            i, j, k = verts[t]
+        edges_get = edges.get
+        for t in bad_list:
+            alive_l[t] = False
+            i, j, k = vlist[t]
             for a, b in ((i, j), (j, k), (k, i)):
                 key = (a, b) if a < b else (b, a)
-                edges[key] = edges.get(key, 0) + 1
-        alive[bad] = False
+                edges[key] = edges_get(key, 0) + 1
+                lst = emap[key]
+                lst.remove(t)
+                if not lst:
+                    del emap[key]
         for (a, b), cnt in edges.items():
             if cnt == 1:
-                add_tri(a, b, p)
+                last = add_tri(a, b, p)
 
-    live = np.nonzero(alive[:m])[0]
-    tris = verts[live]
+    tris = np.array(
+        [tv for t, tv in enumerate(vlist) if alive_l[t]], dtype=np.int64
+    ).reshape(-1, 3)
     # drop triangles touching the super-triangle
     keep = np.all(tris < n, axis=1)
     return tris[keep]
