@@ -368,8 +368,6 @@ def q_centerline(sf_dir: str):
     the true value on either side. Irregular/complex-polygon centerlines
     (ellipse, fancy-L, regression corpus) stay pytest-gated with full golden
     WKTs."""
-    import ray
-
     from pygeoops_ray.geo import geom as g
     from pygeoops_ray.geo import wkb as wkb_codec
     from pygeoops_ray.stages import geo_batch as gb
@@ -388,15 +386,12 @@ def q_centerline(sf_dir: str):
             {"s_suppkey": pa.array(keys, pa.int64()), "geom_wkb": pa.array(wkbs, pa.binary())}
         )
 
-    # size the actor pool to the session, always leaving cpus for the read
-    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    pool = max(2, min(8, ncpu // 3))
     ds = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
         rects, batch_format="pyarrow"
     )
-    ds = ds.map_batches(
-        gb.CenterlineStage, batch_format="pyarrow", concurrency=pool, batch_size=16
-    )
+    # stateless kernel → plain tasks on prestarted workers (an actor pool
+    # here only added pool spin-up, which dominated the query at bench scale)
+    ds = ds.map_batches(gb.centerline_batch, batch_format="pyarrow", batch_size=16)
     import pyarrow.compute as pc
 
     def digest(batch: pa.Table) -> pa.Table:

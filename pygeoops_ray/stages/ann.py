@@ -97,7 +97,8 @@ class _LshPartial(_PartialCosine):
 
             self.planes = ray.get(self.planes_ref)  # (tables, nbits, dim)
             qb = self._bucket(self.qn)
-            self.q_buckets = [set(qb[:, t]) for t in range(qb.shape[1])]
+            # sorted-unique arrays for the vectorized np.isin membership test
+            self.q_bucket_arrs = [np.unique(qb[:, t]) for t in range(qb.shape[1])]
 
     def _bucket(self, m: np.ndarray) -> np.ndarray:
         """(N, tables) bucket codes: one hyperplane sign code per hash table."""
@@ -118,8 +119,7 @@ class _LshPartial(_PartialCosine):
         # candidate if it shares a bucket with any query in ANY hash table
         mask = np.zeros(len(mn), dtype=bool)
         for t in range(mb.shape[1]):
-            qb = self.q_buckets[t]
-            mask |= np.array([b in qb for b in mb[:, t]])
+            mask |= np.isin(mb[:, t], self.q_bucket_arrs[t])
         if not mask.any():
             return pa.Table.from_pydict(
                 {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}

@@ -50,6 +50,14 @@ _MIX2 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX3 = np.uint64(0x94D049BB133111EB)
 
 
+# per-worker word→crc32 cache: natural-text vocabulary is far smaller than
+# the token stream, so most words hash to a dict hit instead of an
+# encode+crc32 call. Bounded; long-lived Ray workers keep it warm across
+# batches. Purely an evaluation cache — hash values are unchanged.
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1_000_000
+
+
 def _shingle_hashes(text: str, shingle: int = 3) -> np.ndarray:
     """Hashes of word shingles (uint64), vectorized.
 
@@ -62,7 +70,19 @@ def _shingle_hashes(text: str, shingle: int = 3) -> np.ndarray:
     words = text.split()
     if not words:
         return np.zeros(1, dtype=np.uint64)
-    wh = np.array([zlib.crc32(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    cache = _WORD_HASH_CACHE
+    if len(cache) > _WORD_HASH_CACHE_MAX:
+        cache.clear()
+    crc32 = zlib.crc32
+    cache_get = cache.get
+    hashes = []
+    for w in words:
+        h = cache_get(w)
+        if h is None:
+            h = crc32(w.encode("utf-8"))
+            cache[w] = h
+        hashes.append(h)
+    wh = np.array(hashes, dtype=np.uint64)
     if len(wh) < shingle:
         g = np.zeros(1, dtype=np.uint64)
         with np.errstate(over="ignore"):

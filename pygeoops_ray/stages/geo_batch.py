@@ -69,13 +69,41 @@ def simplify_stage(tolerance: float, algorithm: str = "lang", lookahead: int = 8
     return fn
 
 
+def centerline_batch(
+    batch: pa.Table,
+    densify_distance=-1,
+    min_branch_length=-1,
+    simplifytolerance=-0.25,
+    extend=False,
+) -> pa.Table:
+    """Stateless centerline of each geom_wkb — runs as plain Ray tasks on
+    prestarted workers (the kernel holds no per-actor state, so an actor
+    pool would only add pool spin-up latency)."""
+    from pygeoops_ray.geo.centerline import centerline
+
+    out, lengths = [], []
+    for b in batch["geom_wkb"].to_pylist():
+        geom = wkb.loads(b)
+        cl = centerline(
+            geom,
+            densify_distance=densify_distance,
+            min_branch_length=min_branch_length,
+            simplifytolerance=simplifytolerance,
+            extend=extend,
+        )
+        out.append(wkb.dumps(cl) if cl is not None else None)
+        lengths.append(cl.length if cl is not None else 0.0)
+    t = batch.drop_columns(["geom_wkb"])
+    t = t.append_column("centerline_wkb", pa.array(out, pa.binary()))
+    t = t.append_column("centerline_len", pa.array(lengths, pa.float64()))
+    return t
+
+
 class CenterlineStage:
-    """Actor-pool stage: centerline of each geom_wkb (scratch warm per actor)."""
+    """Actor-pool form of :func:`centerline_batch` (kept for pipelines that
+    pair the centerline with genuinely stateful per-actor setup)."""
 
     def __init__(self, densify_distance=-1, min_branch_length=-1, simplifytolerance=-0.25, extend=False):
-        from pygeoops_ray.geo.centerline import centerline
-
-        self._centerline = centerline
         self.params = dict(
             densify_distance=densify_distance,
             min_branch_length=min_branch_length,
@@ -84,16 +112,7 @@ class CenterlineStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out, lengths = [], []
-        for b in batch["geom_wkb"].to_pylist():
-            geom = wkb.loads(b)
-            cl = self._centerline(geom, **self.params)
-            out.append(wkb.dumps(cl) if cl is not None else None)
-            lengths.append(cl.length if cl is not None else 0.0)
-        t = batch.drop_columns(["geom_wkb"])
-        t = t.append_column("centerline_wkb", pa.array(out, pa.binary()))
-        t = t.append_column("centerline_len", pa.array(lengths, pa.float64()))
-        return t
+        return centerline_batch(batch, **self.params)
 
 
 def buffer_by_m_stage(quad_segs: int = 8):

@@ -115,3 +115,126 @@ def test_rect_clip_contained(poly, clip_rect):
         ob = out.bounds
         assert ob[0] >= bounds[0] - 1e-9 and ob[2] <= bounds[2] + 1e-9
         assert ob[1] >= bounds[1] - 1e-9 and ob[3] <= bounds[3] + 1e-9
+
+
+# --- Delaunay invariants (walk-based kernel: voronoi.py) --------------------
+
+
+def _delaunay_violations(pts: np.ndarray, tris: np.ndarray) -> int:
+    """Count (triangle, point) pairs where a point sits strictly inside a
+    triangle's circumcircle — must be 0 for a Delaunay triangulation
+    (strictly: beyond a cocircular tolerance)."""
+    from fractions import Fraction as F
+
+    bad = 0
+    for i, j, k in tris:
+        ax, ay = F(float(pts[i, 0])), F(float(pts[i, 1]))
+        bx, by = F(float(pts[j, 0])), F(float(pts[j, 1]))
+        cx, cy = F(float(pts[k, 0])), F(float(pts[k, 1]))
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            continue
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        rr = (ax - ux) ** 2 + (ay - uy) ** 2
+        for p in range(len(pts)):
+            if p in (i, j, k):
+                continue
+            px, py = F(float(pts[p, 0])), F(float(pts[p, 1]))
+            if (px - ux) ** 2 + (py - uy) ** 2 < rr:
+                bad += 1
+    return bad
+
+
+def test_delaunay_empty_circumcircle_random():
+    from pygeoops_ray.geo.voronoi import delaunay
+
+    rng = np.random.default_rng(7)
+    pts = rng.random((60, 2)) * 100
+    tris = delaunay(pts)
+    assert len(tris) > 0
+    assert _delaunay_violations(pts, tris) == 0
+
+
+def test_delaunay_cocircular_grid():
+    """Integer grid: every unit square's 4 corners are cocircular — the
+    triangulation must still cover the hull with 2 triangles per square."""
+    from pygeoops_ray.geo.voronoi import delaunay
+
+    xs, ys = np.meshgrid(np.arange(7.0), np.arange(5.0))
+    pts = np.column_stack([xs.ravel(), ys.ravel()])
+    tris = delaunay(pts)
+    assert len(tris) == 2 * 6 * 4  # 2 triangles per grid cell
+    # total area == hull area (no overlaps / gaps given the count)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    area = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum() / 2
+    assert area == 6 * 4
+
+
+def test_delaunay_duplicates_and_collinear():
+    from pygeoops_ray.geo.voronoi import delaunay
+
+    # duplicated points must not crash or create degenerate output triangles
+    base = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [5, 5]])
+    pts = np.concatenate([base, base[:2]])
+    tris = delaunay(pts)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    area = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum() / 2
+    assert area == 100
+    # fully collinear input: no finite-area triangulation exists
+    col = np.column_stack([np.arange(9.0), np.arange(9.0) * 2])
+    tris = delaunay(col)
+    if len(tris):
+        a, b, c = col[tris[:, 0]], col[tris[:, 1]], col[tris[:, 2]]
+        area = np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ).sum()
+        assert area == 0
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=4, max_size=40, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_delaunay_hull_area_identity(pt_list):
+    """Sum of triangle areas equals the convex hull area (half-grid coords:
+    exact float arithmetic, heavy cocircular/collinear degeneracy)."""
+    from pygeoops_ray.geo.voronoi import delaunay
+
+    pts = np.array(pt_list, dtype=np.float64)
+    tris = delaunay(pts)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    tri_area = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum() / 2
+    # exact hull area via the monotone-chain hull + shoelace
+    P = sorted(map(tuple, pts))
+
+    def half_hull(ps):
+        h = []
+        for p in ps:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half_hull(P)
+    upper = half_hull(P[::-1])
+    hull = lower[:-1] + upper[:-1]
+    hull_area = 0.0
+    for q in range(len(hull)):
+        x0, y0 = hull[q]
+        x1, y1 = hull[(q + 1) % len(hull)]
+        hull_area += x0 * y1 - x1 * y0
+    hull_area = abs(hull_area) / 2
+    assert tri_area == hull_area
