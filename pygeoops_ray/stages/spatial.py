@@ -202,9 +202,11 @@ def pip_join_rects_points(
         # worker's heap (guide: "broadcast small sides"), else co-partition.
         import ray
 
-        ptab = pcells.to_arrow_refs()
-        ptables = [pa.concat_tables([ray.get(r) for r in ptab])]
-        pt = ptables[0].combine_chunks()
+        # iter_batches: ONE plan execution (to_arrow_refs additionally runs a
+        # limit-1 schema probe pipeline — ~1s of avoidable Ray fixed cost)
+        pt = pa.concat_tables(
+            pcells.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks()
         pc_ = pt["cell_id"].to_numpy()
         order = np.argsort(pc_, kind="stable")
         broadcast = {
