@@ -523,8 +523,13 @@ class _SimHasher:
         toks = text.split()
         if not toks:
             return 0
-        uniq, cnt = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hs = np.array([self._th(w) for w in uniq], dtype=np.uint64)
+        # Counter beats np.unique-on-object ~3x; votes are order-independent
+        # sums over the unique-token multiset, so the hash value is unchanged
+        from collections import Counter
+
+        counts = Counter(toks)
+        cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        hs = np.array([self._th(w) for w in counts], dtype=np.uint64)
         bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
         votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
         return int((((votes > 0).astype(np.uint64)) << self._shifts).sum(dtype=np.uint64))
