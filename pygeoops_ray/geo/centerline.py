@@ -283,7 +283,10 @@ def _edges_inside(poly: g.Geometry, segs: np.ndarray) -> list[np.ndarray]:
     if len(candidates) == 0:
         return []
 
-    # vectorized candidate-vs-boundary crossing: bbox prefilter then exact
+    # candidate-vs-boundary crossing: y-binned bbox pair generation (a dense
+    # (N x M) overlap matrix thrashes memory once both sides are large; the
+    # bin pairs are a SUPERSET of the bbox-overlapping pairs and the exact
+    # orientation tests below decide, so results are identical), then exact
     # orientation tests over the surviving pairs
     cs = segs[candidates]  # (N,2,2)
     a1 = cs[:, 0, :]
@@ -291,17 +294,73 @@ def _edges_inside(poly: g.Geometry, segs: np.ndarray) -> list[np.ndarray]:
     b1 = barr[:, :2]
     b2 = barr[:, 2:]
     eps = 1e-12 * (1.0 + np.abs(barr).max())
-    aminx = np.minimum(a1[:, 0], a2[:, 0])[:, None]
-    amaxx = np.maximum(a1[:, 0], a2[:, 0])[:, None]
-    aminy = np.minimum(a1[:, 1], a2[:, 1])[:, None]
-    amaxy = np.maximum(a1[:, 1], a2[:, 1])[:, None]
-    ovl = (
-        (aminx <= bbox[None, :, 2] + eps)
-        & (bbox[None, :, 0] <= amaxx + eps)
-        & (aminy <= bbox[None, :, 3] + eps)
-        & (bbox[None, :, 1] <= amaxy + eps)
-    )
-    ii, jj = np.nonzero(ovl)
+    aminx = np.minimum(a1[:, 0], a2[:, 0])
+    amaxx = np.maximum(a1[:, 0], a2[:, 0])
+    aminy = np.minimum(a1[:, 1], a2[:, 1])
+    amaxy = np.maximum(a1[:, 1], a2[:, 1])
+    nseg = len(barr)
+    ncand = len(cs)
+    if ncand * nseg <= 2_000_000:
+        ovl = (
+            (aminx[:, None] <= bbox[None, :, 2] + eps)
+            & (bbox[None, :, 0] <= amaxx[:, None] + eps)
+            & (aminy[:, None] <= bbox[None, :, 3] + eps)
+            & (bbox[None, :, 1] <= amaxy[:, None] + eps)
+        )
+        ii, jj = np.nonzero(ovl)
+    else:
+        # bins over the boundary-segment y-span; each boundary segment is
+        # registered in every bin its span ± eps touches, each candidate
+        # pairs with the bins its own span touches
+        ylo = float((bbox[:, 1] - eps).min())
+        yhi = float((bbox[:, 3] + eps).max())
+        if yhi <= ylo:
+            yhi = ylo + 1.0
+        nbins = int(np.clip(nseg // 8, 16, 4096))
+        width = (yhi - ylo) / nbins
+        sb0 = np.clip(((bbox[:, 1] - eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        sb1 = np.clip(((bbox[:, 3] + eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        sreps = sb1 - sb0 + 1
+        seg_flat = np.repeat(np.arange(nseg), sreps)
+        soffs = np.concatenate([[0], np.cumsum(sreps)[:-1]])
+        seg_bin = np.repeat(sb0, sreps) + (
+            np.arange(int(sreps.sum())) - np.repeat(soffs, sreps)
+        )
+        sorder = np.argsort(seg_bin, kind="stable")
+        seg_flat = seg_flat[sorder]
+        bstarts = np.searchsorted(seg_bin[sorder], np.arange(nbins + 1))
+
+        cb0 = np.clip(((aminy - eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        cb1 = np.clip(((amaxy + eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        # candidates fully outside the boundary span cannot cross anything
+        span_ok = (amaxy >= ylo - eps) & (aminy <= yhi + eps)
+        cb0 = np.where(span_ok, cb0, 0)
+        cb1 = np.where(span_ok, cb1, -1)  # empty range
+        creps = np.maximum(cb1 - cb0 + 1, 0)
+        cand_flat = np.repeat(np.arange(ncand), creps)
+        coffs = np.concatenate([[0], np.cumsum(creps)[:-1]])
+        cand_bin = np.repeat(cb0, creps) + (
+            np.arange(int(creps.sum())) - np.repeat(coffs, creps)
+        )
+        pair_cnt = bstarts[cand_bin + 1] - bstarts[cand_bin]
+        total = int(pair_cnt.sum())
+        ii = np.repeat(cand_flat, pair_cnt)
+        poffs = np.concatenate([[0], np.cumsum(pair_cnt)[:-1]])
+        jj = seg_flat[
+            np.repeat(bstarts[cand_bin], pair_cnt)
+            + (np.arange(total) - np.repeat(poffs, pair_cnt))
+        ]
+        # exact bbox test on the (chunk-bounded) pairs; duplicates from a
+        # segment spanning several of a candidate's bins are harmless (the
+        # crossing accumulator is a logical OR)
+        keep = (
+            (aminx[ii] <= bbox[jj, 2] + eps)
+            & (bbox[jj, 0] <= amaxx[ii] + eps)
+            & (aminy[ii] <= bbox[jj, 3] + eps)
+            & (bbox[jj, 1] <= amaxy[ii] + eps)
+        )
+        ii = ii[keep]
+        jj = jj[keep]
     crossed = np.zeros(len(cs), dtype=bool)
     if len(ii):
         p1 = a1[ii]

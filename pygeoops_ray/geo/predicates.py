@@ -145,16 +145,9 @@ def point_in_polygon(poly: g.Polygon, px: float, py: float) -> int:
     return 1
 
 
-def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized point_in_ring for an (N,2) point array: array of {1,0,-1}."""
-    px = pts[:, 0][:, None]
-    py = pts[:, 1][:, None]
-    x = ring[:, 0]
-    y = ring[:, 1]
-    if len(ring) - 1 < 3:
-        return np.full(len(pts), -1, dtype=np.int8)
-    ax, ay = x[:-1][None, :], y[:-1][None, :]
-    bx, by = x[1:][None, :], y[1:][None, :]
+def _ring_test_dense(px, py, ax, ay, bx, by):
+    """(n_pts × n_segs) crossing-number + on-boundary test. px/py are column
+    vectors, seg arrays are rows. Returns (on_any, crossings) per point."""
     cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     scale = 1 + np.abs(ax) + np.abs(bx) + np.abs(py)
     on = (np.abs(cross) <= _EPS * scale) & (
@@ -168,8 +161,92 @@ def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         xi = ax + (py - ay) * (bx - ax) / (by - ay)
     crossings = np.count_nonzero(cond & (px < xi), axis=1)
-    out = np.where(crossings % 2 == 1, 1, -1).astype(np.int8)
-    out[on_any] = 0
+    return on_any, crossings
+
+
+def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized point_in_ring for an (N,2) point array: array of {1,0,-1}.
+
+    Small inputs run one dense (N × M) pass. Large inputs (N·M beyond ~4M
+    cells, where the dense temporaries would thrash memory) take a y-binned
+    path: each segment is registered in every y-bin its span ± eps touches,
+    each point only tests its own bin's segments. Both the crossing
+    condition and the on-boundary test are identically False for any segment
+    whose y-span ± eps excludes the point, so pruned results are
+    BIT-IDENTICAL to the dense pass.
+    """
+    if len(ring) - 1 < 3:
+        return np.full(len(pts), -1, dtype=np.int8)
+    pxf = pts[:, 0]
+    pyf = pts[:, 1]
+    x = ring[:, 0]
+    y = ring[:, 1]
+    n = len(pts)
+    m = len(ring) - 1
+
+    # block budget: keep every dense temporary ~16MB so the kernel stays in
+    # cache-friendly territory (large fresh temporaries run 10-40x slower on
+    # bandwidth-limited hosts)
+    CELLS = 2_000_000
+
+    def _run_dense(pi, ax, ay, bx, by, out):
+        msub = len(ax)
+        step = max(1, CELLS // max(msub, 1))
+        for s in range(0, len(pi), step):
+            sub = pi[s : s + step]
+            on_any, crossings = _ring_test_dense(
+                pxf[sub][:, None], pyf[sub][:, None], ax[None, :], ay[None, :],
+                bx[None, :], by[None, :],
+            )
+            res = np.where(crossings % 2 == 1, 1, -1).astype(np.int8)
+            res[on_any] = 0
+            out[sub] = res
+
+    out = np.full(n, -1, dtype=np.int8)
+    if n * m <= CELLS:
+        _run_dense(np.arange(n), x[:-1], y[:-1], x[1:], y[1:], out)
+        return out
+
+    # y-binned candidate pruning over the SEGMENT span only: a point whose y
+    # lies outside every segment's span ± eps has no crossing and cannot be
+    # on the boundary — it stays -1 (outside) with zero work. Both the
+    # crossing condition and the on-boundary test are identically False for
+    # any segment whose y-span ± eps excludes the point, so pruned results
+    # are BIT-IDENTICAL to the dense pass.
+    ax, ay = x[:-1], y[:-1]
+    bx, by = x[1:], y[1:]
+    slo = np.minimum(ay, by) - _EPS
+    shi = np.maximum(ay, by) + _EPS
+    ylo = float(slo.min())
+    yhi = float(shi.max())
+    if yhi <= ylo:
+        yhi = ylo + 1.0
+    nbins = int(np.clip(m // 8, 16, 4096))
+    width = (yhi - ylo) / nbins
+    b0 = np.clip(((slo - ylo) / width).astype(np.int64), 0, nbins - 1)
+    b1 = np.clip(((shi - ylo) / width).astype(np.int64), 0, nbins - 1)
+    reps = b1 - b0 + 1
+    seg_idx = np.repeat(np.arange(m), reps)
+    offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    seg_bin = np.repeat(b0, reps) + (np.arange(int(reps.sum())) - np.repeat(offs, reps))
+    order = np.argsort(seg_bin, kind="stable")
+    seg_idx = seg_idx[order]
+    bin_starts = np.searchsorted(seg_bin[order], np.arange(nbins + 1))
+
+    in_span = (pyf >= ylo) & (pyf <= yhi)
+    pb = np.clip(((pyf - ylo) / width).astype(np.int64), 0, nbins - 1)
+    pidx = np.nonzero(in_span)[0]
+    porder = pidx[np.argsort(pb[pidx], kind="stable")]
+    pstarts = np.searchsorted(pb[porder], np.arange(nbins + 1))
+    for b in range(nbins):
+        ps, pe = pstarts[b], pstarts[b + 1]
+        if ps == pe:
+            continue
+        ss, se = bin_starts[b], bin_starts[b + 1]
+        if ss == se:
+            continue
+        si = seg_idx[ss:se]
+        _run_dense(porder[ps:pe], ax[si], ay[si], bx[si], by[si], out)
     return out
 
 

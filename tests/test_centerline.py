@@ -206,3 +206,32 @@ def test_centerline_goldens_exact(poly_wkt, mbl, extend, exp_wkt):
     cl = centerline(wkt.loads(poly_wkt), min_branch_length=mbl, extend=extend)
     assert cl is not None
     assert cl.equals_exact(wkt.loads(exp_wkt), 1e-6)
+
+
+def test_centerline_large_corridor_scales():
+    """6000-vertex sinusoidal corridor: the walk-based Delaunay + y-binned
+    containment/crossing predicates keep this sub-linear-ish (was minutes
+    with the dense (N x M) predicate matrices). Asserts output sanity, and
+    the binned predicates are equivalence-tested in test_properties."""
+    import time
+
+    import numpy as np
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.centerline import centerline
+
+    n = 3000
+    xs = np.linspace(0, 300, n)
+    top = 2.0 + 0.5 * np.sin(xs / 3)
+    bot = -2.0 + 0.5 * np.cos(xs / 4)
+    ring = [(float(x), float(y)) for x, y in zip(xs, bot)] + [
+        (float(x), float(y)) for x, y in zip(xs[::-1], top[::-1])
+    ]
+    ring.append(ring[0])
+    t0 = time.time()
+    cl = centerline(g.Polygon(ring))
+    dt = time.time() - t0
+    assert cl is not None and not cl.is_empty
+    # medial axis of a 300-long corridor ~ 300 (branches at the wiggles add a bit)
+    assert 290 < cl.length < 320
+    assert dt < 60  # generous bound: catches a quadratic regression, not noise
