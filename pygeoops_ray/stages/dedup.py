@@ -376,6 +376,34 @@ def _sorted_shingle_sig(text: str, shingle: int = 3) -> np.ndarray:
     return np.unique(_shingle_hashes(text, shingle))
 
 
+def _common_shingles_topk(
+    docs_ds, shingle: int, sample_docs: int = 2048, max_common: int = 65536
+) -> np.ndarray:
+    """Sorted hashes of shingles common in a bounded driver sample.
+
+    Used only to pick a better global ORDER for prefix filtering — recall is
+    100% for any order, so sampling bias cannot cost correctness, only let an
+    unsampled hot shingle keep a big bucket. limit() reads the first blocks
+    only (deterministic for parquet reads); no full scan, no shuffle.
+    """
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in docs_ds.limit(sample_docs).select_columns(["text"]).take_all()
+    ]
+    if not texts:
+        return np.array([], dtype=np.uint64)
+    df: Counter = Counter()
+    for text in texts:
+        df.update(set(_shingle_hashes(text, shingle).tolist()))
+    thr = max(16, len(texts) // 50)  # "common" = in >=2% of sampled docs
+    hot = [h for h, c in df.items() if c >= thr]
+    if len(hot) > max_common:
+        hot = [h for h, _ in sorted(df.items(), key=lambda kv: -kv[1])[:max_common]]
+    return np.sort(np.array(hot, dtype=np.uint64))
+
+
 def exact_jaccard_pairs(
     docs_ds, jaccard_threshold: float = 0.5, num_partitions: int = 8, shingle: int = 3
 ):
@@ -400,8 +428,20 @@ def exact_jaccard_pairs(
     see _attach_and_verify — wins when signatures are large or candidates
     few, as in MinHash banding; measured here the in-bucket verify is ~6x
     faster end-to-end.)
+
+    Skew guard (rarest-first prefixes): prefix filtering is valid under ANY
+    fixed global total order on shingles — recall is 100% regardless. A plain
+    hash order puts corpus-common (template) shingles into prefixes, whose
+    buckets then grow to O(corpus) and the in-bucket pair step goes quadratic
+    (Bayardo et al. WWW'07 order by ascending document frequency for exactly
+    this reason). We demote the most frequent shingles of a bounded driver
+    SAMPLE to the tail of the order ((in_common_topk, hash) — still one
+    global order, computed without any extra shuffle); prefixes then hold the
+    rarest shingles and bucket sizes track true near-dup cluster sizes.
     """
     t = float(jaccard_threshold)
+
+    common: np.ndarray = _common_shingles_topk(docs_ds, shingle)
 
     def prefix_rows(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
@@ -411,6 +451,12 @@ def exact_jaccard_pairs(
             n = len(s)
             plen = n - int(np.ceil(t * n)) + 1
             sig = s.astype(np.int64).tobytes()
+            if len(common):
+                # global order (is_common, hash): common shingles go to the
+                # suffix; s is hash-sorted so the stable partition keeps the
+                # (is_common, hash) order exact
+                is_common = np.isin(s, common)
+                s = np.concatenate([s[~is_common], s[is_common]])
             out_key.append(s[:plen].astype(np.int64))
             out_id.append(np.full(plen, i, dtype=np.int64))
             out_sig.extend([sig] * plen)
@@ -453,18 +499,27 @@ def exact_jaccard_pairs(
             usig = sg[s:e][idx]
             sets = [np.frombuffer(x, dtype=np.int64) for x in usig]
             lens = np.array([len(x) for x in sets])
-            for x in range(len(uid)):
-                for y in range(x + 1, len(uid)):
+            # vectorized length prefilter (J >= t needs t*nb <= na <= nb/t)
+            # BEFORE pair enumeration, in bounded row chunks so a hot bucket
+            # can't allocate an O(B^2) index matrix at once
+            nb = len(uid)
+            row_step = max(1, 4_000_000 // nb)
+            for x0 in range(0, nb - 1, row_step):
+                x1 = min(x0 + row_step, nb - 1)
+                xi, yi = np.meshgrid(
+                    np.arange(x0, x1), np.arange(nb), indexing="ij"
+                )
+                upper = yi > xi
+                la = lens[xi]
+                lb = lens[yi]
+                ok = upper & (la >= t * lb) & (lb >= t * la)
+                for x, y in zip(xi[ok], yi[ok]):
                     key = (uid[x], uid[y])
                     if key in seen:
                         continue
                     seen.add(key)
-                    na, nb_ = lens[x], lens[y]
-                    # length filter: J >= t needs t*nb <= na (wlog na<=nb)
-                    if na < t * nb_ or nb_ < t * na:
-                        continue
                     inter = len(np.intersect1d(sets[x], sets[y], assume_unique=True))
-                    union = na + nb_ - inter
+                    union = lens[x] + lens[y] - inter
                     j = inter / max(union, 1)
                     if j >= t:
                         out_a.append(int(uid[x]))
