@@ -145,7 +145,6 @@ def add_footprint(batch: pa.Table) -> pa.Table:
 
 def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, concurrency: int = 4):
     """Run the flagship chain; returns the per-image join-count Dataset."""
-    from ray.data.aggregate import Count
 
     if n_images is None:
         import pyarrow.parquet as pq
@@ -178,7 +177,11 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
         imgs, points, rect_cols=("image_id",), point_cols=("event_id",),
         strategy="broadcast",
     )
-    return joined.groupby("image_id").aggregate(Count(alias_name="n_points"))
+    # bucketed vectorized count: one group per matched image, so Ray's
+    # native aggregate would pay per-group Python overhead at scale
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    return grouped_count(joined, ["image_id"], "n_points")
 
 
 def flagship_write(sf_dir: str, out_dir: str, n_images: int | None = None, n_buckets: int = 16):

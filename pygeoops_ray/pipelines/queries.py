@@ -79,12 +79,13 @@ def q_pip_join(sf_dir: str):
 
 
 def q_pip_join_agg(sf_dir: str):
-    """Points-per-image counts over the PIP join (partial-agg before groupby)."""
-    from ray.data.aggregate import Count
+    """Points-per-image counts over the PIP join (bucketed vectorized count:
+    one group per matched image — high-cardinality keys take the coarse-bucket
+    pandas path, see stages/groupagg.py)."""
+    from pygeoops_ray.stages.groupagg import grouped_count
 
     joined = sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
-    agg = joined.groupby("image_id").aggregate(Count(alias_name="n_points"))
-    return agg
+    return grouped_count(joined, ["image_id"], "n_points")
 
 
 def q_clip_join(sf_dir: str):

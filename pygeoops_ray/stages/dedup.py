@@ -32,7 +32,7 @@ def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
 
     Equivalent SQL: SELECT key..., min(keep) GROUP BY key...
     """
-    from ray.data.aggregate import Min
+    from pygeoops_ray.stages.groupagg import grouped_min
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [keep_col]).to_pandas()
@@ -40,8 +40,9 @@ def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(key_cols).aggregate(Min(keep_col, alias_name=keep_col))
-    return agg
+    # coarse-bucketed vectorized min: Ray's native aggregate pays per-group
+    # Python overhead — untenable when every distinct key is its own group
+    return grouped_min(partials, key_cols, keep_col)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -533,7 +534,7 @@ def exact_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Min
+    from pygeoops_ray.stages.groupagg import grouped_min
 
     pairs = (
         docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
@@ -542,8 +543,10 @@ def exact_jaccard_pairs(
         .map_groups(pair_verify, batch_format="pandas")
     )
     # dedup pairs found via several shared shingles across coarse groups
-    # (jaccard identical wherever computed)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    # (jaccard identical wherever computed); bucketed vectorized min — every
+    # pair is its own group, so Ray's native aggregate would pay per-group
+    # Python overhead on the whole output
+    return grouped_min(pairs, ["doc_a", "doc_b"], "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -639,6 +642,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
                     (bkey.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
                     pa.int64(),
                 ),
+                "band_id": pa.array(
+                    np.tile(np.arange(nb, dtype=np.int64), n), pa.int64()
+                ),
                 "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
                 "simhash": pa.array(np.repeat(sh, nb), pa.uint64()),
             }
@@ -650,10 +656,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
 
     def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
         bk = group["bkey"].to_numpy()
+        bands = group["band_id"].to_numpy()
         ids = group["doc_id"].to_numpy()
         sh = group["simhash"].to_numpy().astype(np.uint64)
         order = np.lexsort((ids, bk))
-        bk, ids, sh = bk[order], ids[order], sh[order]
+        bk, bands, ids, sh = bk[order], bands[order], ids[order], sh[order]
         out_a, out_b, out_h = [], [], []
         starts = np.nonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))[0]
         ends = np.concatenate([starts[1:], [len(bk)]])
@@ -664,7 +671,52 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
             if len(uid) < 2:
                 continue
             ush = sh[s:e][idx]
-            ia, ib = np.triu_indices(len(uid), k=1)
+            nb_ = len(uid)
+            # recursive multi-index refinement (HmSearch-style): all rows of
+            # this bucket agree on band `bid`; a pair with hamming <= K
+            # differs in <= K of the remaining 48 bits, so by pigeonhole at
+            # least one of K+1 12-bit sub-bands of those bits is equal —
+            # enumerate pairs only within sub-band groups (kills the
+            # O(B^2) blowup of vocabulary-correlated hot buckets) and
+            # dedupe pair keys before the exact popcount
+            bid = int(bands[s])
+            o = int(offs[bid])
+            w = int(widths[bid])
+            low = ush & ((np.uint64(1) << np.uint64(o)) - np.uint64(1))
+            other = low | ((ush >> np.uint64(o + w)) << np.uint64(o))
+            rem = 64 - w
+            nsub = max_hamming + 1
+            sw = [rem // nsub + (1 if q < rem % nsub else 0) for q in range(nsub)]
+            soff = np.cumsum([0] + sw[:-1])
+            pair_keys = []
+            for j in range(nsub):
+                sub = (other >> np.uint64(soff[j])) & (
+                    (np.uint64(1) << np.uint64(sw[j])) - np.uint64(1)
+                )
+                so = np.argsort(sub, kind="stable")
+                ss = sub[so]
+                gb = np.nonzero(np.concatenate([[True], ss[1:] != ss[:-1]]))[0]
+                ge = np.concatenate([gb[1:], [len(ss)]])
+                for a0, a1 in zip(gb, ge):
+                    if a1 - a0 < 2:
+                        continue
+                    grp = np.sort(so[a0:a1])
+                    gsz = len(grp)
+                    row_step = max(1, 2_000_000 // gsz)
+                    for x0 in range(0, gsz - 1, row_step):
+                        x1 = min(x0 + row_step, gsz - 1)
+                        xi, yi = np.meshgrid(
+                            np.arange(x0, x1), np.arange(gsz), indexing="ij"
+                        )
+                        sel = yi > xi
+                        pair_keys.append(
+                            grp[xi[sel]].astype(np.int64) * nb_ + grp[yi[sel]]
+                        )
+            if not pair_keys:
+                continue
+            pk = np.unique(np.concatenate(pair_keys))
+            ia = pk // nb_
+            ib = pk % nb_
             x = ush[ia] ^ ush[ib]
             # vectorized popcount via unpackbits on the byte view
             ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
@@ -688,7 +740,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
             }
         ).drop_duplicates(["doc_a", "doc_b"])
 
-    from ray.data.aggregate import Min
+    from pygeoops_ray.stages.groupagg import grouped_min
 
     pairs = (
         sims.map_batches(band_rows, batch_format="pyarrow")
@@ -696,5 +748,6 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
         .groupby("coarse")
         .map_groups(pair_verify, batch_format="pandas")
     )
-    # dedup pairs found by several bands (hamming identical wherever found)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # dedup pairs found by several bands (hamming identical wherever found);
+    # bucketed vectorized min — see groupagg.py
+    return grouped_min(pairs, ["doc_a", "doc_b"], "hamming")

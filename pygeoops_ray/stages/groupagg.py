@@ -1,0 +1,61 @@
+"""Vectorized distributed groupby-aggregates for HIGH-CARDINALITY keys.
+
+Ray Data's native ``groupby(...).aggregate(...)`` pays per-distinct-group
+Python overhead inside its sort-based Aggregate operator — measured ~3 ms per
+group, i.e. ~20 minutes of CPU for 350k groups on a trivial pair-dedup. For
+keys with many distinct values the scalable shape is: hash the key columns
+into a bounded number of COARSE buckets (one shuffle, as before), then run a
+single vectorized pandas groupby (C speed) inside each bucket. Results are
+identical; only the per-group dispatch cost changes.
+
+Bucket hashing uses ``pd.util.hash_pandas_object`` (fixed default hash key —
+deterministic across processes and machines), so every row of a key group
+lands in the same bucket by construction.
+
+Keep Ray's native aggregate for LOW-cardinality keys (a handful of groups):
+it avoids the extra pandas conversion and its per-group cost is negligible
+there.
+"""
+
+from __future__ import annotations
+
+__all__ = ["grouped_min", "grouped_count"]
+
+_N_BUCKETS = 64
+
+
+def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS):
+    import pandas as pd
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        df = df.copy()
+        df["_gb"] = (h % n_buckets).astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return reducer(g.drop(columns=["_gb"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def grouped_min(ds, key_cols: list[str], val_col: str, n_buckets: int = _N_BUCKETS):
+    """SELECT key..., min(val) GROUP BY key... — scalable to many groups."""
+
+    def reducer(df):
+        return df.groupby(key_cols, as_index=False, sort=False)[val_col].min()
+
+    return _bucketed(ds, key_cols, reducer, n_buckets)
+
+
+def grouped_count(ds, key_cols: list[str], alias: str, n_buckets: int = _N_BUCKETS):
+    """SELECT key..., count(*) AS alias GROUP BY key... — scalable to many groups."""
+
+    def reducer(df):
+        return df.groupby(key_cols, sort=False).size().reset_index(name=alias)
+
+    return _bucketed(ds, key_cols, reducer, n_buckets)
