@@ -682,8 +682,6 @@ def q_pricing_summary(sf_dir: str):
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: count + sum(value)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -698,10 +696,14 @@ def q_events_window(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c"))
+    # hour buckets scale with the data's time span → high-cardinality keys
+    # take the coarse-bucket vectorized path (stages/groupagg.py)
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour_bucket"],
+        [("value_c", "size", "n"), ("value_c", "sum", "sum_value_c")],
     )
 
 

@@ -19,7 +19,7 @@ there.
 
 from __future__ import annotations
 
-__all__ = ["grouped_min", "grouped_count"]
+__all__ = ["grouped_min", "grouped_count", "grouped_agg"]
 
 _N_BUCKETS = 64
 
@@ -57,5 +57,30 @@ def grouped_count(ds, key_cols: list[str], alias: str, n_buckets: int = _N_BUCKE
 
     def reducer(df):
         return df.groupby(key_cols, sort=False).size().reset_index(name=alias)
+
+    return _bucketed(ds, key_cols, reducer, n_buckets)
+
+
+def grouped_agg(
+    ds,
+    key_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    n_buckets: int = _N_BUCKETS,
+):
+    """Multi-aggregate per key group: ``aggs`` is [(col, op, alias), ...]
+    with op in pandas agg vocabulary ('sum', 'min', 'max', 'mean', 'count'
+    where count means count of rows via 'size')."""
+
+    def reducer(df):
+        g = df.groupby(key_cols, sort=False)
+        parts = []
+        for col, op, alias in aggs:
+            if op == "size":
+                parts.append(g.size().rename(alias))
+            else:
+                parts.append(getattr(g[col], op)().rename(alias))
+        import pandas as pd
+
+        return pd.concat(parts, axis=1).reset_index()
 
     return _bucketed(ds, key_cols, reducer, n_buckets)
