@@ -29,6 +29,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet METADATA (no data read) — sizing hints only."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _read_blocked(sf_dir: str, table: str, columns=None):
     """Read with a modest block-count ceiling for SHUFFLE-heavy pipelines.
 
@@ -136,7 +143,8 @@ def q_jaccard_pairs(sf_dir: str):
         return b.filter(pc.greater_equal(ntok, 3))
 
     ds = ds.map_batches(flt, batch_format="pyarrow")
-    return dedup_stages.exact_jaccard_pairs(ds, jaccard_threshold=0.5)
+    n_docs = _table_rows(sf_dir, "documents")
+    return dedup_stages.exact_jaccard_pairs(ds, jaccard_threshold=0.5, n_docs_hint=n_docs)
 
 
 def q_simhash(sf_dir: str):
@@ -152,7 +160,9 @@ def q_simhash_pairs(sf_dir: str):
     intact), so the oracle is the all-pairs bit_count(xor(...)) SQL.
     """
     ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_stages.simhash_pairs(ds, max_hamming=3)
+    return dedup_stages.simhash_pairs(
+        ds, max_hamming=3, n_docs_hint=_table_rows(sf_dir, "documents")
+    )
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -181,7 +191,9 @@ def q_near_dup_pairs(sf_dir: str):
         columns=["doc_id", "text"],
         override_num_blocks=max(4, ncpu // 4),
     )
-    return dedup_stages.near_dup_pairs(ds, jaccard_threshold=0.5)
+    return dedup_stages.near_dup_pairs(
+        ds, jaccard_threshold=0.5, n_docs_hint=_table_rows(sf_dir, "documents")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,20 @@ __all__ = [
 ]
 
 
+def _coarse_shift(n_rows_hint: int | None, target_rows: int = 500_000) -> int:
+    """Right-shift for the coarse shuffle key: ~target_rows rows per coarse
+    group, floor 64 groups. A FIXED group count means group size grows
+    linearly with the corpus (each group is one pandas frame in map_groups);
+    deriving it from a row-count hint keeps groups bounded at any scale."""
+    import math
+
+    groups = 64
+    if n_rows_hint:
+        groups = max(64, int(n_rows_hint // target_rows))
+    bits = max(6, math.ceil(math.log2(groups)))
+    return 63 - bits
+
+
 def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
     """Keep min(keep_col) per key group: per-batch partial min, then groupby min.
 
@@ -154,7 +168,11 @@ def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
 
 
 def near_dup_pairs(
-    docs_ds, jaccard_threshold: float = 0.6, concurrency: int = 4, num_partitions: int = 8
+    docs_ds,
+    jaccard_threshold: float = 0.6,
+    concurrency: int = 4,
+    num_partitions: int = 8,
+    n_docs_hint: int | None = None,
 ):
     """MinHash-LSH near-duplicate pairs (doc_a < doc_b) with verified Jaccard.
 
@@ -193,20 +211,20 @@ def near_dup_pairs(
     # coarse-group the (band, hash) buckets: grouping on the raw bucket key
     # means one map_groups dispatch per bucket (≈ docs × bands tiny groups);
     # instead shuffle on a coarse prefix and pair up all buckets of a group
-    # in one vectorized pass
+    # in one vectorized pass. Group COUNT scales with the corpus hint
+    # (floor 64): map_groups pays ~1ms of pandas dispatch per GROUP so
+    # near-empty groups are waste, but each group is one pandas frame so a
+    # fixed count would grow group size linearly with the corpus.
+    _cshift = _coarse_shift(n_docs_hint * 16 if n_docs_hint else None)
+
     def add_coarse(b: pa.Table) -> pa.Table:
         bkey = (b["band_hash"].to_numpy().astype(np.uint64) << np.uint64(4)) ^ b[
             "band_id"
         ].to_numpy().astype(np.uint64)
         out = b.append_column("bkey", pa.array(bkey.astype(np.int64), pa.int64()))
         return out.append_column(
-            # 64 coarse groups: map_groups pays ~1ms of pandas dispatch per
-            # GROUP, so a 12-bit prefix (4096 near-empty groups) spent seconds
-            # on dispatch alone; the in-group pairing is vectorized over
-            # bucket runs, so fewer/bigger groups are strictly cheaper until
-            # a group outgrows a block (raise the shift when corpus × bands
-            # per group approaches block size)
-            "coarse", pa.array((bkey >> np.uint64(58)).astype(np.int64), pa.int64())
+            "coarse",
+            pa.array((bkey >> np.uint64(_cshift + 1)).astype(np.int64), pa.int64()),
         )
 
     pairs = (
@@ -406,7 +424,11 @@ def _common_shingles_topk(
 
 
 def exact_jaccard_pairs(
-    docs_ds, jaccard_threshold: float = 0.5, num_partitions: int = 8, shingle: int = 3
+    docs_ds,
+    jaccard_threshold: float = 0.5,
+    num_partitions: int = 8,
+    shingle: int = 3,
+    n_docs_hint: int | None = None,
 ):
     """EXACT word-n-gram Jaccard similarity self-join: all pairs (a<b) with
     J(S_a, S_b) >= threshold, where S_x is x's set of distinct word 3-shingles.
@@ -441,6 +463,8 @@ def exact_jaccard_pairs(
     rarest shingles and bucket sizes track true near-dup cluster sizes.
     """
     t = float(jaccard_threshold)
+    # prefix rows per doc ~ (1-t) * distinct shingles (~half the doc's tokens)
+    _cshift = _coarse_shift(n_docs_hint * 32 if n_docs_hint else None)
 
     common: np.ndarray = _common_shingles_topk(docs_ds, shingle)
 
@@ -478,7 +502,9 @@ def exact_jaccard_pairs(
         )
 
     def add_coarse(b: pa.Table) -> pa.Table:
-        coarse = (b["bkey"].to_numpy().astype(np.uint64) >> np.uint64(58)).astype(np.int64)
+        coarse = (b["bkey"].to_numpy().astype(np.uint64) >> np.uint64(_cshift)).astype(
+            np.int64
+        )
         return b.append_column("coarse", pa.array(coarse, pa.int64()))
 
     def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
@@ -605,7 +631,9 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return _SimHasher()(batch)
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
+def simhash_pairs(
+    docs_ds, max_hamming: int = 3, num_partitions: int = 8, n_docs_hint: int | None = None
+):
     """SimHash near-duplicate pairs: all (a<b) with hamming(sh_a, sh_b) <= K.
 
     Candidate generation splits the 64-bit simhash into K+1 contiguous bands;
@@ -616,6 +644,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
     no re-join needed), then a groupby dedups pairs found by several bands.
     """
     nb = max_hamming + 1
+    _cshift = _coarse_shift(n_docs_hint * nb if n_docs_hint else None)
     # band bit-widths: as even as possible over 64 bits
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     offs = np.cumsum([0] + widths[:-1]).astype(np.uint64)
@@ -651,7 +680,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, num_partitions: int = 8):
         )
 
     def add_coarse(b: pa.Table) -> pa.Table:
-        coarse = (b["bkey"].to_numpy().astype(np.uint64) >> np.uint64(58)).astype(np.int64)
+        coarse = (b["bkey"].to_numpy().astype(np.uint64) >> np.uint64(_cshift)).astype(
+            np.int64
+        )
         return b.append_column("coarse", pa.array(coarse, pa.int64()))
 
     def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
