@@ -30,10 +30,21 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
-    """Row count from parquet METADATA (no data read) — sizing hints only."""
+    """Row count from parquet METADATA (no data read) — sizing hints only.
+    Handles both a single file and a directory dataset (the shape real-scale
+    tables have)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def _read_blocked(sf_dir: str, table: str, columns=None):
@@ -726,9 +737,7 @@ def _events_bucket_count(sf_dir: str, target_rows: int = 100_000, floor: int = 6
     scale bug); deriving it from the parquet row count keeps every
     map_groups frame bounded at any scale. Parquet metadata only — no read.
     """
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n = _table_rows(sf_dir, "events")
     return max(floor, n // target_rows + 1)
 
 
