@@ -283,15 +283,24 @@ class _PairScan:
             self.mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         ids, m = _embedding_matrix(batch)
         bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = bn @ self.mn.T  # (batch, corpus)
-        bi, cj = np.nonzero(sims >= self.threshold)
-        a = ids[bi]
-        b = self.ids[cj]
-        keep = a < b  # each unordered pair once, self-pairs dropped
+        # corpus-axis chunks keep each (batch, chunk) sims strip ~16MB: one
+        # full-corpus strip is batch x corpus floats (800MB at 100k corpus
+        # rows), and large fresh temporaries run far below cache-resident
+        # matmul throughput
+        cstep = max(256, 2_000_000 // max(len(bn), 1))
+        out_a, out_b = [], []
+        for c0 in range(0, len(self.mn), cstep):
+            sims = bn @ self.mn[c0 : c0 + cstep].T
+            bi, cj = np.nonzero(sims >= self.threshold)
+            a = ids[bi]
+            b = self.ids[c0 + cj]
+            keep = a < b  # each unordered pair once, self-pairs dropped
+            out_a.append(a[keep])
+            out_b.append(b[keep])
         return pa.Table.from_pydict(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 
