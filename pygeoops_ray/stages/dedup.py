@@ -256,9 +256,16 @@ def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         uniq = np.unique(ids[s:e])
         if len(uniq) < 2:
             continue
-        ia, ib = np.triu_indices(len(uniq), k=1)
-        out_a.append(uniq[ia])
-        out_b.append(uniq[ib])
+        # chunked pair enumeration: a degenerate bucket (e.g. many identical
+        # or empty docs sharing one signature) must not allocate O(B^2) at once
+        nb_ = len(uniq)
+        row_step = max(1, 2_000_000 // nb_)
+        for x0 in range(0, nb_ - 1, row_step):
+            x1 = min(x0 + row_step, nb_ - 1)
+            xi, yi = np.meshgrid(np.arange(x0, x1), np.arange(nb_), indexing="ij")
+            sel = yi > xi
+            out_a.append(uniq[xi[sel]])
+            out_b.append(uniq[yi[sel]])
     if not out_a:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
