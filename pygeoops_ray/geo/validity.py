@@ -45,13 +45,68 @@ def _ring_is_simple(ring: np.ndarray) -> bool:
     maxx = np.maximum(a[:, 0], b[:, 0])
     miny = np.minimum(a[:, 1], b[:, 1])
     maxy = np.maximum(a[:, 1], b[:, 1])
-    ovl = (
-        (minx[:, None] <= maxx[None, :] + eps)
-        & (minx[None, :] <= maxx[:, None] + eps)
-        & (miny[:, None] <= maxy[None, :] + eps)
-        & (miny[None, :] <= maxy[:, None] + eps)
-    )
-    iu, ju = np.nonzero(np.triu(ovl, k=2))
+    if n * n <= 4_000_000:
+        ovl = (
+            (minx[:, None] <= maxx[None, :] + eps)
+            & (minx[None, :] <= maxx[:, None] + eps)
+            & (miny[:, None] <= maxy[None, :] + eps)
+            & (miny[None, :] <= maxy[:, None] + eps)
+        )
+        iu, ju = np.nonzero(np.triu(ovl, k=2))
+    else:
+        # y-binned candidate pairs for large rings: the dense (n x n) bbox
+        # matrix thrashes memory; bin pairs are a SUPERSET of bbox overlaps
+        # (exact bbox test re-applied below) so the result is identical
+        ylo = float(miny.min())
+        yhi = float(maxy.max())
+        if yhi <= ylo:
+            yhi = ylo + 1.0
+        nbins = int(np.clip(n // 8, 16, 4096))
+        width = (yhi - ylo) / nbins
+        b0 = np.clip(((miny - eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        b1 = np.clip(((maxy + eps - ylo) / width).astype(np.int64), 0, nbins - 1)
+        reps = b1 - b0 + 1
+        seg_flat = np.repeat(np.arange(n), reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        seg_bin = np.repeat(b0, reps) + (
+            np.arange(int(reps.sum())) - np.repeat(offs, reps)
+        )
+        order = np.argsort(seg_bin, kind="stable")
+        seg_flat = seg_flat[order]
+        bstarts = np.searchsorted(seg_bin[order], np.arange(nbins + 1))
+        pair_i, pair_j = [], []
+        for bb in range(nbins):
+            s0, s1 = bstarts[bb], bstarts[bb + 1]
+            if s1 - s0 < 2:
+                continue
+            grp = np.sort(seg_flat[s0:s1])
+            gsz = len(grp)
+            row_step = max(1, 2_000_000 // gsz)
+            for x0 in range(0, gsz - 1, row_step):
+                x1 = min(x0 + row_step, gsz - 1)
+                xi, yi = np.meshgrid(np.arange(x0, x1), np.arange(gsz), indexing="ij")
+                sel = yi > xi
+                gi = grp[xi[sel]]
+                gj = grp[yi[sel]]
+                ok = (
+                    (minx[gi] <= maxx[gj] + eps)
+                    & (minx[gj] <= maxx[gi] + eps)
+                    & (miny[gi] <= maxy[gj] + eps)
+                    & (miny[gj] <= maxy[gi] + eps)
+                )
+                pair_i.append(gi[ok])
+                pair_j.append(gj[ok])
+        if pair_i:
+            iu = np.concatenate(pair_i)
+            ju = np.concatenate(pair_j)
+            pk = np.unique(iu.astype(np.int64) * n + ju)  # dedupe multi-bin pairs
+            iu = pk // n
+            ju = pk % n
+            adj = ju - iu >= 2  # keep the dense path's triu(k=2) semantics
+            iu, ju = iu[adj], ju[adj]
+        else:
+            iu = np.array([], dtype=np.int64)
+            ju = np.array([], dtype=np.int64)
     keep = ~((iu == 0) & (ju == n - 1))
     iu, ju = iu[keep], ju[keep]
     if len(iu) == 0:
