@@ -238,3 +238,64 @@ def test_delaunay_hull_area_identity(pt_list):
         hull_area += x0 * y1 - x1 * y0
     hull_area = abs(hull_area) / 2
     assert tri_area == hull_area
+
+
+# --- y-binned predicate equivalence (binned path vs dense reference) --------
+
+
+def test_points_in_ring_bulk_binned_equals_dense():
+    """Above the cell threshold the binned path must be bit-identical to the
+    dense kernel (candidate supersets + identical predicates)."""
+    from pygeoops_ray.geo.predicates import _ring_test_dense, points_in_ring_bulk
+
+    rng = np.random.default_rng(3)
+    base = np.array(
+        [[0, 0], [10, 0], [10, 10], [6, 5], [4, 9], [0, 10], [0, 0]], dtype=float
+    )
+    t = np.linspace(0, 1, 800)
+    dring = []
+    for i in range(len(base) - 1):
+        seg = base[i][None, :] * (1 - t[:, None]) + base[i + 1][None, :] * t[:, None]
+        dring.append(seg[:-1])
+    dring.append(base[-1:])
+    dring = np.concatenate(dring)
+    pts = np.column_stack([rng.random(4000) * 12 - 1, rng.random(4000) * 12 - 1])
+    gx, gy = np.meshgrid(np.arange(-1.0, 12.0, 0.5), np.arange(-1.0, 12.0, 0.5))
+    pts = np.concatenate(
+        [pts, np.column_stack([gx.ravel(), gy.ravel()]), [[5.0, 99.0], [5.0, -99.0]]]
+    )
+    assert len(pts) * (len(dring) - 1) > 4_000_000  # binned path engaged
+    got = points_in_ring_bulk(pts, dring)
+    on_any, cr = _ring_test_dense(
+        pts[:, 0][:, None], pts[:, 1][:, None],
+        dring[:-1, 0][None, :], dring[:-1, 1][None, :],
+        dring[1:, 0][None, :], dring[1:, 1][None, :],
+    )
+    ref = np.where(cr % 2 == 1, 1, -1).astype(np.int8)
+    ref[on_any] = 0
+    assert np.array_equal(got, ref)
+
+
+def test_ring_is_simple_binned_equals_dense():
+    """Large self-intersecting and simple rings agree with a brute-force
+    check of the same predicates."""
+    from pygeoops_ray.geo.validity import _ring_is_simple
+
+    n = 3000
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    # simple wobbly ring
+    r = 100 + 5 * np.sin(7 * th)
+    simple_ring = np.column_stack([100 + r * np.cos(th), 100 + r * np.sin(th)])
+    simple_ring = np.concatenate([simple_ring, simple_ring[:1]])
+    assert _ring_is_simple(simple_ring) is True
+    # figure-eight: proper crossing at the origin
+    x = 100 * np.sin(th)
+    y = 50 * np.sin(2 * th)
+    eight = np.column_stack([x, y])
+    eight = np.concatenate([eight, eight[:1]])
+    assert _ring_is_simple(eight) is False
+    # spiral with one long chord crossing many segments
+    r2 = np.linspace(20, 100, n)
+    spiral = np.column_stack([r2 * np.cos(4 * th), r2 * np.sin(4 * th)])
+    spiral = np.concatenate([spiral, spiral[:1]])  # closing chord crosses arms
+    assert _ring_is_simple(spiral) is False
