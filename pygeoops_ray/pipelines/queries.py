@@ -296,18 +296,52 @@ def q_ann_topk(sf_dir: str):
     return ann_stages.brute_force_topk(emb, q_ids, qm, k=10)
 
 
-def q_ann_ivf(sf_dir: str):
-    """IVF-style approximate top-10 (rows-only; recall checked in pytest)."""
+def _ann_recall_summary(sf_dir: str, approx_fn, min_mean_recall_pct: int, k: int = 10):
+    """Weak oracle for an approximate-NN family, encoded as rows.
+
+    An approximate index has no value-exact SQL oracle, but its CONTRACT does:
+    mean recall@k against the exact top-k (computed from the same table inside
+    this query) must clear a floor. The driver-visible output is one summary
+    row whose ``recall_ok`` flips to 0 on a recall regression, turning the
+    oracle hash red — chance-level recall here is k/N ≈ 0.1%, so the floor is
+    a real assertion, not a tautology. Raw neighbor lists stay available via
+    ``stages.ann`` and the recall distribution via pytest.
+    """
     q_ids, qm = _query_vectors(sf_dir)
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_stages.ivf_topk(emb, q_ids, qm, k=10)
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    approx = approx_fn(emb, q_ids, qm, k=k).to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= min_mean_recall_pct)], pa.int64()),
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate-NN recall gate: mean recall@10 >= 40% vs exact.
+
+    Measured mean recall is 0.55-0.74 across sf0.001/sf0.01 (nprobe=4 of 16
+    centroids); the 40% floor leaves margin for corpus drift while staying
+    ~400x above chance.
+    """
+    return _ann_recall_summary(sf_dir, ann_stages.ivf_topk, min_mean_recall_pct=40)
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-10 (rows-only; recall checked in pytest)."""
-    q_ids, qm = _query_vectors(sf_dir)
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_stages.lsh_topk(emb, q_ids, qm, k=10)
+    """Hyperplane-LSH approximate-NN recall gate: mean recall@10 >= 30%.
+
+    Measured mean recall is 0.42-0.46 across sf0.001/sf0.01.
+    """
+    return _ann_recall_summary(sf_dir, ann_stages.lsh_topk, min_mean_recall_pct=30)
 
 
 # ---------------------------------------------------------------------------
@@ -1248,7 +1282,23 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
         FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
     """,
-    # ann_lsh / ann_ivf: intentionally no oracle (approximate by design —
-    # recall measured in pytest); image_features: pixel sums aren't visible
-    # to SQL (codec invariants are pytest-gated). Driver records rows-only.
+    # ann_lsh / ann_ivf weak oracle: the query itself measures recall@10 of
+    # the approximate index against the exact top-10 (same table, same run)
+    # and emits recall_ok — the oracle asserts the contract (1), so a recall
+    # regression turns the driver hash red. n_queries mirrors the query's
+    # first-8-vec_id selection rule in SQL.
+    "ann_lsh": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings
+    """,
+    "ann_ivf": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings
+    """,
+    # image_features: pixel sums aren't visible to SQL (codec invariants are
+    # pytest-gated). Driver records rows-only.
 }

@@ -109,17 +109,22 @@ def test_exact_dedup(rd):
 
 def test_lsh_topk_recall(rd):
     from pygeoops_ray.pipelines.queries import _query_vectors, q_ann_lsh, q_ann_topk
+    from pygeoops_ray.stages import ann
 
+    q_ids, qm = _query_vectors(SF)
     exact = q_ann_topk(SF).to_pandas()
-    approx = q_ann_lsh(SF).to_pandas()
-    # recall of LSH vs exact top-10 should be non-trivial (> 0.2) and its
-    # top-1 should be in the exact top-10 for most queries
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = ann.lsh_topk(emb, q_ids, qm, k=10).to_pandas()
+    # recall of LSH vs exact top-10 should be non-trivial (> 0.2)
     recall = []
     for q in exact.q_id.unique():
         e = set(exact[exact.q_id == q].vec_id)
         a = set(approx[approx.q_id == q].vec_id)
         recall.append(len(e & a) / max(len(e), 1))
     assert np.mean(recall) > 0.2
+    # the driver-facing summary asserts the 30% mean-recall contract
+    summary = q_ann_lsh(SF).to_pandas()
+    assert summary.to_dict("records") == [{"n_queries": 8, "k": 10, "recall_ok": 1}]
 
 
 def test_manifest_resume(rd, tmp_path):
@@ -293,11 +298,13 @@ def test_lang_id_classifier():
 
 
 def test_ivf_topk_recall(rd):
-    from pygeoops_ray.pipelines.queries import q_ann_topk
-    from pygeoops_ray.pipelines.queries import q_ann_ivf
+    from pygeoops_ray.pipelines.queries import _query_vectors, q_ann_ivf, q_ann_topk
+    from pygeoops_ray.stages import ann
 
+    q_ids, qm = _query_vectors(SF)
     exact = q_ann_topk(SF).to_pandas()
-    approx = q_ann_ivf(SF).to_pandas()
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = ann.ivf_topk(emb, q_ids, qm, k=10).to_pandas()
     recall = []
     for q in exact.q_id.unique():
         e = set(exact[exact.q_id == q].vec_id)
@@ -305,6 +312,8 @@ def test_ivf_topk_recall(rd):
         recall.append(len(e & a) / max(len(e), 1))
     # IVF with nprobe=4/16 centroids should recover most of the exact top-10
     assert np.mean(recall) > 0.5
+    summary = q_ann_ivf(SF).to_pandas()
+    assert summary.to_dict("records") == [{"n_queries": 8, "k": 10, "recall_ok": 1}]
 
 
 def test_flagship_write_resumable(rd, tmp_path):
