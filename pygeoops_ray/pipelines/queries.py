@@ -671,25 +671,88 @@ def q_phash_dedup(sf_dir: str):
     return dedup_stages.exact_dedup_min(ds, ["phash", "qdigest"], "i").select_columns(["i"])
 
 
+class _FeatureDigestStage:
+    """Actor-pool stage: run the real FeatureStage kernel AND an integer
+    pixel digest from one decode, binding the float features to the exact
+    integer ground truth.
+
+    The float feature vector (channel means/stds + 4x4 gray grid) has no
+    bit-reproducible SQL form (pairwise float summation), but the DECODED
+    PIXELS do: every digest below is an exact integer DuckDB can recompute
+    from the generator rule, so the oracle value-checks decode + the pixel
+    pipeline end-to-end. ``features_ok`` then asserts in-run that the float
+    features agree with the integer sums (1e-4, >> float32 rounding), so a
+    feature-kernel regression flips the driver hash red — same weak-oracle
+    pattern as the ANN recall contract.
+
+      sum_rgb   = sum over pixels/channels of decoded value
+      sum_sq    = sum of squared decoded values (binds the stds)
+      cell_wsum = sum of (cell_index+1) * (r+g+b) per pixel, where
+                  cell_index = iy*4+ix of the 4x4 feature grid — weights make
+                  every cell's contribution distinguishable (binds the grid)
+    """
+
+    def __init__(self, grid: int = 4):
+        from pygeoops_ray.stages.multimodal import FeatureStage
+
+        self.fs = FeatureStage(grid=grid)
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pygeoops_ray.stages.multimodal import decode_any
+
+        g = self.grid
+        out = {"image_id": batch["image_id"].to_pylist()}
+        srgb, ssq, cws, fok = [], [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            pix = decode_any(data, fmt)
+            h, w, _ = pix.shape
+            d = pix.astype(np.int64)
+            ch_sum = d.sum(axis=(0, 1))  # (3,)
+            ch_sq = (d * d).sum(axis=(0, 1))
+            rgb = d.sum(axis=2)  # (h, w)
+            wy = (4 * np.arange(h) + 3) // h
+            wx = (4 * np.arange(w) + 3) // w
+            weight = wy[:, None] * g + wx[None, :] + 1
+            srgb.append(int(ch_sum.sum()))
+            ssq.append(int(ch_sq.sum()))
+            cws.append(int((weight * rgb).sum()))
+            # bind the float features to the integer truth
+            f = self.fs.features(pix).astype(np.float64)
+            n_px = h * w
+            ok = True
+            for c in range(3):
+                mean_c = ch_sum[c] / n_px
+                ok &= abs(f[c] - mean_c / 255.0) < 1e-4
+                var_c = ch_sq[c] / n_px - mean_c * mean_c
+                ok &= abs(f[3 + c] - np.sqrt(max(var_c, 0.0)) / 255.0) < 1e-4
+            ys = (np.arange(g + 1) * h) // g
+            xs = (np.arange(g + 1) * w) // g
+            for i in range(g):
+                for j in range(g):
+                    cell = rgb[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+                    want = cell.sum() / (3.0 * cell.size * 255.0)
+                    ok &= abs(f[6 + i * g + j] - want) < 1e-4
+            fok.append(int(ok))
+        out["sum_rgb"] = pa.array(srgb, pa.int64())
+        out["sum_sq"] = pa.array(ssq, pa.int64())
+        out["cell_wsum"] = pa.array(cws, pa.int64())
+        out["features_ok"] = pa.array(fok, pa.int64())
+        return pa.Table.from_pydict(out)
+
+
 def q_image_features(sf_dir: str):
-    """Feature extraction over the image table (actor-pool multimodal stage)."""
-    from pygeoops_ray.stages.multimodal import FeatureStage
+    """Feature extraction over the image table (actor-pool multimodal stage).
 
+    Emits exact integer pixel digests (SQL-recomputable from the generator
+    rule — the oracle value-checks decode end-to-end) plus a features_ok
+    contract bit binding the float feature vector to them; see
+    _FeatureDigestStage.
+    """
     ds, n = _image_ds(sf_dir)
-    out = ds.map_batches(
-        FeatureStage, batch_format="pyarrow", concurrency=2, batch_size=1024
+    return ds.map_batches(
+        _FeatureDigestStage, batch_format="pyarrow", concurrency=2, batch_size=1024
     )
-
-    def digest(batch: pa.Table) -> pa.Table:
-        feats = batch["features"]
-        sums = [
-            int(np.floor(np.sum(np.asarray(f.as_py())) * 1000)) for f in feats
-        ]
-        return pa.Table.from_pydict(
-            {"image_id": batch["image_id"], "feat_sum_m": pa.array(sums, pa.int64())}
-        )
-
-    return out.map_batches(digest, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1299,6 +1362,70 @@ ORACLE_SQL = {
                CAST(1 AS BIGINT) AS recall_ok
         FROM embeddings
     """,
-    # image_features: pixel sums aren't visible to SQL (codec invariants are
-    # pytest-gated). Driver records rows-only.
+    # image_features: the generator (splitmix64 offsets + per-axis gradient
+    # mod 256 + raw0/qz1 decode) is re-derived entirely in SQL — integer pixel
+    # digests are exact, so the oracle value-checks decode end-to-end;
+    # features_ok binds the float feature vector in-run (_FeatureDigestStage).
+    "image_features": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+-- splitmix64(src): mod-2^64 arithmetic in HUGEINT (mulmod via 32-bit split)
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_rgb,
+       CAST(sum(d0 * d0 + d1 * d1 + d2 * d2) AS BIGINT) AS sum_sq,
+       CAST(sum((((4 * y + 3) // h) * 4 + ((4 * x + 3) // w) + 1) * (d0 + d1 + d2))
+            AS BIGINT) AS cell_wsum,
+       CAST(1 AS BIGINT) AS features_ok
+FROM dec
+GROUP BY i
+    """,
 }
