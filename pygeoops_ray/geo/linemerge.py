@@ -8,6 +8,8 @@ LineString when one chain remains, else a MultiLineString.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pygeoops_ray.geo import geom as g
@@ -66,27 +68,33 @@ def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
             chain.append(seg[1:])
         return chain
 
+    # JTS LineMerger emission order (nodes live in a coordinate-ordered map;
+    # edge strings are built from every non-degree-2 node in ascending (x, y)
+    # order, taking that node's outgoing edges CCW from the +x axis). The
+    # order is observable downstream: the centerline branch pruning breaks
+    # length ties on part order, so matching it is what makes tied goldens
+    # (e.g. the square's 4-way symmetric arms) resolve exactly as GEOS does.
+    def _out_angle(item):
+        i, is_start = item
+        c = lines[i].coords[:, :2]
+        seq = c if is_start else c[::-1]
+        origin = seq[0]
+        for p in seq[1:]:
+            dx, dy = p[0] - origin[0], p[1] - origin[1]
+            if dx != 0.0 or dy != 0.0:
+                return math.atan2(dy, dx) % (2.0 * math.pi)
+        return 0.0
+
+    for node in sorted(k for k, d in degree.items() if d != 2):
+        for i, is_start in sorted(adj.get(node, []), key=_out_angle):
+            if used[i]:
+                continue
+            merged.append(np.concatenate(walk(i, forward=is_start), axis=0))
+
+    # leftover closed loops (every node degree 2): input order, as JTS does
     for i in range(len(lines)):
-        if used[i]:
-            continue
-        # walk backward first so the chain starts at a break node
-        back = walk(i, forward=False)
-        back_coords = np.concatenate(back, axis=0)[::-1]
-        # continue forward from the original line's end
-        endpt = _key(back_coords[-1])
-        parts = [back_coords]
-        while True:
-            if degree.get(endpt, 0) != 2:
-                break
-            nxt = [(j, s) for j, s in adj.get(endpt, []) if not used[j]]
-            if len(nxt) != 1:
-                break
-            j, is_start = nxt[0]
-            used[j] = True
-            seg = lines[j].coords[:, :2] if is_start else lines[j].coords[::-1, :2]
-            parts.append(seg[1:])
-            endpt = _key(parts[-1][-1])
-        merged.append(np.concatenate(parts, axis=0))
+        if not used[i]:
+            merged.append(np.concatenate(walk(i, forward=True), axis=0))
 
     if len(merged) == 1:
         return g.LineString(merged[0])
