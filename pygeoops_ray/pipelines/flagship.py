@@ -152,6 +152,11 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
         n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
         n_images = n_part * 5
 
+    # launch the small-side broadcast prep FIRST: it runs as a Ray task
+    # concurrently with the image pipeline below instead of blocking the
+    # driver for its own plan execution (~1-1.5 s at bench scale)
+    points_ref = sp.prep_points_broadcast(f"{sf_dir}/events.parquet")
+
     if decode:
         # decode as stateless TASKS, not an actor pool: the stage holds no
         # per-actor state (codec tables are module-level), and a task pool is
@@ -167,15 +172,12 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
         )
     imgs = imgs.map_batches(add_footprint, batch_format="pyarrow")
 
-    points = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
-        sp.points_from_events, batch_format="pyarrow"
-    )
     # points side is small at every test scale → broadcast join (no shuffle);
     # the cell-cogrouped shuffle join (strategy="groupby") is the large×large
     # path and stays oracle-verified via queries.pip_join
     joined = sp.pip_join_rects_points(
-        imgs, points, rect_cols=("image_id",), point_cols=("event_id",),
-        strategy="broadcast",
+        imgs, None, rect_cols=("image_id",), point_cols=("event_id",),
+        strategy="broadcast", points_broadcast=points_ref,
     )
     # bucketed vectorized count: one group per matched image, so Ray's
     # native aggregate would pay per-group Python overhead at scale

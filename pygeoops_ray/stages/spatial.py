@@ -130,6 +130,39 @@ def add_tile_cell_id(batch: pa.Table, cell_size: float = TILE) -> pa.Table:
     return batch.append_column("cell_id", pa.array(cid, pa.int64()))
 
 
+def prep_points_broadcast(events_path: str, point_cols: tuple = ("event_id",)):
+    """Build the broadcast points dict in a Ray task instead of on the driver.
+
+    ``strategy="broadcast"`` normally executes the whole points-side plan
+    driver-blocking BEFORE the big side's plan is even built (~1-1.5 s of Ray
+    fixed cost at bench scale). The small side here is a pure function of one
+    parquet file, so a single remote task can read + derive + cell-sort it
+    WHILE the big side streams; the returned ObjectRef is handed to
+    ``pip_join_rects_points(points_broadcast=...)`` and the first join task's
+    ``ray.get`` blocks only if prep hasn't finished yet (it has — image decode
+    dominates)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _prep(path: str, cols: tuple) -> dict:
+        import pyarrow.parquet as pq
+
+        t = points_from_events(pq.read_table(path, columns=["event_id"]))
+        t = add_cell_id(t)
+        cid = t["cell_id"].to_numpy()
+        order = np.argsort(cid, kind="stable")
+        out = {
+            "cell_id": cid[order],
+            "px": t["px"].to_numpy()[order],
+            "py": t["py"].to_numpy()[order],
+        }
+        for c in cols:
+            out[c] = t[c].to_numpy()[order]
+        return out
+
+    return _prep.remote(events_path, tuple(point_cols))
+
+
 def pip_join_rects_points(
     rects_ds,
     points_ds,
@@ -142,6 +175,7 @@ def pip_join_rects_points(
     salt_hot: bool = False,
     hot_threshold: int | None = None,
     salt_factor: int = 8,
+    points_broadcast=None,
 ):
     """Distributed point-in-polygon join, co-partitioned on the Hilbert cell id.
 
@@ -168,8 +202,11 @@ def pip_join_rects_points(
         add_tile_cell_id, batch_format="pyarrow"
     )
     rcells = rcells.select_columns(list(rect_cols) + ["minx", "miny", "maxx", "maxy", "cell_id"])
-    pcells = points_ds.map_batches(add_cell_id, batch_format="pyarrow")
-    pcells = pcells.select_columns(list(point_cols) + ["px", "py", "cell_id"])
+    if points_broadcast is None:
+        pcells = points_ds.map_batches(add_cell_id, batch_format="pyarrow")
+        pcells = pcells.select_columns(list(point_cols) + ["px", "py", "cell_id"])
+    elif strategy != "broadcast":
+        raise ValueError("points_broadcast requires strategy='broadcast'")
 
     if strategy == "hashjoin":
         joined = rcells.join(
@@ -202,21 +239,25 @@ def pip_join_rects_points(
         # worker's heap (guide: "broadcast small sides"), else co-partition.
         import ray
 
-        # iter_batches: ONE plan execution (to_arrow_refs additionally runs a
-        # limit-1 schema probe pipeline — ~1s of avoidable Ray fixed cost)
-        pt = pa.concat_tables(
-            pcells.iter_batches(batch_format="pyarrow", batch_size=None)
-        ).combine_chunks()
-        pc_ = pt["cell_id"].to_numpy()
-        order = np.argsort(pc_, kind="stable")
-        broadcast = {
-            "cell_id": pc_[order],
-            "px": pt["px"].to_numpy()[order],
-            "py": pt["py"].to_numpy()[order],
-        }
-        for c in pnames:
-            broadcast[c] = pt[c].to_numpy()[order]
-        bref = ray.put(broadcast)
+        if points_broadcast is not None:
+            # prepped concurrently by prep_points_broadcast — no driver block
+            bref = points_broadcast
+        else:
+            # iter_batches: ONE plan execution (to_arrow_refs additionally runs
+            # a limit-1 schema probe pipeline — ~1s of avoidable Ray fixed cost)
+            pt = pa.concat_tables(
+                pcells.iter_batches(batch_format="pyarrow", batch_size=None)
+            ).combine_chunks()
+            pc_ = pt["cell_id"].to_numpy()
+            order = np.argsort(pc_, kind="stable")
+            broadcast = {
+                "cell_id": pc_[order],
+                "px": pt["px"].to_numpy()[order],
+                "py": pt["py"].to_numpy()[order],
+            }
+            for c in pnames:
+                broadcast[c] = pt[c].to_numpy()[order]
+            bref = ray.put(broadcast)
 
         def broadcast_join(batch: pa.Table) -> pa.Table:
                 # plasma get is a local zero-copy map lookup after first fetch
