@@ -942,6 +942,71 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join: every (click, purchase) pair of the same user
+    with the purchase in ``(click.ts, click.ts + 6h]`` — the 1:N band-join
+    sibling of the 1:1 as-of join.
+
+    Distributed shape: bucketed co-partition on user (bucket count scales
+    with input size), then ONE vectorized pass per group — both sides sorted
+    by a dense (user, ts) composite key and each click's matching purchase
+    run found with two ``np.searchsorted`` calls; pairs expand via
+    repeat/arange, never a Python loop. A hot user's output is bounded by
+    the window width, so the band join is skew-tolerant by construction.
+    Oracle: the literal SQL inequality join.
+    """
+    import pandas as pd
+
+    window_us = 6 * 3_600_000_000  # 6 hours in microseconds
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def band_join(group: pd.DataFrame) -> pd.DataFrame:
+        user = group["user_id"].to_numpy()
+        ts = group["ts"].astype("int64").to_numpy()
+        eid = group["event_id"].to_numpy().astype(np.int64)
+        is_click = (group["event_type"] == "click").to_numpy()
+        if not len(user):
+            return pd.DataFrame({"click_id": np.array([], np.int64), "purchase_id": np.array([], np.int64)})
+        # dense user index × span-composite key: SPAN exceeds the group's ts
+        # range + window so (u, ts) ordering is preserved and the window
+        # offset can never cross a user boundary
+        _, uidx = np.unique(user, return_inverse=True)
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0 + window_us + 2)
+        key = uidx.astype(np.int64) * span + (ts - t0)
+        ck, pk = key[is_click], key[~is_click]
+        c_eid, p_eid = eid[is_click], eid[~is_click]
+        order = np.argsort(pk, kind="stable")
+        pk, p_eid = pk[order], p_eid[order]
+        lo = np.searchsorted(pk, ck, side="right")  # strictly after the click
+        hi = np.searchsorted(pk, ck + window_us, side="right")  # inclusive end
+        counts = hi - lo
+        total = int(counts.sum())
+        out_click = np.repeat(c_eid, counts)
+        starts = np.repeat(counts.cumsum() - counts, counts)
+        p_pos = np.arange(total) - starts + np.repeat(lo, counts)
+        return pd.DataFrame(
+            {"click_id": out_click, "purchase_id": p_eid[p_pos]}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(band_join, batch_format="pandas")
+    )
+
+
 def q_top_orders(sf_dir: str):
     """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
     orders = _read_blocked(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -977,6 +1042,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "top_orders": q_top_orders,
     "simplify_geo": q_simplify_geo,
     "centerline": q_centerline,
@@ -1128,6 +1194,15 @@ ORACLE_SQL = {
     # no-prior-click is encoded as -1 (not NULL) on BOTH sides: a nullable
     # BIGINT degrades to float64-NaN through pandas, which breaks the driver's
     # dtype-sensitive value hash even when values agree.
+    "range_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 6 HOUR
+    """,
     "asof_join": """
         SELECT p.event_id AS purchase_id,
                CAST(coalesce(c.event_id, -1) AS BIGINT) AS click_id

@@ -441,3 +441,31 @@ def test_cosine_dup_pairs_exact(rd):
     want = set(zip(ids[iu[sims[iu, ju] >= 0.95]], ids[ju[sims[iu, ju] >= 0.95]]))
     assert got_pairs == want
     assert (7, 40) in want and (7, 55) in want
+
+
+def test_range_join_matches_bruteforce(rd):
+    """Bucketed searchsorted band join == O(n²) brute force on sf0.001 events."""
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.queries import q_range_join
+
+    got = q_range_join(SF).to_pandas().sort_values(["click_id", "purchase_id"]).reset_index(drop=True)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"])
+    clicks = ev[ev.event_type == "click"]
+    purch = ev[ev.event_type == "purchase"]
+    window = pd.Timedelta(hours=6)
+    rows = []
+    for _, c in clicks.iterrows():
+        m = purch[
+            (purch.user_id == c.user_id) & (purch.ts > c.ts) & (purch.ts <= c.ts + window)
+        ]
+        rows.extend((c.event_id, p) for p in m.event_id)
+    want = (
+        pd.DataFrame(rows, columns=["click_id", "purchase_id"])
+        .astype("int64")
+        .sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[["click_id", "purchase_id"]], want)
