@@ -8,6 +8,11 @@ into a bounded number of COARSE buckets (one shuffle, as before), then run a
 single vectorized pandas groupby (C speed) inside each bucket. Results are
 identical; only the per-group dispatch cost changes.
 
+Algebraic aggregates (sum/min/max/count) additionally PRE-COMBINE inside
+``map_batches`` before the shuffle, so only per-(batch, key) partials move
+through the object store — the combiner pattern the 100-TB design calls for.
+Holistic ops (e.g. mean without decomposition) skip the partial pass.
+
 Bucket hashing uses ``pd.util.hash_pandas_object`` (fixed default hash key —
 deterministic across processes and machines), so every row of a key group
 lands in the same bucket by construction.
@@ -24,10 +29,12 @@ __all__ = ["grouped_min", "grouped_count", "grouped_agg"]
 _N_BUCKETS = 64
 
 
-def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS):
+def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS, pre=None):
     import pandas as pd
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            df = pre(df)
         h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
         df = df.copy()
         df["_gb"] = (h % n_buckets).astype("int64")
@@ -44,21 +51,35 @@ def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS):
 
 
 def grouped_min(ds, key_cols: list[str], val_col: str, n_buckets: int = _N_BUCKETS):
-    """SELECT key..., min(val) GROUP BY key... — scalable to many groups."""
+    """SELECT key..., min(val) GROUP BY key... — scalable to many groups.
+
+    min is algebraic: the per-batch partial min is combined by a second min,
+    so only one row per (batch, key) is shuffled.
+    """
+
+    def pre(df):
+        return df.groupby(key_cols, as_index=False, sort=False)[val_col].min()
 
     def reducer(df):
         return df.groupby(key_cols, as_index=False, sort=False)[val_col].min()
 
-    return _bucketed(ds, key_cols, reducer, n_buckets)
+    return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
 
 
 def grouped_count(ds, key_cols: list[str], alias: str, n_buckets: int = _N_BUCKETS):
-    """SELECT key..., count(*) AS alias GROUP BY key... — scalable to many groups."""
+    """SELECT key..., count(*) AS alias GROUP BY key... — scalable to many
+    groups. Partial per-batch counts are summed after the shuffle."""
 
-    def reducer(df):
+    def pre(df):
         return df.groupby(key_cols, sort=False).size().reset_index(name=alias)
 
-    return _bucketed(ds, key_cols, reducer, n_buckets)
+    def reducer(df):
+        return df.groupby(key_cols, as_index=False, sort=False)[alias].sum()
+
+    return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
+
+
+_COMBINE_OP = {"size": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
 def grouped_agg(
@@ -69,18 +90,35 @@ def grouped_agg(
 ):
     """Multi-aggregate per key group: ``aggs`` is [(col, op, alias), ...]
     with op in pandas agg vocabulary ('sum', 'min', 'max', 'mean', 'count'
-    where count means count of rows via 'size')."""
+    where count means count of rows via 'size').
 
-    def reducer(df):
+    When every op is algebraic (sum/min/max/size) the aggregate pre-combines
+    per batch and only (batch, key) partials are shuffled; otherwise raw rows
+    shuffle as before (results identical either way)."""
+    import pandas as pd
+
+    def _apply(df, specs):
         g = df.groupby(key_cols, sort=False)
         parts = []
-        for col, op, alias in aggs:
+        for col, op, alias in specs:
             if op == "size":
                 parts.append(g.size().rename(alias))
             else:
                 parts.append(getattr(g[col], op)().rename(alias))
-        import pandas as pd
-
         return pd.concat(parts, axis=1).reset_index()
+
+    if all(op in _COMBINE_OP for _, op, _ in aggs):
+        combine_specs = [(alias, _COMBINE_OP[op], alias) for _, op, alias in aggs]
+
+        def pre(df):
+            return _apply(df, aggs)
+
+        def reducer(df):
+            return _apply(df, combine_specs)
+
+        return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
+
+    def reducer(df):
+        return _apply(df, aggs)
 
     return _bucketed(ds, key_cols, reducer, n_buckets)
