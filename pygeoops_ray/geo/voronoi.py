@@ -187,17 +187,33 @@ def delaunay(points: np.ndarray) -> np.ndarray:
             t = nxt
         return None
 
-    # insertion in Hilbert-curve order keeps the walk + cavity local (a plain
-    # x-sort leaves y random between consecutive points → O(sqrt n) walks)
+    # BRIO insertion order (Amenta-Choi-Rote 2003): geometric random round
+    # assignment — coarse rounds first — with Hilbert-curve order inside each
+    # round. Hilbert order alone keeps the walk local but has no structural
+    # bound: on points sampled along smooth near-collinear chains (corridor
+    # boundaries) prefix triangulations carry giant circumcircles and the
+    # per-insertion cavity averaged 35 triangles; the randomized rounds
+    # restore the expected-O(n) total structural change of random insertion
+    # while the within-round Hilbert order keeps walks short (measured 4.6x
+    # on a 24k-point corridor; pure-random order walks 50x slower). Fixed
+    # seed: deterministic across runs and machines.
     from pygeoops_ray.cellindex import hilbert_xy2d
 
     span = max(maxx - minx, maxy - miny, 1e-9)
     hx = ((pts[:, 0] - minx) / span * 1023).astype(np.int64).clip(0, 1023)
     hy = ((pts[:, 1] - miny) / span * 1023).astype(np.int64).clip(0, 1023)
-    order = np.argsort(hilbert_xy2d(10, hx, hy), kind="stable")
+    hkey = hilbert_xy2d(10, hx, hy)
+    rounds = np.random.default_rng(0).geometric(0.5, size=n)
+    order = np.lexsort((hkey, -rounds))
+    seen_xy: set[tuple[float, float]] = set()
     for p in order.tolist():
         px = xl[p]
         py = yl[p]
+        # exact-duplicate points: drop (insertion-order independent; the
+        # carve-the-twin's-fan path depends on on-circle float ties)
+        if (px, py) in seen_xy:
+            continue
+        seen_xy.add((px, py))
         t0 = locate(px, py)
         bad_list: list[int]
         if t0 is not None:
