@@ -19,10 +19,6 @@ __all__ = ["line_merge"]
 _PREC = 1e-9
 
 
-def _key(pt) -> tuple[float, float]:
-    return (round(pt[0] / _PREC) * _PREC, round(pt[1] / _PREC) * _PREC)
-
-
 def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
     if geometry is None:
         return None
@@ -35,18 +31,27 @@ def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
     if not lines:
         return g.MultiLineString()
 
+    # endpoint node keys, snapped to _PREC — vectorized over all endpoints at
+    # once (np.round is round-half-to-even like builtins.round, and the
+    # quotients are < 2**53, so the keys are identical to the scalar form)
+    ends = np.array(
+        [[ln.coords[0, :2], ln.coords[-1, :2]] for ln in lines]
+    )  # (n, 2, 2)
+    keys = np.round(ends / _PREC) * _PREC
+    start_key: list[tuple[float, float]] = [tuple(k) for k in keys[:, 0].tolist()]
+    end_key: list[tuple[float, float]] = [tuple(k) for k in keys[:, 1].tolist()]
+
     # node degree map over endpoints
     degree: dict[tuple[float, float], int] = {}
-    for ln in lines:
-        for pt in (ln.coords[0, :2], ln.coords[-1, :2]):
-            k = _key(pt)
+    for i in range(len(lines)):
+        for k in (start_key[i], end_key[i]):
             degree[k] = degree.get(k, 0) + 1
 
     # adjacency: endpoint key -> list of (line_idx, is_start)
     adj: dict[tuple[float, float], list[tuple[int, bool]]] = {}
-    for i, ln in enumerate(lines):
-        adj.setdefault(_key(ln.coords[0, :2]), []).append((i, True))
-        adj.setdefault(_key(ln.coords[-1, :2]), []).append((i, False))
+    for i in range(len(lines)):
+        adj.setdefault(start_key[i], []).append((i, True))
+        adj.setdefault(end_key[i], []).append((i, False))
 
     used = [False] * len(lines)
     merged: list[np.ndarray] = []
@@ -55,8 +60,8 @@ def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
         """Collect coords chains from a line, extending through degree-2 nodes."""
         chain = [lines[start_idx].coords[:, :2] if forward else lines[start_idx].coords[::-1, :2]]
         used[start_idx] = True
+        endpt = end_key[start_idx] if forward else start_key[start_idx]
         while True:
-            endpt = _key(chain[-1][-1])
             if degree.get(endpt, 0) != 2:
                 break
             nxt = [(i, s) for i, s in adj.get(endpt, []) if not used[i]]
@@ -66,6 +71,7 @@ def line_merge(geometry: g.Geometry | None) -> g.Geometry | None:
             used[i] = True
             seg = lines[i].coords[:, :2] if is_start else lines[i].coords[::-1, :2]
             chain.append(seg[1:])
+            endpt = end_key[i] if is_start else start_key[i]
         return chain
 
     # JTS LineMerger emission order (nodes live in a coordinate-ordered map;

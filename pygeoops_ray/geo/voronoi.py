@@ -315,12 +315,28 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
         if ex is not None:
             centers[t] = (ex, ey)
 
-    edge_map: dict[tuple[int, int], list[int]] = {}
-    for t in range(len(tris)):
-        i, j, k = tris[t]
-        for x, y in ((i, j), (j, k), (k, i)):
-            key = (x, y) if x < y else (y, x)
-            edge_map.setdefault(key, []).append(t)
+    # vectorized edge-pair extraction. Emission order reproduces the previous
+    # dict-of-first-occurrence order exactly (downstream line_merge keeps
+    # leftover loops in input order, so segment order is golden-pinned):
+    # edges are grouped by sorted vertex pair via a stable lexsort, and the
+    # final segments are emitted in order of each edge's first appearance in
+    # the (triangle-ascending, (i,j),(j,k),(k,i)) flat enumeration.
+    T = len(tris)
+    ev = np.empty((3 * T, 2), dtype=np.int64)
+    ev[0::3] = tris[:, [0, 1]]
+    ev[1::3] = tris[:, [1, 2]]
+    ev[2::3] = tris[:, [2, 0]]
+    lo = np.minimum(ev[:, 0], ev[:, 1])
+    hi = np.maximum(ev[:, 0], ev[:, 1])
+    order_ = np.lexsort((lo, hi))  # stable: equal edges keep appearance order
+    slo, shi = lo[order_], hi[order_]
+    new_grp = np.empty(3 * T, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])
+    starts = np.nonzero(new_grp)[0]
+    counts = np.diff(np.append(starts, 3 * T))
+    first_flat = order_[starts]  # stable sort → first element = first seen
+    t_of = order_ // 3
 
     # envelope scale for the unbounded hull rays (GEOS clips its diagram to an
     # expanded envelope; the centerline containment filter clips further)
@@ -329,35 +345,56 @@ def voronoi_edges(points: np.ndarray) -> np.ndarray:
     ray_len = 2.0 * max(maxx - minx, maxy - miny, 1e-9)
 
     finite = np.all(np.isfinite(centers), axis=1)
-    segs = []
-    for (ia, ib), ts in edge_map.items():
-        if len(ts) == 2:
-            t0, t1 = ts
-            if not (finite[t0] and finite[t1]):
-                continue
-            p0, p1 = centers[t0], centers[t1]
-            if abs(p0[0] - p1[0]) > 1e-11 or abs(p0[1] - p1[1]) > 1e-11:
-                segs.append((p0, p1))
-        elif len(ts) == 1:
-            # hull edge → unbounded Voronoi ray from the circumcenter,
-            # perpendicular to the edge, away from the opposite vertex
-            t = ts[0]
-            cc = centers[t]
-            if not np.all(np.isfinite(cc)):
-                continue
-            i, j, k = tris[t]
-            third = [v for v in (i, j, k) if v not in (ia, ib)][0]
-            a_pt, b_pt, c_pt = pts[ia], pts[ib], pts[third]
-            mid = (a_pt + b_pt) / 2
-            d = b_pt - a_pt
-            n = np.array([-d[1], d[0]])
-            nn = np.hypot(n[0], n[1])
-            if nn == 0:
-                continue
-            n = n / nn
-            if np.dot(n, c_pt - mid) > 0:
-                n = -n
-            segs.append((cc, cc + n * ray_len))
-    if not segs:
+    ngrp = len(starts)
+    seg_out = np.zeros((ngrp, 2, 2))
+    valid = np.zeros(ngrp, dtype=bool)
+
+    # interior edges: two adjacent triangles → segment between circumcenters
+    pair_g = np.nonzero(counts == 2)[0]
+    if len(pair_g):
+        t0 = t_of[starts[pair_g]]
+        t1 = t_of[starts[pair_g] + 1]
+        p0 = centers[t0]
+        p1 = centers[t1]
+        ok = (
+            finite[t0]
+            & finite[t1]
+            & (
+                (np.abs(p0[:, 0] - p1[:, 0]) > 1e-11)
+                | (np.abs(p0[:, 1] - p1[:, 1]) > 1e-11)
+            )
+        )
+        seg_out[pair_g, 0] = p0
+        seg_out[pair_g, 1] = p1
+        valid[pair_g] = ok
+
+    # hull edges: unbounded Voronoi ray from the circumcenter, perpendicular
+    # to the edge, away from the opposite vertex
+    hull_g = np.nonzero(counts == 1)[0]
+    if len(hull_g):
+        flat = first_flat[hull_g]
+        t = flat // 3
+        e = flat % 3
+        third = tris[t, (e + 2) % 3]
+        a_pt = pts[ev[flat, 0]]
+        b_pt = pts[ev[flat, 1]]
+        c_pt = pts[third]
+        cc = centers[t]
+        mid = (a_pt + b_pt) / 2
+        dv = b_pt - a_pt
+        nv = np.column_stack([-dv[:, 1], dv[:, 0]])
+        nn = np.hypot(nv[:, 0], nv[:, 1])
+        ok = finite[t] & (nn != 0)
+        nn_safe = np.where(nn == 0, 1.0, nn)
+        nv = nv / nn_safe[:, None]
+        flip = (nv * (c_pt - mid)).sum(axis=1) > 0
+        nv[flip] = -nv[flip]
+        seg_out[hull_g, 0] = cc
+        seg_out[hull_g, 1] = cc + nv * ray_len
+        valid[hull_g] = ok
+
+    perm = np.argsort(first_flat, kind="stable")
+    segs = seg_out[perm][valid[perm]]
+    if len(segs) == 0:
         return np.zeros((0, 2, 2))
-    return np.array(segs) + center  # un-center back to world coordinates
+    return segs + center  # un-center back to world coordinates
