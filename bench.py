@@ -73,12 +73,12 @@ def run_bench() -> dict:
     image_table_ds(n_images).count()
 
     # headline: full flagship chain (decode+validate → footprint → cells →
-    # covering tiles → PIP join → per-image counts). Run twice and take the
-    # best: the first run pays one-time worker spin-up and page-cache warmup,
-    # and this box's run-to-run noise is 15-40% (BASELINE.md) — both raw
-    # times are reported so the warm/cold spread stays visible.
+    # covering tiles → PIP join → per-image counts). Run three times and take
+    # the best: the first run pays one-time worker spin-up and page-cache
+    # warmup, and this box's run-to-run noise is 15-40% (BASELINE.md) — all
+    # raw times are reported so the warm/cold spread stays visible.
     headline_runs = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "3"))):
         t0 = time.time()
         res = flagship(sf_dir, n_images=n_images, decode=True, concurrency=max(2, num_cpus // 2))
         n_out = res.count()
