@@ -469,3 +469,73 @@ def test_range_join_matches_bruteforce(rd):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got[["click_id", "purchase_id"]], want)
+
+
+def test_codec_packed_qz1_and_legacy_decode():
+    """qz1 v2 bit-packing: roundtrip, legacy-Q1 parity, error bound, size."""
+    import struct
+    import zlib
+
+    from pygeoops_ray.table import images as I
+
+    rng = np.random.default_rng(11)
+    for w, h in [(16, 16), (17, 19), (40, 36), (180, 140)]:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        enc = I.encode_image(pix, "qz1")
+        assert enc[:2] == b"Q2"
+        dec = I.decode_image(enc)
+        # decoded pixels are identical to the legacy byte-per-value layout
+        legacy = (
+            b"Q1"
+            + struct.pack("<HH", w, h)
+            + zlib.compress((pix >> 2).astype(np.uint8).tobytes(), 1)
+        )
+        assert np.array_equal(dec, I.decode_image(legacy))
+        # 6-bit quantizer error bound -> PSNR >= 40 dB invariant
+        assert np.abs(dec.astype(int) - pix.astype(int)).max() <= 2
+        # raw0 roundtrip stays exact
+        assert np.array_equal(I.decode_image(I.encode_image(pix, "raw0")), pix)
+        # packed payload is smaller than the legacy stream
+        assert len(enc) < len(legacy)
+
+
+def test_batch_kernels_bit_identical():
+    """mean_phash_batch / synth_pixels_batch == the scalar kernels, incl. the
+    i%101 duplicate-ordinal rule's source indirection."""
+    from pygeoops_ray.table import images as I
+
+    for small in (True, False):
+        by_dims = {}
+        for i in range(260):
+            src = i - 1 if (i % 101 == 0 and i > 0) else i
+            w, h = I._row_dims(src, small)
+            by_dims.setdefault((h, w), []).append(src)
+        checked = 0
+        for (h, w), srcs in by_dims.items():
+            if len(srcs) < 2:
+                continue
+            batch = I.synth_pixels_batch(np.array(srcs), w, h)
+            for j, s in enumerate(srcs):
+                assert np.array_equal(batch[j], I.synth_pixels(s, w, h))
+            ph = I.mean_phash_batch(batch)
+            for j in range(len(srcs)):
+                assert int(ph[j]) == I.mean_phash(batch[j])
+            checked += len(srcs)
+        assert checked >= 4  # the small profile cycles dims fast enough
+
+
+def test_psnr_float32_guard_exact():
+    """psnr's float32 fast path falls back to float64 exactly when the
+    sum-of-squares could round (>= 2^24)."""
+    from pygeoops_ray.table import images as I
+
+    a = np.zeros((64, 64, 3), np.uint8)
+    b = np.full((64, 64, 3), 255, np.uint8)  # total = 64*64*3*255^2 >> 2^24
+    total = 64 * 64 * 3 * 255**2
+    want = 10.0 * np.log10(255.0**2 / (total / (64 * 64 * 3)))
+    assert I.psnr(a, b) == want
+    assert I.psnr(a, a) == float("inf")
+    # small-diff case stays on the float32 path and is exact too
+    c = a.copy()
+    c[0, 0, 0] = 2
+    assert I.psnr(a, c) == 10.0 * np.log10(255.0**2 / (4 / (64 * 64 * 3)))
