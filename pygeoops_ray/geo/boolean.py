@@ -19,13 +19,16 @@ __all__ = ["difference", "intersection", "union", "union_all"]
 
 
 def _to_marty(geom: g.Geometry | None) -> list:
-    """Geometry → martinez input: list of polygons (list of rings)."""
+    """Geometry → martinez input: list of polygons (list of rings).
+
+    Rings stay numpy (N, 2) arrays — martinez consumes them via asarray and
+    the list→array conversion was ~40% of small-union fill time."""
     if geom is None or geom.is_empty:
         return []
     if isinstance(geom, g.Polygon):
-        return [[r[:, :2].tolist() for r in geom.rings]]
+        return [[r[:, :2] for r in geom.rings]]
     if isinstance(geom, g.MultiPolygon):
-        return [[r[:, :2].tolist() for r in p.rings] for p in geom.geoms if not p.is_empty]
+        return [[r[:, :2] for r in p.rings] for p in geom.geoms if not p.is_empty]
     if isinstance(geom, g.GeometryCollection):
         out = []
         for p in geom.geoms:
@@ -121,15 +124,21 @@ def union(a: g.Geometry | None, b: g.Geometry | None) -> g.Geometry | None:
 
 
 def union_all(geoms) -> g.Geometry:
-    """Union of many polygonal geometries (balanced pairwise merge tree)."""
+    """Union of many polygonal geometries.
+
+    3+ inputs run as ONE n-ary coverage-depth sweep (martinez.union_nary) —
+    a single O(E log E) pass instead of a pairwise merge tree that re-sweeps
+    intermediate results at every level (~2-3x on buffer_by_m's many-convex-
+    piece unions, validated output-equivalent on overlapping/coincident/holed
+    corpora)."""
     items = [p for p in geoms if p is not None and not p.is_empty]
     if not items:
         return g.Polygon()
-    while len(items) > 1:
-        nxt = []
-        for i in range(0, len(items) - 1, 2):
-            nxt.append(union(items[i], items[i + 1]))
-        if len(items) % 2:
-            nxt.append(items[-1])
-        items = nxt
-    return items[0]
+    if len(items) == 1:
+        return items[0]
+    if len(items) == 2:
+        return union(items[0], items[1])
+    polys: list = []
+    for p in items:
+        polys.extend(_to_marty(p))
+    return _from_marty(martinez.union_nary(polys))

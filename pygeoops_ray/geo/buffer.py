@@ -25,7 +25,10 @@ def point_buffer(x: float, y: float, radius: float, quad_segs: int = 8) -> np.nd
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain; returns CCW closed hull ring (scalar-math hot loop)."""
+    """Andrew monotone chain; returns CCW closed hull ring (scalar-math hot
+    loop — a vectorized iterated concave-elimination variant measured 2x
+    SLOWER on the two-circle buffer inputs: their x-interleaved arcs force
+    ~25 elimination passes)."""
     pts = np.unique(points[:, :2], axis=0)
     if len(pts) <= 2:
         return pts

@@ -20,7 +20,7 @@ import math
 
 _SEQ = itertools.count()
 
-__all__ = ["boolean_op"]
+__all__ = ["boolean_op", "union_nary"]
 
 NORMAL = 0
 NON_CONTRIBUTING = 1
@@ -31,6 +31,7 @@ INTERSECTION = "intersection"
 UNION = "union"
 DIFFERENCE = "difference"
 XOR = "xor"
+NARY_UNION = "nary_union"  # n-ary union: nonzero coverage-depth semantics
 
 
 def _signed_area(p0, p1, p2) -> float:
@@ -54,6 +55,8 @@ class SweepEvent:
         "contour_id",
         "output_contour_id",
         "key",
+        "delta",
+        "cov_below",
     )
 
     def __init__(self, p, left, other, is_subject):
@@ -71,6 +74,8 @@ class SweepEvent:
         self.processed = False
         self.contour_id = 0
         self.output_contour_id = -1
+        self.delta = 0  # n-ary union: coverage change crossing this edge upward
+        self.cov_below = 0  # n-ary union: coverage depth just below this edge
 
     def is_below(self, p) -> bool:
         if self.left:
@@ -190,11 +195,14 @@ def _segment_intersection(a1, a2, b1, b2):
             return []
         s = 0.0 if s <= _T_EPS else (1.0 if s >= 1 - _T_EPS else s)
         t = 0.0 if t <= _T_EPS else (1.0 if t >= 1 - _T_EPS else t)
+        # endpoint snaps return the ACTUAL endpoint tuple: recomputing it as
+        # p + v rounds the last ulp, and a division at a 1-ulp-off "endpoint"
+        # spawns degenerate micro-edges that desynchronize coincident chains
         if s == 0 or s == 1:
-            return [_mid(a1, s, va)]
+            return [a1 if s == 0 else a2]
         if t == 0 or t == 1:
-            return [_mid(b1, t, vb)]
-        return [_mid(a1, s, va)]
+            return [b1 if t == 0 else b2]
+        return [_mid(a1, a2, s, va)]
     # parallel
     if _cross(e, va) != 0:
         return []
@@ -206,16 +214,30 @@ def _segment_intersection(a1, a2, b1, b2):
     lo, hi = max(0.0, smin), min(1.0, smax)
     if lo > hi:
         return []
+
+    def _pt(param):
+        # map the parameter back to the ORIGINAL endpoint it came from — the
+        # recomputed projection differs in the last ulp (see endpoint snaps)
+        if param == 0.0:
+            return a1
+        if param == 1.0:
+            return a2
+        if param == s0:
+            return b1
+        if param == s1:
+            return b2
+        return (a1[0] + param * va[0], a1[1] + param * va[1])
+
     if lo == hi:
-        return [_mid(a1, lo, va)]
-    return [_mid(a1, lo, va), _mid(a1, hi, va)]
+        return [_pt(lo)]
+    return [_pt(lo), _pt(hi)]
 
 
-def _mid(p, t, v):
+def _mid(p, q, t, v):
     if t == 0:
         return p
     if t == 1:
-        return (p[0] + v[0], p[1] + v[1])
+        return q
     return (p[0] + t * v[0], p[1] + t * v[1])
 
 
@@ -271,10 +293,35 @@ def _result_transition(event: SweepEvent, operation: str) -> int:
     return 1 if is_in else -1
 
 
+def _compute_fields_nary(event: SweepEvent, prev: SweepEvent | None):
+    """n-ary union fields: nonzero coverage depth instead of the two-operand
+    in_out/other_in_out pair. ``cov_below`` accumulates along the status line;
+    an edge is a union boundary iff exactly one side has depth zero. A
+    vertical prev contributes nothing to the region above it at the sweep's
+    x+eps (its span lies behind the sweep), so its below-coverage passes
+    through — the same convention as the two-operand other_in_out flip."""
+    if prev is None:
+        event.cov_below = 0
+    elif prev.is_vertical():
+        event.cov_below = prev.cov_below
+    else:
+        event.cov_below = prev.cov_below + prev.delta
+    above = event.cov_below + event.delta
+    event.in_result = event.delta != 0 and (event.cov_below == 0) != (above == 0)
+    event.result_transition = (
+        0 if not event.in_result else (1 if event.cov_below == 0 else -1)
+    )
+    if prev is not None:
+        event.prev_in_result = (
+            prev if (prev.in_result and not prev.is_vertical()) else prev.prev_in_result
+        )
+
+
 def _divide_segment(se: SweepEvent, p, queue: list):
     r = SweepEvent(p, False, se, se.is_subject)
     l = SweepEvent(p, True, se.other, se.is_subject)
     r.contour_id = l.contour_id = se.contour_id
+    l.delta = se.delta  # n-ary union: both halves carry the edge's coverage delta
     if compare_events(l, se.other) > 0:
         # rounding degeneracy: flip
         se.other.left = True
@@ -289,14 +336,28 @@ def _divide_segment(se: SweepEvent, p, queue: list):
     heapq.heappush(queue, (r.key, r))
 
 
-def _possible_intersection(se1: SweepEvent, se2: SweepEvent, queue: list) -> int:
-    inter = _segment_intersection(se1.p, se1.other.p, se2.p, se2.other.p)
+def _possible_intersection(
+    se1: SweepEvent, se2: SweepEvent, queue: list, nary: bool = False
+) -> int:
+    a1 = se1.p
+    a2 = se1.other.p
+    b1 = se2.p
+    b2 = se2.other.p
+    # cheap rejection on disjoint y-spans (x-spans always overlap for status
+    # neighbors); the margin covers the parametric endpoint snap tolerance
+    ay0, ay1 = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
+    by0, by1 = (b1[1], b2[1]) if b1[1] <= b2[1] else (b2[1], b1[1])
+    if ay0 > by1 + 1e-9 * (1.0 + abs(by1)) or by0 > ay1 + 1e-9 * (1.0 + abs(ay1)):
+        return 0
+    inter = _segment_intersection(a1, a2, b1, b2)
     n = len(inter)
     if n == 0:
         return 0
     if n == 1 and (se1.p == se2.p or se1.other.p == se2.other.p):
         return 0
-    if n == 2 and se1.is_subject == se2.is_subject:
+    if n == 2 and not nary and se1.is_subject == se2.is_subject:
+        # two-operand mode assumes each operand's rings don't self-overlap;
+        # n-ary union MUST process same-set overlaps (delta folding)
         return 0
     if n == 1:
         ip = inter[0]
@@ -322,9 +383,17 @@ def _possible_intersection(se1: SweepEvent, se2: SweepEvent, queue: list) -> int
 
     if left_coincide:
         se2.type = NON_CONTRIBUTING
-        se1.type = SAME_TRANSITION if se2.in_out == se1.in_out else DIFFERENT_TRANSITION
+        if not nary:
+            se1.type = (
+                SAME_TRANSITION if se2.in_out == se1.in_out else DIFFERENT_TRANSITION
+            )
         if not right_coincide:
             _divide_segment(events[1].other, events[0].p, queue)
+        if nary:
+            # fold the coincident edge's coverage delta into the carrier
+            # (AFTER the divide: the non-overlapping tail keeps its own delta)
+            se1.delta += se2.delta
+            se2.delta = 0
         return 2
     if right_coincide:
         _divide_segment(events[0], events[1].p, queue)
@@ -338,69 +407,103 @@ def _possible_intersection(se1: SweepEvent, se2: SweepEvent, queue: list) -> int
     return 3
 
 
-def _fill_queue(subject, clipping):
-    """Initial event list: numpy-batched per ring (one arctan2 per edge,
-    lexicographic left-flags vectorized), keys assigned directly, one
-    heapify at the end — no per-event heappush / atan2 / comparator work.
-    Heap entries are (key, event) tuples so heapq compares plain tuples
-    instead of dispatching SweepEvent.__lt__."""
+def _fill_queue(subject, clipping, nary: bool = False):
+    """Initial event list, numpy-batched across ALL rings at once: one
+    concatenated coordinate array per operand set, vectorized edge
+    normalization / arctan2 / orientation, keys assigned directly, one
+    heapify at the end. Heap entries are (key, event) tuples so heapq
+    compares plain tuples instead of dispatching SweepEvent.__lt__.
+
+    With ``nary=True`` every left event additionally gets its coverage
+    ``delta``: +1 iff the polygon's covered side lies above the (lo→hi
+    normalized) edge. The covered side is LEFT of the ring's travel for a
+    CCW shell or a CW hole (ring 0 = shell, the rest are holes — hole
+    interiors subtract coverage), and "above" is left-of-travel when the
+    ring traverses the edge lo→hi. Nonzero accumulation of these deltas
+    along the sweep line is the n-ary union's region test."""
     import numpy as np
 
     queue: list = []
     contour_id = 0
     for polys, is_subject in ((subject, True), (clipping, False)):
         subj_flag = 0 if is_subject else 1
+        arrs = []  # (pts, is_shell, contour_id)
         for poly in polys:
-            for ring in poly:
+            for ring_idx, ring in enumerate(poly):
                 contour_id += 1
                 pts = np.asarray(ring, dtype=np.float64)
                 if len(pts) > 1 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
                     pts = pts[:-1]
                 if len(pts) < 3:
                     continue
-                if len(pts) >= 64:
-                    nxt = np.roll(pts, -1, axis=0)
-                    keep = (pts[:, 0] != nxt[:, 0]) | (pts[:, 1] != nxt[:, 1])
-                    a, b = pts[keep], nxt[keep]
-                    # left endpoint = lexicographic min of the edge
-                    a_first = (a[:, 0] < b[:, 0]) | (
-                        (a[:, 0] == b[:, 0]) & (a[:, 1] < b[:, 1])
-                    )
-                    lo = np.where(a_first[:, None], a, b)
-                    hi = np.where(a_first[:, None], b, a)
-                    ang_arr = np.arctan2(hi[:, 1] - lo[:, 1], hi[:, 0] - lo[:, 0])
-                    # native Python floats: numpy scalars would slow every
-                    # downstream tuple compare / signed-area call
-                    lo_l, hi_l, ang = lo.tolist(), hi.tolist(), ang_arr.tolist()
-                else:
-                    # small rings: scalar path (numpy per-ring overhead loses)
-                    pl = pts.tolist()
-                    lo_l, hi_l, ang = [], [], []
-                    m = len(pl)
-                    for i in range(m):
-                        p1 = pl[i]
-                        p2 = pl[(i + 1) % m]
-                        if p1 == p2:
-                            continue
-                        if p1 < p2:
-                            plo, phi = p1, p2
-                        else:
-                            plo, phi = p2, p1
-                        lo_l.append(plo)
-                        hi_l.append(phi)
-                        ang.append(math.atan2(phi[1] - plo[1], phi[0] - plo[0]))
-                for i in range(len(lo_l)):
-                    p_lo = tuple(lo_l[i])
-                    p_hi = tuple(hi_l[i])
-                    el = SweepEvent(p_lo, True, None, is_subject)
-                    er = SweepEvent(p_hi, False, el, is_subject)
-                    el.other = er
-                    el.contour_id = er.contour_id = contour_id
-                    ai = ang[i]
-                    el.key = (p_lo[0], p_lo[1], 1, ai, subj_flag, next(_SEQ))
-                    er.key = (p_hi[0], p_hi[1], 0, -ai, subj_flag, next(_SEQ))
-                    queue.append((el.key, el))
-                    queue.append((er.key, er))
+                arrs.append((pts, ring_idx == 0, contour_id))
+        if not arrs:
+            continue
+        P = np.concatenate([a for a, _, _ in arrs])
+        sizes = np.array([len(a) for a, _, _ in arrs])
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        nxt_idx = np.arange(1, len(P) + 1)
+        nxt_idx[starts + sizes - 1] = starts
+        A, Bp = P, P[nxt_idx]
+        keep = (A[:, 0] != Bp[:, 0]) | (A[:, 1] != Bp[:, 1])
+        # left endpoint = lexicographic min of the edge
+        a_first = (A[:, 0] < Bp[:, 0]) | ((A[:, 0] == Bp[:, 0]) & (A[:, 1] < Bp[:, 1]))
+        lo = np.where(a_first[:, None], A, Bp)
+        hi = np.where(a_first[:, None], Bp, A)
+        ang_arr = np.arctan2(hi[:, 1] - lo[:, 1], hi[:, 0] - lo[:, 0])
+        cid_edge = np.repeat(np.array([c for _, _, c in arrs]), sizes)
+        if nary:
+            crosses = A[:, 0] * Bp[:, 1] - Bp[:, 0] * A[:, 1]
+            ccw = np.add.reduceat(crosses, starts) > 0
+            shell = np.array([sh for _, sh, _ in arrs])
+            covered_left = np.repeat(np.where(shell, ccw, ~ccw), sizes)
+            deltas = np.where(a_first == covered_left, 1, -1)[keep]
+            lo_k, hi_k = lo[keep], hi[keep]
+            ang_k, cid_k = ang_arr[keep], cid_edge[keep]
+            # PRE-FOLD bit-identical edges: coincident input edges (buffer
+            # hulls share whole arc chains) fold their deltas into one
+            # carrier BEFORE the sweep — mid-sweep coincidence detection
+            # cannot be relied on for same-set chains once endpoint-snapped
+            # divisions perturb exact collinearity by an ulp. Bundles whose
+            # deltas annihilate (a top edge against a bottom edge) vanish
+            # entirely; the rest enter the sweep once, so duplicated chains
+            # can never desynchronize. Also strictly shrinks the event count.
+            quad = np.concatenate([lo_k, hi_k], axis=1)
+            uniq, first_idx, inverse = np.unique(
+                quad, axis=0, return_index=True, return_inverse=True
+            )
+            folded = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(folded, inverse, deltas)
+            nz = folded != 0
+            sel = first_idx[nz]
+            order = np.argsort(sel)  # keep original edge order
+            sel = sel[order]
+            delta_arr = folded[nz][order].tolist()
+            lo_l = lo_k[sel].tolist()
+            hi_l = hi_k[sel].tolist()
+            ang = ang_k[sel].tolist()
+            cids = cid_k[sel].tolist()
+        else:
+            # native Python floats: numpy scalars would slow every downstream
+            # tuple compare / signed-area call
+            lo_l = lo[keep].tolist()
+            hi_l = hi[keep].tolist()
+            ang = ang_arr[keep].tolist()
+            cids = cid_edge[keep].tolist()
+        for i in range(len(lo_l)):
+            p_lo = tuple(lo_l[i])
+            p_hi = tuple(hi_l[i])
+            el = SweepEvent(p_lo, True, None, is_subject)
+            er = SweepEvent(p_hi, False, el, is_subject)
+            el.other = er
+            el.contour_id = er.contour_id = cids[i]
+            if nary:
+                el.delta = delta_arr[i]
+            ai = ang[i]
+            el.key = (p_lo[0], p_lo[1], 1, ai, subj_flag, next(_SEQ))
+            er.key = (p_hi[0], p_hi[1], 0, -ai, subj_flag, next(_SEQ))
+            queue.append((el.key, el))
+            queue.append((er.key, er))
     heapq.heapify(queue)
     return queue
 
@@ -409,6 +512,11 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
     sorted_events: list[SweepEvent] = []
     sweep: list[SweepEvent] = []  # status line, ordered by compare_segments
     min_maxx = min(sbb_maxx, cbb_maxx)
+    nary = operation == NARY_UNION
+    if nary:
+        fields = lambda ev, prv: _compute_fields_nary(ev, prv)  # noqa: E731
+    else:
+        fields = lambda ev, prv: _compute_fields(ev, prv, operation)  # noqa: E731
     while queue:
         event = heapq.heappop(queue)[1]
         if (operation == INTERSECTION and event.p[0] > min_maxx) or (
@@ -428,16 +536,16 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
             sweep.insert(lo, event)
             prev = sweep[lo - 1] if lo > 0 else None
             nxt = sweep[lo + 1] if lo + 1 < len(sweep) else None
-            _compute_fields(event, prev, operation)
+            fields(event, prev)
             if nxt is not None:
-                if _possible_intersection(event, nxt, queue) == 2:
-                    _compute_fields(event, prev, operation)
-                    _compute_fields(nxt, event, operation)
+                if _possible_intersection(event, nxt, queue, nary) == 2:
+                    fields(event, prev)
+                    fields(nxt, event)
             if prev is not None:
-                if _possible_intersection(prev, event, queue) == 2:
+                if _possible_intersection(prev, event, queue, nary) == 2:
                     pprev = sweep[lo - 2] if lo > 1 else None
-                    _compute_fields(prev, pprev, operation)
-                    _compute_fields(event, prev, operation)
+                    fields(prev, pprev)
+                    fields(event, prev)
         else:
             left = event.other
             try:
@@ -448,7 +556,7 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
             nxt = sweep[pos + 1] if pos + 1 < len(sweep) else None
             sweep.pop(pos)
             if prev is not None and nxt is not None:
-                _possible_intersection(prev, nxt, queue)
+                _possible_intersection(prev, nxt, queue, nary)
     return sorted_events
 
 
@@ -557,8 +665,39 @@ def boolean_op(subject, clipping, operation: str):
     queue = _fill_queue(subject, clipping)
     sorted_events = _subdivide(queue, operation, sbb[2], cbb[2])
     contours = _connect_edges(sorted_events, operation)
+    return _assemble(contours)
 
-    # assemble: even depth → shell, odd → hole of its hole_of parent
+
+def union_nary(polygons):
+    """Union of MANY possibly-overlapping polygons in ONE sweep.
+
+    Coverage-depth (nonzero winding of the CCW-shell / CW-hole deltas)
+    replaces the two-operand subject/clipping state: an edge is on the union
+    boundary iff the coverage depth is zero on exactly one side. Coincident
+    edges fold their deltas into one carrier, so shared boundaries emit one
+    edge (+k vs 0 keeps it, +1/-1 annihilates it — a piece's top edge against
+    another's bottom edge is interior and correctly dropped). Equivalent to a
+    pairwise-union fold tree but a single O(E log E) pass instead of
+    re-sweeping intermediate results at every tree level (~2-3x on
+    buffer_by_m-style many-convex-piece unions).
+
+    polygons: list of polygons, each a list of rings. Returns the same
+    [shell, hole, ...] point-list form as boolean_op.
+    """
+    items = [p for p in polygons if any(len(r) >= 3 for r in p)]
+    if not items:
+        return []
+    if len(items) == 1:
+        return _copy(items)
+    queue = _fill_queue(items, [], nary=True)
+    inf = float("inf")
+    sorted_events = _subdivide(queue, NARY_UNION, inf, inf)
+    contours = _connect_edges(sorted_events, NARY_UNION)
+    return _assemble(contours)
+
+
+def _assemble(contours):
+    """Contours → polygons: even depth → shell, odd → hole of its parent."""
     polygons: dict[int, list] = {}
     result = []
     for cid, c in enumerate(contours):
@@ -583,15 +722,21 @@ def boolean_op(subject, clipping, operation: str):
 
 
 def _bbox(polys):
+    import numpy as np
+
     minx = miny = float("inf")
     maxx = maxy = float("-inf")
     for poly in polys:
         for ring in poly:
-            for p in ring:
-                minx = min(minx, p[0])
-                miny = min(miny, p[1])
-                maxx = max(maxx, p[0])
-                maxy = max(maxy, p[1])
+            a = np.asarray(ring, dtype=np.float64)
+            if len(a) == 0:
+                continue
+            lo = a.min(axis=0)
+            hi = a.max(axis=0)
+            minx = min(minx, lo[0])
+            miny = min(miny, lo[1])
+            maxx = max(maxx, hi[0])
+            maxy = max(maxy, hi[1])
     return (minx, miny, maxx, maxy)
 
 

@@ -196,3 +196,64 @@ def test_buffer_by_m_geometrycollection():
     )
     out2 = buffer_by_m(nested)
     assert isinstance(out2, g.MultiPolygon) and len(out2.geoms) == 2
+
+
+def test_union_nary_matches_membership_oracle():
+    """n-ary coverage-depth union == exact point-membership oracle (a point
+    is in the union iff it is in some input polygon), on the degenerate
+    corpora that break naive approaches: shared edges, duplicates, holes,
+    coincident hull-chain arcs."""
+    from pygeoops_ray.geo import martinez as M
+    from pygeoops_ray.geo.buffer import convex_hull, point_buffer
+
+    def sqr(x0, y0, s=1.0):
+        return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+
+    def pip(polys, x, y):
+        inside = False
+        for poly in polys:
+            c = 0
+            for ring in poly:
+                a = np.asarray(ring)
+                x1, y1 = a[:, 0], a[:, 1]
+                x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+                cond = (y1 > y) != (y2 > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                c += int((cond & (x < xs)).sum())
+            if c % 2:
+                inside = True
+        return inside
+
+    rng = np.random.default_rng(17)
+    shell = sqr(0, 0, 6)
+    hole = [[1, 1], [1, 5], [5, 5], [5, 1]]  # CW
+    cases = [
+        [[sqr(i, j)] for i in range(3) for j in range(3)],  # full-edge sharing
+        [[sqr(0, 0)], [sqr(0, 0)], [sqr(0.5, 0.5)]],  # exact duplicates
+        [[shell, hole], [sqr(2, 2)], [sqr(4.5, 0.5, 2)]],  # island + bridge
+    ]
+    for _ in range(6):  # buffer-style hull chains with shared arc chains
+        nseg = rng.integers(3, 7)
+        xs = np.cumsum(rng.uniform(1, 3, nseg))
+        ys = rng.uniform(0, 2, nseg)
+        ms = rng.uniform(0.5, 3.0, nseg)
+        bufs = [point_buffer(x, y, m, 8) for x, y, m in zip(xs, ys, ms)]
+        cases.append(
+            [
+                [convex_hull(np.concatenate([c1, c2]))[:-1].tolist()]
+                for c1, c2 in zip(bufs[:-1], bufs[1:])
+            ]
+        )
+    for polys in cases:
+        out = M.union_nary(polys)
+        allpts = np.concatenate([np.asarray(r) for p in polys for r in p])
+        lo = allpts.min(axis=0) - 0.5
+        hi = allpts.max(axis=0) + 0.5
+        for _ in range(150):
+            x, y = rng.uniform(lo, hi)
+            want = any(pip([p], x, y) for p in polys)
+            got = pip(out, x, y)
+            if got != want:
+                # re-test off the sample only if it sits on a boundary
+                assert got == want, (x, y, polys)
