@@ -17,11 +17,18 @@ from pygeoops_ray.geo.general import _extract_0dim, _is_arraylike, get_parts_rec
 __all__ = ["buffer_by_m", "point_buffer", "convex_hull"]
 
 
+_UNIT_CIRCLE: dict[int, np.ndarray] = {}
+
+
 def point_buffer(x: float, y: float, radius: float, quad_segs: int = 8) -> np.ndarray:
     """Regular polygon approximating a circle: 4*quad_segs vertices (CCW)."""
     n = max(4 * quad_segs, 4)
-    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    return np.column_stack([x + radius * np.cos(ang), y + radius * np.sin(ang)])
+    unit = _UNIT_CIRCLE.get(n)
+    if unit is None:
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        unit = np.column_stack([np.cos(ang), np.sin(ang)])
+        _UNIT_CIRCLE[n] = unit
+    return unit * radius + (x, y)
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
