@@ -234,6 +234,19 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(text_stages.fingerprint_batch, batch_format="pyarrow")
 
 
+def q_winnow_fp(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (k=8 grams, window w=4).
+
+    The brief's "document fingerprinting (rolling hash)" operator as a
+    first-class query: every selected (hash, rightmost-position) pair is one
+    exact BIGINT key, so DuckDB replays the whole pipeline — k-gram
+    polynomial hash, window min, rightmost tie-break — in integer SQL (see
+    stages/text.py:winnow_batch for the derivation).
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.winnow_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1035,6 +1048,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow_fp": q_winnow_fp,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1233,6 +1247,48 @@ ORACLE_SQL = {
     """,
     "fingerprint": """
         SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    # winnowing (Schleimer 2003) replayed in exact integer SQL: k=8-gram
+    # polynomial hash over codepoints mod 1021 (base 131, exact in BIGINT),
+    # fp key = (h % 2147483647) * 2^21 - pos (min key == min hash with the
+    # RIGHTMOST position), one window-min per start, distinct selections.
+    # Window starts are rows 1 .. npos-3 (or just row 1 when a doc has fewer
+    # than 4 k-gram positions — the frame clips to all of them).
+    "winnow_fp": """
+        WITH idx AS (
+            SELECT doc_id, text, length(text) - 7 AS npos,
+                   unnest(range(1, greatest(length(text) - 6, 1))) AS i
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS i, npos,
+                   CAST(unicode(substr(text, CAST(i AS INT), 1)) % 1021 AS BIGINT) * 662062621900811
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) % 1021 AS BIGINT) * 5053913144281
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 2, 1)) % 1021 AS BIGINT) * 38579489651
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 3, 1)) % 1021 AS BIGINT) * 294499921
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 4, 1)) % 1021 AS BIGINT) * 2248091
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 5, 1)) % 1021 AS BIGINT) * 17161
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 6, 1)) % 1021 AS BIGINT) * 131
+                 + (unicode(substr(text, CAST(i AS INT) + 7, 1)) % 1021)
+                   AS h
+            FROM idx
+        ),
+        keyed AS (
+            SELECT doc_id, i, npos,
+                   (h % 2147483647) * 2097152 - i AS key
+            FROM pos
+        ),
+        wins AS (
+            SELECT doc_id, i, npos,
+                   min(key) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS fp_key
+            FROM keyed
+        )
+        SELECT DISTINCT doc_id, fp_key
+        FROM wins
+        WHERE i <= greatest(npos - 3, 1)
     """,
     # the LangId heuristic verbatim (stages/text.py): CJK codepoint in the
     # first 200 chars -> zh; else argmax of stopword counts with ties going

@@ -17,6 +17,7 @@ __all__ = [
     "quality_batch",
     "LangId",
     "fingerprint_batch",
+    "winnow_batch",
 ]
 
 
@@ -106,4 +107,51 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
     return pa.Table.from_pydict(
         {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+    )
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, w: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Rolling k-gram hashes over the codepoint stream, then the robust-winnowing
+    selection: each window of ``w`` consecutive k-gram positions contributes
+    its minimum hash, ties broken to the RIGHTMOST position. Emits the
+    DISTINCT selected fingerprints per document as ``fp_key`` — a single
+    BIGINT combining (hash, position) so the whole pipeline (including the
+    rightmost tie-break) is exact integer arithmetic DuckDB can replay:
+
+        c_i    = unicode(text[i]) % 1021              (bounds the sum in int64)
+        h_t    = sum_{j<k} c_{t+j} * 131^(k-1-j)      (exact, < 2^63)
+        key_t  = (h_t % 2147483647) * 2^21 - t        (min key = min hash,
+                                                       rightmost t; t is
+                                                       1-based, < 2^21)
+        fp_key = min(key) over each window of w starts (all-of-doc when
+                 there are fewer than w k-gram positions)
+
+    Vectorized per document: utf-32 decode -> one integer correlate for the
+    k-gram hashes -> one sliding-window min -> unique.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    weights = 131 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    ids, keys = [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        cp = (
+            np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            % 1021
+        )
+        if len(cp) < k:
+            continue
+        h = np.correlate(cp, weights, mode="valid")
+        key = (h % 2147483647) * 2097152 - np.arange(1, len(h) + 1)
+        if len(key) >= w:
+            mins = sliding_window_view(key, w).min(axis=1)
+        else:
+            mins = key.min(keepdims=True)
+        sel = np.unique(mins)
+        ids.extend([doc_id] * len(sel))
+        keys.append(sel)
+    out_keys = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()), "fp_key": pa.array(out_keys, pa.int64())}
     )

@@ -539,3 +539,49 @@ def test_psnr_float32_guard_exact():
     c = a.copy()
     c[0, 0, 0] = 2
     assert I.psnr(a, c) == 10.0 * np.log10(255.0**2 / (4 / (64 * 64 * 3)))
+
+
+def test_winnow_fingerprints_match_textbook_reference():
+    """winnow_batch == per-window textbook winnowing (min hash, rightmost
+    tie-break, distinct selections), on synthetic docs with forced hash ties
+    (repeated k-grams) and short-doc edge cases."""
+    import pyarrow as pa
+
+    from pygeoops_ray.stages.text import winnow_batch
+
+    k, w = 8, 4
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaa",          # all k-grams identical (max ties)
+        "abcabcabcabcabcabcabc",        # period-3 repeats
+        "short",                        # < k chars -> no fingerprints
+        "exactly8!",                    # 9 chars -> 2 k-grams (< w window)
+        "这是一个中文文档的测试文本内容重复重复重复",  # non-ASCII codepoints
+        "x" * 7,                        # exactly k-1 -> none
+    ]
+    tab = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": docs}
+    )
+    got = winnow_batch(tab).to_pandas()
+
+    def brute(doc_id, text):
+        cps = [ord(c) % 1021 for c in text]
+        n = len(cps) - k + 1
+        if n < 1:
+            return set()
+        hs = [sum(cps[i + j] * 131 ** (k - 1 - j) for j in range(k)) for i in range(n)]
+        keys = [(h % 2147483647) * 2097152 - (i + 1) for i, h in enumerate(hs)]
+        sel = set()
+        if n < w:
+            sel.add(min(keys))
+        else:
+            for t in range(n - w + 1):
+                sel.add(min(keys[t : t + w]))
+        return {(doc_id, s) for s in sel}
+
+    want = set()
+    for d, t in enumerate(docs):
+        want |= brute(d, t)
+    have = set(zip(got["doc_id"], got["fp_key"]))
+    assert have == want
+    assert not any(got["doc_id"] == 3) and not any(got["doc_id"] == 6)
