@@ -15,7 +15,7 @@ from pygeoops_ray.geo import geom as g
 from pygeoops_ray.geo import martinez
 from pygeoops_ray.geo.measures import ring_area
 
-__all__ = ["difference", "intersection", "union", "union_all"]
+__all__ = ["difference", "difference_all_fused", "intersection", "union", "union_all"]
 
 
 def _to_marty(geom: g.Geometry | None) -> list:
@@ -121,6 +121,17 @@ def union(a: g.Geometry | None, b: g.Geometry | None) -> g.Geometry | None:
     if b is None or b.is_empty:
         return a
     return _from_marty(martinez.boolean_op(_to_marty(a), _to_marty(b), martinez.UNION))
+
+
+def difference_all_fused(a: g.Geometry, subs) -> g.Geometry:
+    """a minus union(subs) as ONE two-counter overlay sweep
+    (martinez.difference_nary) — replaces union_all(subs) + difference(a, u):
+    no intermediate union geometry, no second sweep."""
+    clip: list = []
+    for sub in subs:
+        if sub is not None and not sub.is_empty:
+            clip.extend(_to_marty(sub))
+    return _from_marty(martinez.difference_nary(_to_marty(a), clip))
 
 
 def union_all(geoms) -> g.Geometry:

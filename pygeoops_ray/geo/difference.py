@@ -81,8 +81,9 @@ def difference_all(
         if not subs:
             return geometry
 
-    geom_to_subtract = boolean.union_all(subs)
-    geom_diff = boolean.difference(geometry, geom_to_subtract)
+    # one fused two-counter sweep: subject minus union(subs) without the
+    # intermediate subtrahend-union geometry or a second sweep
+    geom_diff = boolean.difference_all_fused(geometry, subs)
     return _collection_extract_one(geom_diff, output_primitivetype_id)
 
 

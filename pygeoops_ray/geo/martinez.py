@@ -20,7 +20,7 @@ import math
 
 _SEQ = itertools.count()
 
-__all__ = ["boolean_op", "union_nary"]
+__all__ = ["boolean_op", "union_nary", "difference_nary"]
 
 NORMAL = 0
 NON_CONTRIBUTING = 1
@@ -32,6 +32,7 @@ UNION = "union"
 DIFFERENCE = "difference"
 XOR = "xor"
 NARY_UNION = "nary_union"  # n-ary union: nonzero coverage-depth semantics
+NARY_DIFFERENCE = "nary_difference"  # subject-union minus clipping-union, one sweep
 
 
 def _signed_area(p0, p1, p2) -> float:
@@ -57,6 +58,8 @@ class SweepEvent:
         "key",
         "delta",
         "cov_below",
+        "delta_c",
+        "cov_below_c",
     )
 
     def __init__(self, p, left, other, is_subject):
@@ -74,8 +77,10 @@ class SweepEvent:
         self.processed = False
         self.contour_id = 0
         self.output_contour_id = -1
-        self.delta = 0  # n-ary union: coverage change crossing this edge upward
-        self.cov_below = 0  # n-ary union: coverage depth just below this edge
+        self.delta = 0  # n-ary: subject-coverage change crossing this edge upward
+        self.cov_below = 0  # n-ary: subject coverage depth just below this edge
+        self.delta_c = 0  # n-ary: clipping-set coverage change (overlay ops)
+        self.cov_below_c = 0  # n-ary: clipping coverage depth just below
 
     def is_below(self, p) -> bool:
         if self.left:
@@ -317,11 +322,42 @@ def _compute_fields_nary(event: SweepEvent, prev: SweepEvent | None):
         )
 
 
+def _compute_fields_diff_nary(event: SweepEvent, prev: SweepEvent | None):
+    """Two-counter overlay fields for NARY_DIFFERENCE: subject coverage and
+    clipping coverage accumulate independently; the result region is
+    (subject depth > 0) AND (clipping depth == 0); an edge is a boundary iff
+    region membership differs across it. Vertical-prev pass-through as in
+    the union variant."""
+    if prev is None:
+        event.cov_below = 0
+        event.cov_below_c = 0
+    elif prev.is_vertical():
+        event.cov_below = prev.cov_below
+        event.cov_below_c = prev.cov_below_c
+    else:
+        event.cov_below = prev.cov_below + prev.delta
+        event.cov_below_c = prev.cov_below_c + prev.delta_c
+    sb, cb = event.cov_below, event.cov_below_c
+    r_below = sb > 0 and cb == 0
+    r_above = (sb + event.delta) > 0 and (cb + event.delta_c) == 0
+    event.in_result = (
+        (event.delta != 0 or event.delta_c != 0) and r_below != r_above
+    )
+    event.result_transition = (
+        0 if not event.in_result else (1 if not r_below else -1)
+    )
+    if prev is not None:
+        event.prev_in_result = (
+            prev if (prev.in_result and not prev.is_vertical()) else prev.prev_in_result
+        )
+
+
 def _divide_segment(se: SweepEvent, p, queue: list):
     r = SweepEvent(p, False, se, se.is_subject)
     l = SweepEvent(p, True, se.other, se.is_subject)
     r.contour_id = l.contour_id = se.contour_id
-    l.delta = se.delta  # n-ary union: both halves carry the edge's coverage delta
+    l.delta = se.delta  # n-ary: both halves carry the edge's coverage deltas
+    l.delta_c = se.delta_c
     if compare_events(l, se.other) > 0:
         # rounding degeneracy: flip
         se.other.left = True
@@ -390,10 +426,12 @@ def _possible_intersection(
         if not right_coincide:
             _divide_segment(events[1].other, events[0].p, queue)
         if nary:
-            # fold the coincident edge's coverage delta into the carrier
-            # (AFTER the divide: the non-overlapping tail keeps its own delta)
+            # fold the coincident edge's coverage deltas into the carrier
+            # (AFTER the divide: the non-overlapping tail keeps its own)
             se1.delta += se2.delta
             se2.delta = 0
+            se1.delta_c += se2.delta_c
+            se2.delta_c = 0
         return 2
     if right_coincide:
         _divide_segment(events[0], events[1].p, queue)
@@ -502,7 +540,12 @@ def _fill_queue(subject, clipping, nary: bool = False):
             el.other = er
             el.contour_id = er.contour_id = cids[i]
             if nary:
-                el.delta = delta_arr[i]
+                # subject-set edges drive the subject counter; clipping-set
+                # edges (overlay ops) the clipping counter
+                if is_subject:
+                    el.delta = delta_arr[i]
+                else:
+                    el.delta_c = delta_arr[i]
             ai = ang[i]
             el.key = (p_lo[0], p_lo[1], 1, ai, subj_flag, next(_SEQ))
             er.key = (p_hi[0], p_hi[1], 0, -ai, subj_flag, next(_SEQ))
@@ -516,9 +559,11 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
     sorted_events: list[SweepEvent] = []
     sweep: list[SweepEvent] = []  # status line, ordered by compare_segments
     min_maxx = min(sbb_maxx, cbb_maxx)
-    nary = operation == NARY_UNION
-    if nary:
+    nary = operation in (NARY_UNION, NARY_DIFFERENCE)
+    if operation == NARY_UNION:
         fields = lambda ev, prv: _compute_fields_nary(ev, prv)  # noqa: E731
+    elif operation == NARY_DIFFERENCE:
+        fields = lambda ev, prv: _compute_fields_diff_nary(ev, prv)  # noqa: E731
     else:
         fields = lambda ev, prv: _compute_fields(ev, prv, operation)  # noqa: E731
     while queue:
@@ -697,6 +742,30 @@ def union_nary(polygons):
     inf = float("inf")
     sorted_events = _subdivide(queue, NARY_UNION, inf, inf)
     contours = _connect_edges(sorted_events, NARY_UNION)
+    return _assemble(contours)
+
+
+def difference_nary(subject, clipping):
+    """(union of subject polygons) MINUS (union of clipping polygons), in ONE
+    sweep — replaces union_all(clipping) + boolean_op(subject, u, DIFFERENCE)
+    (two sweeps plus an intermediate geometry) with a two-counter overlay:
+    subject and clipping coverage depths accumulate independently along the
+    status line and the result region is subject-depth > 0 AND clipping-depth
+    == 0. Same pre-folding / coincidence handling as union_nary per set;
+    cross-set coincident edges fold both deltas into one carrier mid-sweep.
+
+    Inputs/outputs in boolean_op's [shell, hole, ...] point-list form.
+    """
+    subj = [p for p in subject if any(len(r) >= 3 for r in p)]
+    clip = [p for p in clipping if any(len(r) >= 3 for r in p)]
+    if not subj:
+        return []
+    if not clip:
+        return union_nary(subj) if len(subj) > 1 else _copy(subj)
+    queue = _fill_queue(subj, clip, nary=True)
+    inf = float("inf")
+    sorted_events = _subdivide(queue, NARY_DIFFERENCE, inf, inf)
+    contours = _connect_edges(sorted_events, NARY_DIFFERENCE)
     return _assemble(contours)
 
 

@@ -257,3 +257,50 @@ def test_union_nary_matches_membership_oracle():
             if got != want:
                 # re-test off the sample only if it sits on a boundary
                 assert got == want, (x, y, polys)
+
+
+def test_difference_nary_matches_membership_oracle():
+    """Fused subject-minus-union overlay == exact membership oracle
+    (in some subject AND in no clip), incl. shared-edge and identical cases."""
+    from pygeoops_ray.geo import martinez as M
+
+    def sqr(x0, y0, s=1.0):
+        return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+
+    def pip(polys, x, y):
+        inside = False
+        for poly in polys:
+            c = 0
+            for ring in poly:
+                a = np.asarray(ring)
+                x1, y1 = a[:, 0], a[:, 1]
+                x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+                cond = (y1 > y) != (y2 > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                c += int((cond & (x < xs)).sum())
+            if c % 2:
+                inside = True
+        return inside
+
+    rng = np.random.default_rng(4)
+    shell = sqr(0, 0, 6)
+    hole = [[1, 1], [1, 5], [5, 5], [5, 1]]
+    cases = [
+        ([[sqr(0, 0, 2)]], [[sqr(0, 0, 1)]]),  # clip shares two subject edges
+        ([[sqr(0, 0, 2)]], [[sqr(0, 0, 2)]]),  # identical -> empty
+        ([[sqr(0, 0, 3)]], [[sqr(1, 0, 1)], [sqr(1, 1, 1)], [sqr(1, 2, 1)]]),
+        ([[shell, hole]], [[sqr(0, 0, 2)], [sqr(4, 4, 3)]]),
+        ([[sqr(0, 0, 4)], [sqr(3, 3, 4)]], [[sqr(2, 2, 2)]]),  # overlapping subjects
+    ]
+    for subj, clip in cases:
+        out = M.difference_nary(subj, clip)
+        allpts = np.concatenate([np.asarray(r) for p in subj + clip for r in p])
+        lo = allpts.min(axis=0) - 0.5
+        hi = allpts.max(axis=0) + 0.5
+        for _ in range(200):
+            x, y = rng.uniform(lo, hi)
+            want = any(pip([p], x, y) for p in subj) and not any(
+                pip([p], x, y) for p in clip
+            )
+            assert pip(out, x, y) == want, (x, y)
