@@ -167,7 +167,12 @@ def add_footprint(batch: pa.Table) -> pa.Table:
 
 
 def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, concurrency: int = 4):
-    """Run the flagship chain; returns the per-image join-count Dataset."""
+    """Run the flagship chain; returns the per-image join-count Dataset.
+
+    ``concurrency`` is accepted for API compatibility but unused: the decode
+    stage runs as an elastic TASK pool (see comment below), which the
+    streaming executor sizes itself.
+    """
 
     if n_images is None:
         import pyarrow.parquet as pq
