@@ -20,7 +20,7 @@ import math
 
 _SEQ = itertools.count()
 
-__all__ = ["boolean_op", "union_nary", "difference_nary"]
+__all__ = ["boolean_op", "union_nary", "difference_nary", "intersection_nary"]
 
 NORMAL = 0
 NON_CONTRIBUTING = 1
@@ -33,6 +33,7 @@ DIFFERENCE = "difference"
 XOR = "xor"
 NARY_UNION = "nary_union"  # n-ary union: nonzero coverage-depth semantics
 NARY_DIFFERENCE = "nary_difference"  # subject-union minus clipping-union, one sweep
+NARY_INTERSECTION = "nary_intersection"  # subject-union AND clipping-union, one sweep
 
 
 def _signed_area(p0, p1, p2) -> float:
@@ -352,6 +353,33 @@ def _compute_fields_diff_nary(event: SweepEvent, prev: SweepEvent | None):
         )
 
 
+def _compute_fields_isect_nary(event: SweepEvent, prev: SweepEvent | None):
+    """Two-counter overlay fields for NARY_INTERSECTION: result region =
+    (subject depth > 0) AND (clipping depth > 0)."""
+    if prev is None:
+        event.cov_below = 0
+        event.cov_below_c = 0
+    elif prev.is_vertical():
+        event.cov_below = prev.cov_below
+        event.cov_below_c = prev.cov_below_c
+    else:
+        event.cov_below = prev.cov_below + prev.delta
+        event.cov_below_c = prev.cov_below_c + prev.delta_c
+    sb, cb = event.cov_below, event.cov_below_c
+    r_below = sb > 0 and cb > 0
+    r_above = (sb + event.delta) > 0 and (cb + event.delta_c) > 0
+    event.in_result = (
+        (event.delta != 0 or event.delta_c != 0) and r_below != r_above
+    )
+    event.result_transition = (
+        0 if not event.in_result else (1 if not r_below else -1)
+    )
+    if prev is not None:
+        event.prev_in_result = (
+            prev if (prev.in_result and not prev.is_vertical()) else prev.prev_in_result
+        )
+
+
 def _divide_segment(se: SweepEvent, p, queue: list):
     r = SweepEvent(p, False, se, se.is_subject)
     l = SweepEvent(p, True, se.other, se.is_subject)
@@ -559,11 +587,13 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
     sorted_events: list[SweepEvent] = []
     sweep: list[SweepEvent] = []  # status line, ordered by compare_segments
     min_maxx = min(sbb_maxx, cbb_maxx)
-    nary = operation in (NARY_UNION, NARY_DIFFERENCE)
+    nary = operation in (NARY_UNION, NARY_DIFFERENCE, NARY_INTERSECTION)
     if operation == NARY_UNION:
         fields = lambda ev, prv: _compute_fields_nary(ev, prv)  # noqa: E731
     elif operation == NARY_DIFFERENCE:
         fields = lambda ev, prv: _compute_fields_diff_nary(ev, prv)  # noqa: E731
+    elif operation == NARY_INTERSECTION:
+        fields = lambda ev, prv: _compute_fields_isect_nary(ev, prv)  # noqa: E731
     else:
         fields = lambda ev, prv: _compute_fields(ev, prv, operation)  # noqa: E731
     while queue:
@@ -766,6 +796,20 @@ def difference_nary(subject, clipping):
     inf = float("inf")
     sorted_events = _subdivide(queue, NARY_DIFFERENCE, inf, inf)
     contours = _connect_edges(sorted_events, NARY_DIFFERENCE)
+    return _assemble(contours)
+
+
+def intersection_nary(subject, clipping):
+    """(union of subject polygons) AND (union of clipping polygons) in ONE
+    two-counter overlay sweep; see difference_nary."""
+    subj = [p for p in subject if any(len(r) >= 3 for r in p)]
+    clip = [p for p in clipping if any(len(r) >= 3 for r in p)]
+    if not subj or not clip:
+        return []
+    queue = _fill_queue(subj, clip, nary=True)
+    inf = float("inf")
+    sorted_events = _subdivide(queue, NARY_INTERSECTION, inf, inf)
+    contours = _connect_edges(sorted_events, NARY_INTERSECTION)
     return _assemble(contours)
 
 

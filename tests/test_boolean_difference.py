@@ -304,3 +304,47 @@ def test_difference_nary_matches_membership_oracle():
                 pip([p], x, y) for p in clip
             )
             assert pip(out, x, y) == want, (x, y)
+
+
+def test_intersection_nary_matches_membership_oracle():
+    """Two-counter overlay intersection == exact oracle (in some subject AND
+    in some clip), incl. identical/shared-edge/holed cases."""
+    from pygeoops_ray.geo import martinez as M
+
+    def sqr(x0, y0, s=1.0):
+        return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+
+    def pip(polys, x, y):
+        inside = False
+        for poly in polys:
+            c = 0
+            for ring in poly:
+                a = np.asarray(ring)
+                x1, y1 = a[:, 0], a[:, 1]
+                x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+                cond = (y1 > y) != (y2 > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                c += int((cond & (x < xs)).sum())
+            if c % 2:
+                inside = True
+        return inside
+
+    rng = np.random.default_rng(6)
+    cases = [
+        ([[sqr(0, 0, 2)]], [[sqr(0, 0, 2)]]),
+        ([[sqr(0, 0, 2)]], [[sqr(1, 0, 2)]]),
+        ([[sqr(0, 0, 6), [[1, 1], [1, 5], [5, 5], [5, 1]]]], [[sqr(0, 0, 3)]]),
+        ([[sqr(0, 0, 3)], [sqr(4, 0, 3)]], [[sqr(2, 1, 3)]]),
+    ]
+    for subj, clip in cases:
+        out = M.intersection_nary(subj, clip)
+        allpts = np.concatenate([np.asarray(r) for p in subj + clip for r in p])
+        lo = allpts.min(axis=0) - 0.5
+        hi = allpts.max(axis=0) + 0.5
+        for _ in range(200):
+            x, y = rng.uniform(lo, hi)
+            want = any(pip([p], x, y) for p in subj) and any(
+                pip([p], x, y) for p in clip
+            )
+            assert pip(out, x, y) == want, (x, y)
