@@ -9,7 +9,16 @@ rings.
 
 Input/output: lists of polygons, each polygon = list of rings, each ring a
 list/array of (x, y) with implicit closure. Operations: "intersection",
-"union", "difference" (subject minus clipping), "xor".
+"union", "difference" (subject minus clipping), "xor", plus the n-ary
+coverage-depth overlays (union_nary / difference_nary / intersection_nary).
+
+Precondition (same contract as shapely/GEOS): rings must be VALID simple
+polygons — no self-intersections and no vertex-on-edge pinches. Degenerate
+pinched rings mislead both the two-operand in/out toggling and the n-ary
+coverage counters (fuzz-verified: snapped star polygons with a vertex lying
+exactly on another edge fail both paths, and ``make_valid`` repair restores
+exact membership agreement). Repair invalid input with
+``pygeoops_ray.geo.validity.make_valid`` first.
 """
 
 from __future__ import annotations
@@ -380,6 +389,9 @@ def _compute_fields_isect_nary(event: SweepEvent, prev: SweepEvent | None):
         )
 
 
+_SWEEP = {"cur": None, "dirty": False}  # current sweep point / staleness flag
+
+
 def _divide_segment(se: SweepEvent, p, queue: list):
     r = SweepEvent(p, False, se, se.is_subject)
     l = SweepEvent(p, True, se.other, se.is_subject)
@@ -398,6 +410,11 @@ def _divide_segment(se: SweepEvent, p, queue: list):
     l.other.set_key()  # the far right event (its left flag may have flipped)
     heapq.heappush(queue, (l.key, l))
     heapq.heappush(queue, (r.key, r))
+    if p == _SWEEP["cur"]:
+        # the re-queued left event lands AT the current sweep point: events
+        # already processed at this point computed their coverage without it
+        # (and without any fold it triggers) — flag for the relabel pass
+        _SWEEP["dirty"] = True
 
 
 def _possible_intersection(
@@ -596,12 +613,15 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
         fields = lambda ev, prv: _compute_fields_isect_nary(ev, prv)  # noqa: E731
     else:
         fields = lambda ev, prv: _compute_fields(ev, prv, operation)  # noqa: E731
+    _SWEEP["cur"] = None
+    _SWEEP["dirty"] = False
     while queue:
         event = heapq.heappop(queue)[1]
         if (operation == INTERSECTION and event.p[0] > min_maxx) or (
             operation == DIFFERENCE and event.p[0] > sbb_maxx
         ):
             break
+        _SWEEP["cur"] = event.p
         sorted_events.append(event)
         if event.left:
             # insert keeping sweep ordered by compare_segments
@@ -635,7 +655,11 @@ def _subdivide(queue, operation, sbb_maxx, cbb_maxx) -> list[SweepEvent]:
             nxt = sweep[pos + 1] if pos + 1 < len(sweep) else None
             sweep.pop(pos)
             if prev is not None and nxt is not None:
-                _possible_intersection(prev, nxt, queue, nary)
+                if _possible_intersection(prev, nxt, queue, nary) == 2 and nary:
+                    # two edges became coincident only after the removal: the
+                    # fold happens with NO field recompute here, and events
+                    # above them are stale — flag for the relabel pass
+                    _SWEEP["dirty"] = True
     return sorted_events
 
 
@@ -771,8 +795,60 @@ def union_nary(polygons):
     queue = _fill_queue(items, [], nary=True)
     inf = float("inf")
     sorted_events = _subdivide(queue, NARY_UNION, inf, inf)
+    if _SWEEP["dirty"]:
+        _relabel_nary(sorted_events, NARY_UNION)
     contours = _connect_edges(sorted_events, NARY_UNION)
     return _assemble(contours)
+
+
+def _relabel_nary(sorted_events, operation) -> None:
+    """Second, labeling-only sweep for the n-ary overlays.
+
+    The subdivision pass can divide an edge AT the current sweep point,
+    re-queuing a coincident piece AFTER later events at that same point have
+    already computed their coverage from a pre-fold status — the classic
+    martinez field-staleness hazard, which the coverage counters inherit
+    (fuzz-found on snapped inputs whose near-collinear overlap chains divide
+    at shared endpoints). After subdivision the edge set is FINAL, so a
+    replay sweep that only inserts/removes and computes fields — no
+    divisions, no re-queues — labels every edge from a complete, stable
+    status. Keys are recomputed first: a division changes the stored
+    direction angle of the shortened original event.
+    """
+    if operation == NARY_UNION:
+        fields = _compute_fields_nary
+    elif operation == NARY_DIFFERENCE:
+        fields = _compute_fields_diff_nary
+    else:
+        fields = _compute_fields_isect_nary
+    entries = []
+    for e in sorted_events:
+        if not e.left:
+            continue
+        e.prev_in_result = None
+        e.set_key()
+        e.other.set_key()
+        entries.append((e.key, e))
+        entries.append((e.other.key, e.other))
+    heapq.heapify(entries)
+    sweep: list[SweepEvent] = []
+    while entries:
+        event = heapq.heappop(entries)[1]
+        if event.left:
+            lo, hi = 0, len(sweep)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if compare_segments(sweep[mid], event) < 0:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            sweep.insert(lo, event)
+            fields(event, sweep[lo - 1] if lo > 0 else None)
+        else:
+            try:
+                sweep.remove(event.other)
+            except ValueError:
+                pass
 
 
 def difference_nary(subject, clipping):
@@ -795,6 +871,8 @@ def difference_nary(subject, clipping):
     queue = _fill_queue(subj, clip, nary=True)
     inf = float("inf")
     sorted_events = _subdivide(queue, NARY_DIFFERENCE, inf, inf)
+    if _SWEEP["dirty"]:
+        _relabel_nary(sorted_events, NARY_DIFFERENCE)
     contours = _connect_edges(sorted_events, NARY_DIFFERENCE)
     return _assemble(contours)
 
@@ -809,6 +887,8 @@ def intersection_nary(subject, clipping):
     queue = _fill_queue(subj, clip, nary=True)
     inf = float("inf")
     sorted_events = _subdivide(queue, NARY_INTERSECTION, inf, inf)
+    if _SWEEP["dirty"]:
+        _relabel_nary(sorted_events, NARY_INTERSECTION)
     contours = _connect_edges(sorted_events, NARY_INTERSECTION)
     return _assemble(contours)
 

@@ -348,3 +348,68 @@ def test_intersection_nary_matches_membership_oracle():
                 pip([p], x, y) for p in clip
             )
             assert pip(out, x, y) == want, (x, y)
+
+
+def test_difference_nary_division_at_sweep_point_relabel():
+    """Regression (fuzz-found): a collinear-overlap division landing AT the
+    current sweep point re-queues a coincident piece after later events at
+    that point computed their coverage — the relabel pass must rebuild the
+    labels. Minimized from the snapped-star corpus: subject edge (4,8)-(6,6)
+    overlaps clip edge (3,9)-(5,7) on x+y=12."""
+    from pygeoops_ray.geo import martinez as M
+
+    # list of polygons; polygon = [ring]
+    subj = [[[
+        [4.0, 8.0], [5.0, 10.0], [5.0, 11.0], [1.0, 10.0],
+        [0.0, 7.0], [4.0, 6.0], [6.0, 6.0],
+    ]]]
+    clip = [
+        [[[5.0, 7.0], [3.0, 9.0], [2.0, 8.0], [7.0, 5.0]]],
+        [[[8.0, 7.0], [6.0, 9.0], [4.0, 9.0], [3.0, 7.0]]],
+    ]
+
+    def pip(polys, x, y):
+        inside = False
+        for poly in polys:
+            c = 0
+            for ring in poly:
+                a = np.asarray(ring)
+                x1, y1 = a[:, 0], a[:, 1]
+                x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+                cond = (y1 > y) != (y2 > y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                c += int((cond & (x < xs)).sum())
+            if c % 2:
+                inside = True
+        return inside
+
+    out = M.difference_nary(subj, clip)
+    rng = np.random.default_rng(7)
+    sflat = subj
+    cflat = clip
+    for _ in range(400):
+        x, y = rng.uniform((0, 5), (8, 11))
+        want = any(pip([p], x, y) for p in sflat) and not any(
+            pip([p], x, y) for p in cflat
+        )
+        # skip points within 1e-6 of any input edge (sampling tolerance)
+        def nb(polys):
+            for poly in polys:
+                for ring in poly:
+                    a = np.asarray(ring)
+                    b = np.roll(a, -1, axis=0)
+                    d = b - a
+                    L2 = (d * d).sum(axis=1)
+                    L2[L2 == 0] = 1
+                    t = np.clip(
+                        ((x - a[:, 0]) * d[:, 0] + (y - a[:, 1]) * d[:, 1]) / L2, 0, 1
+                    )
+                    px = a[:, 0] + t * d[:, 0]
+                    py = a[:, 1] + t * d[:, 1]
+                    if np.min((px - x) ** 2 + (py - y) ** 2) < 1e-12:
+                        return True
+            return False
+        if nb(sflat) or nb(cflat):
+            continue
+        assert pip(out, x, y) == want, (x, y)
