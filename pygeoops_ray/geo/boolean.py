@@ -15,7 +15,14 @@ from pygeoops_ray.geo import geom as g
 from pygeoops_ray.geo import martinez
 from pygeoops_ray.geo.measures import ring_area
 
-__all__ = ["difference", "difference_all_fused", "intersection", "union", "union_all"]
+__all__ = [
+    "difference",
+    "difference_all_fused",
+    "intersection",
+    "intersection_all_fused",
+    "union",
+    "union_all",
+]
 
 
 def _to_marty(geom: g.Geometry | None) -> list:
@@ -153,3 +160,19 @@ def union_all(geoms) -> g.Geometry:
     for p in items:
         polys.extend(_to_marty(p))
     return _from_marty(martinez.union_nary(polys))
+
+
+def intersection_all_fused(subjects, clips) -> g.Geometry:
+    """union(subjects) INTERSECT union(clips) as ONE two-counter overlay
+    sweep (martinez.intersection_nary) — no intermediate union geometries."""
+    subj: list = []
+    for s in subjects:
+        if s is not None and not s.is_empty:
+            subj.extend(_to_marty(s))
+    clip: list = []
+    for c in clips:
+        if c is not None and not c.is_empty:
+            clip.extend(_to_marty(c))
+    if not subj or not clip:
+        return g.Polygon()
+    return _from_marty(martinez.intersection_nary(subj, clip))

@@ -524,6 +524,51 @@ def q_buffer_by_m(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+def q_overlay_nary(sf_dir: str):
+    """N-ary boolean overlays (union / difference / intersection) in single
+    coverage-depth sweeps, over a closed-form rectangle corpus.
+
+    Driver corpus: per supplier key k, three mutually-overlapping axis-
+    aligned integer rectangles A, B, C (coincident edges occur for many k —
+    the overlap-fold stress case). The engine runs union_all([A,B,C]),
+    difference_all_fused(A, [B,C]) and intersection_all_fused([A], [B,C]) —
+    each ONE martinez n-ary sweep — and digests the areas; the oracle
+    recomputes them by inclusion-exclusion over the rect bounds (exact
+    integer arithmetic in DuckDB). Irregular / holed / degenerate richness is
+    covered by the pytest + fuzz corpora (tests/test_boolean_difference.py).
+    Re-expresses the reference's shapely difference/union_all usage
+    (pygeoops/_difference.py:169-181, _general.py:596) as driver-checked ops.
+    """
+    from pygeoops_ray.geo import boolean
+    from pygeoops_ray.geo.geom import box
+
+    def overlay(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        ua, da, ia = [], [], []
+        for k in keys:
+            k = int(k)
+            A = box(0, 0, 10 + k % 5, 8 + k % 3)
+            B = box(4 + k % 3, 2 + k % 2, 13 + k % 3 + k % 4, 9 + 2 * (k % 2))
+            C = box(2 + k % 2, 5 + k % 3, 10 + k % 2 + k % 5, 11 + k % 3 + k % 4)
+            ua.append(int(round(boolean.union_all([A, B, C]).area * 100)))
+            da.append(int(round(boolean.difference_all_fused(A, [B, C]).area * 100)))
+            ia.append(
+                int(round(boolean.intersection_all_fused([A], [B, C]).area * 100))
+            )
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "union_area_c": pa.array(ua, pa.int64()),
+                "diff_area_c": pa.array(da, pa.int64()),
+                "isect_area_c": pa.array(ia, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        overlay, batch_format="pyarrow"
+    )
+
+
 def q_view_angles(sf_dir: str):
     """View angles of corpus segments seen from the origin.
 
@@ -1049,6 +1094,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fp": q_winnow_fp,
+    "overlay_nary": q_overlay_nary,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1329,6 +1375,46 @@ ORACLE_SQL = {
                CAST(floor((16 * m * m * sin(pi() / 16) + 2 * m * L) * 100) AS BIGINT)
                    AS buffer_area_c
         FROM p
+    """,
+    # corpus rule (q_overlay_nary): three overlapping axis-aligned integer
+    # rectangles per key; union / difference / intersection areas recomputed
+    # by inclusion-exclusion over the bounds — exact integer arithmetic, so
+    # the sweep's float areas must round to the same scaled digests
+    "overlay_nary": """
+        WITH r AS (
+            SELECT s_suppkey,
+                   0 AS ax1, 0 AS ay1,
+                   10 + s_suppkey % 5 AS ax2, 8 + s_suppkey % 3 AS ay2,
+                   4 + s_suppkey % 3 AS bx1, 2 + s_suppkey % 2 AS by1,
+                   13 + s_suppkey % 3 + s_suppkey % 4 AS bx2,
+                   9 + 2 * (s_suppkey % 2) AS by2,
+                   2 + s_suppkey % 2 AS cx1, 5 + s_suppkey % 3 AS cy1,
+                   10 + s_suppkey % 2 + s_suppkey % 5 AS cx2,
+                   11 + s_suppkey % 3 + s_suppkey % 4 AS cy2
+            FROM supplier
+        ),
+        i AS (
+            SELECT s_suppkey,
+                   (ax2 - ax1) * (ay2 - ay1) AS a_a,
+                   (bx2 - bx1) * (by2 - by1) AS a_b,
+                   (cx2 - cx1) * (cy2 - cy1) AS a_c,
+                   greatest(least(ax2, bx2) - greatest(ax1, bx1), 0)
+                 * greatest(least(ay2, by2) - greatest(ay1, by1), 0) AS i_ab,
+                   greatest(least(ax2, cx2) - greatest(ax1, cx1), 0)
+                 * greatest(least(ay2, cy2) - greatest(ay1, cy1), 0) AS i_ac,
+                   greatest(least(bx2, cx2) - greatest(bx1, cx1), 0)
+                 * greatest(least(by2, cy2) - greatest(by1, cy1), 0) AS i_bc,
+                   greatest(least(ax2, bx2, cx2) - greatest(ax1, bx1, cx1), 0)
+                 * greatest(least(ay2, by2, cy2) - greatest(ay1, by1, cy1), 0)
+                   AS i_abc
+            FROM r
+        )
+        SELECT s_suppkey,
+               CAST((a_a + a_b + a_c - i_ab - i_ac - i_bc + i_abc) * 100
+                    AS BIGINT) AS union_area_c,
+               CAST((a_a - i_ab - i_ac + i_abc) * 100 AS BIGINT) AS diff_area_c,
+               CAST((i_ab + i_ac - i_abc) * 100 AS BIGINT) AS isect_area_c
+        FROM i
     """,
     # corpus rule (q_view_angles): segment (1+k%7, 1+k%5) -> (+2, +3) seen
     # from the origin; both endpoints strictly in quadrant I so the interval

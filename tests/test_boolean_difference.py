@@ -413,3 +413,49 @@ def test_difference_nary_division_at_sweep_point_relabel():
         if nb(sflat) or nb(cflat):
             continue
         assert pip(out, x, y) == want, (x, y)
+
+
+def test_overlay_nary_rect_corpus_matches_inclusion_exclusion():
+    """The driver corpus rule (q_overlay_nary) as a no-Ray property: the three
+    n-ary sweeps' areas equal exact inclusion-exclusion over the rect bounds
+    for every residue class of the key (coincident edges included)."""
+    from pygeoops_ray.geo import boolean
+    from pygeoops_ray.geo.geom import box
+
+    def ixn(r1, r2):
+        w = min(r1[2], r2[2]) - max(r1[0], r2[0])
+        h = min(r1[3], r2[3]) - max(r1[1], r2[1])
+        return max(w, 0) * max(h, 0)
+
+    def ixn3(r1, r2, r3):
+        w = min(r1[2], r2[2], r3[2]) - max(r1[0], r2[0], r3[0])
+        h = min(r1[3], r2[3], r3[3]) - max(r1[1], r2[1], r3[1])
+        return max(w, 0) * max(h, 0)
+
+    for k in range(60):
+        ra = (0, 0, 10 + k % 5, 8 + k % 3)
+        rb = (4 + k % 3, 2 + k % 2, 13 + k % 3 + k % 4, 9 + 2 * (k % 2))
+        rc = (2 + k % 2, 5 + k % 3, 10 + k % 2 + k % 5, 11 + k % 3 + k % 4)
+        A, B, C = box(*ra), box(*rb), box(*rc)
+        area = lambda r: (r[2] - r[0]) * (r[3] - r[1])  # noqa: E731
+        want_u = (
+            area(ra) + area(rb) + area(rc)
+            - ixn(ra, rb) - ixn(ra, rc) - ixn(rb, rc) + ixn3(ra, rb, rc)
+        )
+        want_d = area(ra) - ixn(ra, rb) - ixn(ra, rc) + ixn3(ra, rb, rc)
+        want_i = ixn(ra, rb) + ixn(ra, rc) - ixn3(ra, rb, rc)
+        assert abs(boolean.union_all([A, B, C]).area - want_u) < 1e-9, k
+        assert abs(boolean.difference_all_fused(A, [B, C]).area - want_d) < 1e-9, k
+        got_i = boolean.intersection_all_fused([A], [B, C]).area
+        assert abs(got_i - want_i) < 1e-9, k
+
+
+def test_intersection_all_fused_empty_sides():
+    from pygeoops_ray.geo import boolean
+    from pygeoops_ray.geo.geom import box
+
+    A = box(0, 0, 2, 2)
+    assert boolean.intersection_all_fused([], [A]).is_empty
+    assert boolean.intersection_all_fused([A], []).is_empty
+    # disjoint
+    assert boolean.intersection_all_fused([A], [box(5, 5, 6, 6)]).is_empty
