@@ -90,33 +90,11 @@ def collect(geometries):
 
 
 def _multipolygon_is_valid(mp: g.MultiPolygon) -> bool:
-    """Validity check for collect(): parts may touch at finite POINTS (valid
-    MultiPolygon per OGC), but not overlap in area or share boundary edges."""
-    from pygeoops_ray.geo import predicates
+    """Validity check for collect(): the shared OGC pairwise rule (parts may
+    touch at finite points, not overlap in area or share boundary edges)."""
+    from pygeoops_ray.geo.validity import multipolygon_parts_valid
 
-    parts = mp.geoms
-    for i in range(len(parts)):
-        for j in range(i + 1, len(parts)):
-            a, b = parts[i], parts[j]
-            if not predicates.bbox_intersects(a, b):
-                continue
-            if not predicates.intersects(a, b):
-                continue
-            # interiors overlap?
-            from pygeoops_ray.geo import boolean
-
-            try:
-                if boolean.intersection(a, b).area > 1e-12:
-                    return False
-            except ValueError:
-                return False
-            # collinear boundary overlap (edge sharing)?
-            for s1, s2 in predicates._segments(a):
-                for t1, t2 in predicates._segments(b):
-                    pts = predicates.segment_intersection_points(s1, s2, t1, t2)
-                    if len(pts) == 2:  # overlap along a segment
-                        return False
-    return True
+    return multipolygon_parts_valid(mp)
 
 
 def _to_primitivetype_id(pri) -> int:

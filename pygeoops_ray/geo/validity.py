@@ -171,16 +171,45 @@ def is_valid(geometry: g.Geometry | None) -> bool:
     if isinstance(geometry, g.MultiPolygon):
         if not all(is_valid(p) for p in geometry.geoms):
             return False
-        from pygeoops_ray.geo.predicates import bbox_intersects, intersects
-
-        parts = geometry.geoms
-        for i in range(len(parts)):
-            for j in range(i + 1, len(parts)):
-                if bbox_intersects(parts[i], parts[j]) and intersects(parts[i], parts[j]):
-                    return False
-        return True
+        return multipolygon_parts_valid(geometry)
     if isinstance(geometry, g.GeometryCollection):
         return all(is_valid(p) for p in geometry.geoms)
+    return True
+
+
+def multipolygon_parts_valid(mp: g.MultiPolygon) -> bool:
+    """OGC pairwise rule for MultiPolygon parts: parts may touch at finite
+    POINTS (valid), but must not overlap in area or share boundary edges.
+
+    The previous any-intersects rule wrongly rejected point-touching parts —
+    e.g. make_valid of a bowtie repairs to two triangles meeting at the
+    crossing point, which GEOS reports valid (reference relies on
+    shapely.is_valid semantics, pygeoops/_general.py make_valid usage).
+    """
+    from pygeoops_ray.geo import predicates
+
+    parts = mp.geoms
+    for i in range(len(parts)):
+        for j in range(i + 1, len(parts)):
+            a, b = parts[i], parts[j]
+            if not predicates.bbox_intersects(a, b):
+                continue
+            if not predicates.intersects(a, b):
+                continue
+            from pygeoops_ray.geo import boolean
+
+            # interiors overlap?
+            try:
+                if boolean.intersection(a, b).area > 1e-12:
+                    return False
+            except ValueError:
+                return False
+            # collinear boundary overlap (edge sharing)?
+            for s1, s2 in predicates._segments(a):
+                for t1, t2 in predicates._segments(b):
+                    pts = predicates.segment_intersection_points(s1, s2, t1, t2)
+                    if len(pts) == 2:  # overlap along a segment
+                        return False
     return True
 
 

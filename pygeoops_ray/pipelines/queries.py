@@ -569,6 +569,167 @@ def q_overlay_nary(sf_dir: str):
     )
 
 
+def q_squarish_grid(sf_dir: str):
+    """create_grid2's squarish row/col solver + tile materialization.
+
+    Driver corpus: per supplier key k, bounds (0,0, 40+k%7*10, 30+k%5*10) and
+    nb_squarish_tiles = 4+k%13. Emits the solved (nb_columns, nb_rows) and the
+    ACTUAL tile count from create_grid2 (exercising grid_bounds' ceil loop —
+    verified len == cols*rows on this corpus for 200k keys). The oracle
+    replays the solver in SQL, emulating Python's round-half-even (DuckDB
+    round() is half-away-from-zero; half cases occur, e.g. n/rows = 4.5).
+    Re-expresses pygeoops/_grid.py:92-145 (create_grid2) as a driver-checked
+    op; the nb_squarish_tiles_max shrink loop is pytest-gated.
+    """
+    from pygeoops_ray.geo.grid import create_grid2, squarish_grid_dims
+
+    def solve(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        cols_out, rows_out, n_out = [], [], []
+        for k in keys:
+            k = int(k)
+            bounds = (0.0, 0.0, 40.0 + (k % 7) * 10, 30.0 + (k % 5) * 10)
+            n = 4 + k % 13
+            cols, rows = squarish_grid_dims(bounds, n)
+            tiles = create_grid2(bounds, n)
+            cols_out.append(cols)
+            rows_out.append(rows)
+            n_out.append(len(tiles))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "nb_columns": pa.array(cols_out, pa.int64()),
+                "nb_rows": pa.array(rows_out, pa.int64()),
+                "n_tiles": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        solve, batch_format="pyarrow"
+    )
+
+
+def q_make_valid_area(sf_dir: str):
+    """make_valid over a self-crossing bowtie corpus, closed-form oracle.
+
+    Per supplier key k, the hourglass ring (0,0)→(L,H)→(L,0)→(0,H) with
+    L = 4+k%9, H = 2+k%5 self-crosses at (L/2, H/2); repair splits it into
+    two point-touching triangles (a VALID MultiPolygon per OGC — parts may
+    touch at finite points) of total area exactly L·H/2. Emits part count,
+    in/out validity bits and the scaled area; the oracle recomputes all four
+    from the corpus rule. Re-expresses pygeoops make_valid / shapely
+    is_valid semantics (reference _general.py usage) as a driver-checked op.
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.validity import is_valid, make_valid
+
+    def repair(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        npart, vin, vout, area_c = [], [], [], []
+        for k in keys:
+            k = int(k)
+            L = 4.0 + k % 9
+            H = 2.0 + k % 5
+            bow = g.Polygon([(0, 0), (L, H), (L, 0), (0, H), (0, 0)])
+            v = make_valid(bow)
+            parts = v.geoms if v.geom_type == "MultiPolygon" else [v]
+            npart.append(len(parts))
+            vin.append(int(is_valid(bow)))
+            vout.append(int(is_valid(v)))
+            area_c.append(int(round(sum(p.area for p in parts) * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_parts": pa.array(npart, pa.int64()),
+                "valid_in": pa.array(vin, pa.int64()),
+                "valid_out": pa.array(vout, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        repair, batch_format="pyarrow"
+    )
+
+
+def q_extend_line(sf_dir: str):
+    """extend_line_by_distance over an L-bend corpus, closed-form oracle.
+
+    Per supplier key k, polyline (0,0)→(L,0)→(L,L) with L = 5+k%6, start
+    extension s = 1+k%3, end extension e = 1+k%4. The first segment points
+    -x from the start and the last +y from the end, so the extended line is
+    (-s,0)→(L,0)→(L,L+e): length 2L+s+e, start x = -s, end y = L+e — all
+    integer closed forms. Re-expresses pygeoops extend_line_by_distance
+    (reference _extend_line.py segment math) as a driver-checked op; the
+    multi-segment / to-geometry richness is pytest-gated
+    (tests/test_view_extend_tree.py).
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.extend_line import extend_line_by_distance
+
+    def extend(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        ln, sx, ey = [], [], []
+        for k in keys:
+            k = int(k)
+            L = 5.0 + k % 6
+            s = 1.0 + k % 3
+            e = 1.0 + k % 4
+            line = g.LineString([(0, 0), (L, 0), (L, L)])
+            out = extend_line_by_distance(line, s, e)
+            ln.append(int(round(out.length * 100)))
+            sx.append(int(round(out.coords[0, 0] * 100)))
+            ey.append(int(round(out.coords[-1, 1] * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "length_c": pa.array(ln, pa.int64()),
+                "start_x_c": pa.array(sx, pa.int64()),
+                "end_y_c": pa.array(ey, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        extend, batch_format="pyarrow"
+    )
+
+
+def q_collect_explode(sf_dir: str):
+    """collect → explode roundtrip per nation over customer points.
+
+    Distributed shape: groupby(c_nationkey) → collect() the group's points
+    into a MultiPoint → explode() back to parts (reference _general.py
+    collect/explode semantics). Emits per-nation part count and the exact
+    min/max part x (= custkey) so the oracle (plain SQL aggregates) value-
+    checks that no part is lost or duplicated through the roundtrip.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.general import collect, explode
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        pts = [
+            g.Point(float(ck), float(nk))
+            for ck, nk in zip(df["c_custkey"], df["c_nationkey"])
+        ]
+        coll = collect(pts)
+        parts = explode(coll)
+        parts = [parts] if isinstance(parts, g.Point) else list(parts)
+        xs = [p.coords[0, 0] for p in parts]
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(df["c_nationkey"].iloc[0])],
+                "n_parts": [len(parts)],
+                "min_x_c": [int(round(min(xs) * 100))],
+                "max_x_c": [int(round(max(xs) * 100))],
+            }
+        )
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return ds.groupby("c_nationkey").map_groups(per_nation, batch_format="pandas")
+
+
 def q_view_angles(sf_dir: str):
     """View angles of corpus segments seen from the origin.
 
@@ -1095,6 +1256,10 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "winnow_fp": q_winnow_fp,
     "overlay_nary": q_overlay_nary,
+    "squarish_grid": q_squarish_grid,
+    "make_valid_area": q_make_valid_area,
+    "extend_line": q_extend_line,
+    "collect_explode": q_collect_explode,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1415,6 +1580,90 @@ ORACLE_SQL = {
                CAST((a_a - i_ab - i_ac + i_abc) * 100 AS BIGINT) AS diff_area_c,
                CAST((i_ab + i_ac - i_abc) * 100 AS BIGINT) AS isect_area_c
         FROM i
+    """,
+    # corpus rule (q_squarish_grid): replay squarish_grid_dims in SQL.
+    # Python round() is round-half-even; DuckDB round() is half-away-from-
+    # zero, so halves (which occur: n/rows = 4.5) are emulated explicitly:
+    # rhe(x) = floor(x)+floor(x)%2 when frac is exactly 0.5, else floor(x+.5).
+    # Division order matches the Python solver (n / (W/H)) for IEEE identity.
+    "squarish_grid": """
+        WITH p AS (
+            SELECT s_suppkey,
+                   CAST(40 + s_suppkey % 7 * 10 AS DOUBLE) AS W,
+                   CAST(30 + s_suppkey % 5 * 10 AS DOUBLE) AS H,
+                   CAST(4 + s_suppkey % 13 AS BIGINT) AS n
+            FROM supplier
+        ),
+        r AS (
+            SELECT s_suppkey, n, sqrt(n / (W / H)) AS x
+            FROM p
+        ),
+        rows_solved AS (
+            SELECT s_suppkey, n,
+                   least(greatest(
+                       CASE WHEN x - floor(x) = 0.5
+                            THEN CAST(floor(x) AS BIGINT)
+                               + CAST(floor(x) AS BIGINT) % 2
+                            ELSE CAST(floor(x + 0.5) AS BIGINT) END,
+                       1), n) AS nb_rows
+            FROM r
+        ),
+        cols_solved AS (
+            SELECT s_suppkey, nb_rows,
+                   CAST(n AS DOUBLE) / nb_rows AS y
+            FROM rows_solved
+        )
+        SELECT s_suppkey,
+               greatest(
+                   CASE WHEN y - floor(y) = 0.5
+                        THEN CAST(floor(y) AS BIGINT)
+                           + CAST(floor(y) AS BIGINT) % 2
+                        ELSE CAST(floor(y + 0.5) AS BIGINT) END,
+                   1) AS nb_columns,
+               nb_rows,
+               greatest(
+                   CASE WHEN y - floor(y) = 0.5
+                        THEN CAST(floor(y) AS BIGINT)
+                           + CAST(floor(y) AS BIGINT) % 2
+                        ELSE CAST(floor(y + 0.5) AS BIGINT) END,
+                   1) * nb_rows AS n_tiles
+        FROM cols_solved
+    """,
+    # corpus rule (q_make_valid_area): bowtie (0,0)->(L,H)->(L,0)->(0,H)
+    # self-crosses at the center; repair = two point-touching triangles
+    # (valid MultiPolygon), total area exactly L*H/2
+    "make_valid_area": """
+        SELECT s_suppkey,
+               CAST(2 AS BIGINT) AS n_parts,
+               CAST(0 AS BIGINT) AS valid_in,
+               CAST(1 AS BIGINT) AS valid_out,
+               CAST((4 + s_suppkey % 9) * (2 + s_suppkey % 5) * 50 AS BIGINT)
+                   AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_extend_line): L-bend (0,0)->(L,0)->(L,L), first segment
+    # points -x from the start and last +y from the end, so the extension is
+    # pure integer arithmetic: length 2L+s+e, start x = -s, end y = L+e
+    "extend_line": """
+        SELECT s_suppkey,
+               CAST((2 * (5 + s_suppkey % 6)
+                     + (1 + s_suppkey % 3)
+                     + (1 + s_suppkey % 4)) * 100 AS BIGINT) AS length_c,
+               CAST(-(1 + s_suppkey % 3) * 100 AS BIGINT) AS start_x_c,
+               CAST(((5 + s_suppkey % 6) + (1 + s_suppkey % 4)) * 100
+                   AS BIGINT) AS end_y_c
+        FROM supplier
+    """,
+    # corpus rule (q_collect_explode): collect->explode is a lossless
+    # roundtrip over distinct points (custkey is unique), so part count and
+    # min/max part x reduce to plain per-nation aggregates
+    "collect_explode": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(min(c_custkey) * 100 AS BIGINT) AS min_x_c,
+               CAST(max(c_custkey) * 100 AS BIGINT) AS max_x_c
+        FROM customer
+        GROUP BY c_nationkey
     """,
     # corpus rule (q_view_angles): segment (1+k%7, 1+k%5) -> (+2, +3) seen
     # from the origin; both endpoints strictly in quadrant I so the interval

@@ -224,3 +224,60 @@ class TestGeodesicArea:
         # projected crs string → planar branch (reference parity)
         out_proj = pr.remove_inner_rings(poly, min_area_to_keep=20000.0, crs="epsg:31370")
         assert len(out_proj.holes) == 0
+
+
+def test_is_valid_multipolygon_ogc_point_touch():
+    """OGC rule: MultiPolygon parts may touch at finite points (valid), but
+    not overlap in area or share boundary edges. make_valid of a bowtie
+    yields two point-touching triangles — GEOS reports that valid."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.validity import is_valid, make_valid
+
+    bow = g.Polygon([(0, 0), (4, 2), (4, 0), (0, 2), (0, 0)])
+    assert not is_valid(bow)
+    v = make_valid(bow)
+    assert v.geom_type == "MultiPolygon" and len(v.geoms) == 2
+    assert is_valid(v)
+    assert abs(sum(p.area for p in v.geoms) - 4.0) < 1e-12
+
+    # edge-sharing parts: still invalid
+    mp = g.MultiPolygon(
+        [
+            g.Polygon([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]),
+            g.Polygon([(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)]),
+        ]
+    )
+    assert not is_valid(mp)
+    # overlapping parts: still invalid
+    mp2 = g.MultiPolygon(
+        [
+            g.Polygon([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]),
+            g.Polygon([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]),
+        ]
+    )
+    assert not is_valid(mp2)
+
+
+def test_squarish_grid_corpus_solver_matches_sql_semantics():
+    """The driver corpus rule (q_squarish_grid) as a no-Ray property: the
+    Python solver equals the SQL replay (round-half-even emulation, same
+    division order) and create_grid2 materializes exactly cols*rows tiles."""
+    import math
+
+    from pygeoops_ray.geo.grid import create_grid2, squarish_grid_dims
+
+    def rhe(x):
+        f = math.floor(x)
+        if x - f == 0.5:
+            return int(f) + int(f) % 2
+        return int(math.floor(x + 0.5))
+
+    for k in range(500):
+        W = 40.0 + (k % 7) * 10
+        H = 30.0 + (k % 5) * 10
+        n = 4 + k % 13
+        cols, rows = squarish_grid_dims((0.0, 0.0, W, H), n)
+        r = min(max(rhe(math.sqrt(n / (W / H))), 1), n)
+        c = max(rhe(n / r), 1)
+        assert (c, r) == (cols, rows), k
+        assert len(create_grid2((0.0, 0.0, W, H), n)) == cols * rows, k
