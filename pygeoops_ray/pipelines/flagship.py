@@ -64,9 +64,18 @@ def image_table_ds(n: int, small: bool = True, columns=None, num_blocks: int | N
     if num_blocks is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         num_blocks = max(8, min(2 * ncpu, max(1, n // 4096)))
-    return rd.read_parquet(
+    ds = rd.read_parquet(
         images_parquet_path(n, small), columns=columns, override_num_blocks=num_blocks
     )
+
+    def strip_meta(batch: pa.Table) -> pa.Table:
+        # parquet pandas-metadata makes schemas unhashable → Ray's shuffle
+        # schema-dedup fails per reduce task (warning + the slow unify path)
+        if batch.schema.metadata is not None:
+            return batch.replace_schema_metadata(None)
+        return batch
+
+    return ds.map_batches(strip_meta, batch_format="pyarrow")
 
 
 class DecodeValidate:

@@ -25,8 +25,24 @@ from pygeoops_ray.stages import text as text_stages
 __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop parquet's embedded pandas metadata from the block schema.
+
+    Schemas carrying a metadata dict are unhashable, so Ray's shuffle-reduce
+    schema dedup (`unify_schemas` early-exit) fails on every reduce call and
+    falls back to the expensive unify path, logging a warning per task.
+    `replace_schema_metadata(None)` is zero-copy and the read stage fuses
+    with this map, so the strip is free.
+    """
+    if batch.schema.metadata is not None:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow"
+    )
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
@@ -64,7 +80,7 @@ def _read_blocked(sf_dir: str, table: str, columns=None):
         f"{sf_dir}/{table}.parquet",
         columns=columns,
         override_num_blocks=max(4, ncpu // 4),
-    )
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
 def _images(sf_dir: str):
@@ -201,7 +217,7 @@ def q_near_dup_pairs(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=max(4, ncpu // 4),
-    )
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
     return dedup_stages.near_dup_pairs(
         ds, jaccard_threshold=0.5, n_docs_hint=_table_rows(sf_dir, "documents")
     )

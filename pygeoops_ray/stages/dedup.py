@@ -51,7 +51,11 @@ def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [keep_col]).to_pandas()
         out = df.groupby(key_cols, as_index=False, sort=False)[keep_col].min()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # strip from_pandas' pandas-metadata: unhashable schemas defeat the
+        # shuffle reduce's schema dedup (warning + slow unify per task)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # coarse-bucketed vectorized min: Ray's native aggregate pays per-group
@@ -171,7 +175,7 @@ def near_dup_pairs(
     docs_ds,
     jaccard_threshold: float = 0.6,
     concurrency: int = 4,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     n_docs_hint: int | None = None,
 ):
     """MinHash-LSH near-duplicate pairs (doc_a < doc_b) with verified Jaccard.
@@ -184,6 +188,11 @@ def near_dup_pairs(
     any corpus size (the round-1 version shipped a doc_id→text dict of the
     entire table through the object store).
     """
+    # verify-shuffle bucket count scales with the corpus (~50k docs of sig
+    # payload per jb group): a fixed modulus would grow each cogroup frame
+    # linearly with input — the same scale-bug class as a fixed %64
+    if num_partitions is None:
+        num_partitions = max(8, (n_docs_hint or 0) // 50_000 + 1)
 
     def sig_batch(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
@@ -310,8 +319,16 @@ def _attach_and_verify(pairs, sigs, jaccard_threshold: float, num_partitions: in
             }
         )
 
-    tagged = pairs.map_batches(pair_sides, batch_format="pyarrow").union(
-        sigs.map_batches(sig_side, batch_format="pyarrow")
+    # coalesce (no shuffle) so the sort has at most num_partitions/2 output
+    # partitions: Ray's range sort makes one partition PER INPUT BLOCK, and
+    # partitions beyond the key cardinality come out EMPTY with a schema-less
+    # block (streaming executor logs a schema-divergence warning per bundle).
+    # At scale num_partitions is corpus-derived, so the ceiling is a no-op.
+    n_coalesce = max(2, num_partitions // 2)
+    tagged = (
+        pairs.map_batches(pair_sides, batch_format="pyarrow")
+        .union(sigs.map_batches(sig_side, batch_format="pyarrow"))
+        .repartition(n_coalesce, shuffle=False)
     )
 
     def add_jbucket(b: pa.Table) -> pa.Table:
@@ -319,27 +336,23 @@ def _attach_and_verify(pairs, sigs, jaccard_threshold: float, num_partitions: in
             "jb", pa.array(b["jkey"].to_numpy() % num_partitions, pa.int64())
         )
 
-    def attach_sig(group: pd.DataFrame) -> pd.DataFrame:
+    def attach_sig(group: pd.DataFrame) -> pa.Table:
+        # emit Arrow directly (typed binary sig): a pandas return would be
+        # converted by Ray via from_pandas, whose pandas-metadata makes the
+        # schema unhashable and defeats the shuffle reduce's schema dedup
         is_sig = group["doc_a"].isna()
         lut = dict(
             zip(group.loc[is_sig, "jkey"].to_numpy(), group.loc[is_sig, "sig"].to_numpy())
         )
         p = group.loc[~is_sig].drop_duplicates(["doc_a", "doc_b", "jkey"])
-        if not len(p):
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "jkey": pd.Series([], dtype="int64"),
-                    "sig": pd.Series([], dtype="object"),
-                }
-            )
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
-                "doc_a": p["doc_a"].astype("int64").to_numpy(),
-                "doc_b": p["doc_b"].astype("int64").to_numpy(),
-                "jkey": p["jkey"].to_numpy(),
-                "sig": [lut.get(k) for k in p["jkey"].to_numpy()],
+                "doc_a": pa.array(p["doc_a"].astype("int64").to_numpy(), pa.int64()),
+                "doc_b": pa.array(p["doc_b"].astype("int64").to_numpy(), pa.int64()),
+                "jkey": pa.array(p["jkey"].astype("int64").to_numpy(), pa.int64()),
+                "sig": pa.array(
+                    [lut.get(k) for k in p["jkey"].to_numpy()], pa.binary()
+                ),
             }
         )
 
@@ -377,11 +390,11 @@ def _attach_and_verify(pairs, sigs, jaccard_threshold: float, num_partitions: in
                 out_a.append(da)
                 out_b.append(db)
                 out_j.append(j)
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "jaccard": pd.Series(out_j, dtype="float64"),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
@@ -433,7 +446,6 @@ def _common_shingles_topk(
 def exact_jaccard_pairs(
     docs_ds,
     jaccard_threshold: float = 0.5,
-    num_partitions: int = 8,
     shingle: int = 3,
     n_docs_hint: int | None = None,
 ):
@@ -638,9 +650,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return _SimHasher()(batch)
 
 
-def simhash_pairs(
-    docs_ds, max_hamming: int = 3, num_partitions: int = 8, n_docs_hint: int | None = None
-):
+def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None):
     """SimHash near-duplicate pairs: all (a<b) with hamming(sh_a, sh_b) <= K.
 
     Candidate generation splits the 64-bit simhash into K+1 contiguous bands;
