@@ -75,7 +75,7 @@ def image_table_ds(n: int, small: bool = True, columns=None, num_blocks: int | N
             return batch.replace_schema_metadata(None)
         return batch
 
-    return ds.map_batches(strip_meta, batch_format="pyarrow")
+    return ds.map_batches(strip_meta, batch_format="pyarrow", batch_size=None)
 
 
 class DecodeValidate:

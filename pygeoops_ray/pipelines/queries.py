@@ -41,7 +41,7 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
 
 def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
-        _strip_schema_metadata, batch_format="pyarrow"
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -80,7 +80,7 @@ def _read_blocked(sf_dir: str, table: str, columns=None):
         f"{sf_dir}/{table}.parquet",
         columns=columns,
         override_num_blocks=max(4, ncpu // 4),
-    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
 
 
 def _images(sf_dir: str):
@@ -217,7 +217,7 @@ def q_near_dup_pairs(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=max(4, ncpu // 4),
-    ).map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
     return dedup_stages.near_dup_pairs(
         ds, jaccard_threshold=0.5, n_docs_hint=_table_rows(sf_dir, "documents")
     )
@@ -744,6 +744,205 @@ def q_collect_explode(sf_dir: str):
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     return ds.groupby("c_nationkey").map_groups(per_nation, batch_format="pandas")
+
+
+def q_difference_rects(sf_dir: str):
+    """difference_all over a disjoint-subtrahend corpus, closed-form oracle.
+
+    Per supplier key k, subject rect (0,0,20,10) minus m = 1+k%4 unit squares
+    at (2i+1,1)-(2i+2,2) — strictly interior and pairwise disjoint, so the
+    fused subject-minus-union sweep yields ONE polygon with exactly m holes
+    and area 200-m. Re-expresses pygeoops difference_all (reference
+    _difference.py:61 semantics) as a driver-checked op; overlapping /
+    boundary-touching subtrahend richness is pytest-gated
+    (tests/test_boolean_difference.py).
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.difference import difference_all
+
+    def diff(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        npoly, nhole, area_c = [], [], []
+        for k in keys:
+            k = int(k)
+            m = 1 + k % 4
+            subject = g.Polygon([(0, 0), (20, 0), (20, 10), (0, 10), (0, 0)])
+            subs = [
+                g.Polygon(
+                    [
+                        (2 * i + 1, 1),
+                        (2 * i + 2, 1),
+                        (2 * i + 2, 2),
+                        (2 * i + 1, 2),
+                        (2 * i + 1, 1),
+                    ]
+                )
+                for i in range(m)
+            ]
+            d = difference_all(subject, subs)
+            polys = d.geoms if d.geom_type == "MultiPolygon" else [d]
+            npoly.append(len(polys))
+            nhole.append(sum(len(p.holes) for p in polys))
+            area_c.append(int(round(sum(p.area for p in polys) * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_polys": pa.array(npoly, pa.int64()),
+                "n_holes": pa.array(nhole, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        diff, batch_format="pyarrow"
+    )
+
+
+def q_inner_rings(sf_dir: str):
+    """remove_inner_rings over a two-hole corpus, closed-form oracle.
+
+    Per supplier key k, a 30x30 square with two 1-wide rectangular holes of
+    areas a = 1+k%9 and b = 5+k%13; min_area_to_keep = 8 keeps a hole iff
+    its area > 8 (reference drops area <= threshold, _general.py:506-537).
+    Emits kept-hole count and the polygon area 900 - kept areas. The
+    geodesic-CRS branch is pytest-gated (tests/test_general_ops.py).
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.general import remove_inner_rings
+
+    def run(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        nkept, area_c = [], []
+        for k in keys:
+            k = int(k)
+            a = 1 + k % 9
+            b = 5 + k % 13
+            holes = [
+                [(2, 2), (3, 2), (3, 2 + a), (2, 2 + a), (2, 2)],
+                [(6, 2), (7, 2), (7, 2 + b), (6, 2 + b), (6, 2)],
+            ]
+            poly = g.Polygon([(0, 0), (30, 0), (30, 30), (0, 30), (0, 0)], holes)
+            out = remove_inner_rings(poly, min_area_to_keep=8.0)
+            nkept.append(len(out.holes))
+            area_c.append(int(round(out.area * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_holes_kept": pa.array(nkept, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_geom_zoo(sf_dir: str):
+    """GeometryCollection roundtrip: collect → extract → type ids → parts.
+
+    Per supplier key k, a GeometryCollection of p = 1+k%3 points, l = k%2
+    lines and q = 1+k%2 unit squares. Emits get_parts_recursive count
+    (p+l+q), collection_extract(polygon) part count (q), the primitive type
+    ids of the collection (0) and the extract (3), and the extracted area
+    (q). Re-expresses reference _general.py collection_extract /
+    get_primitivetype_id / get_parts semantics as one driver-checked op.
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.general import (
+        collection_extract,
+        get_parts_recursive,
+        get_primitivetype_id,
+    )
+
+    def zoo(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        nparts, npolys, pid_c, pid_e, area_c = [], [], [], [], []
+        for k in keys:
+            k = int(k)
+            p = 1 + k % 3
+            l = k % 2
+            q = 1 + k % 2
+            geoms = [g.Point(float(i), 0.0) for i in range(p)]
+            geoms += [g.LineString([(0, i + 1), (1, i + 1)]) for i in range(l)]
+            geoms += [
+                g.Polygon(
+                    [
+                        (3 * i, 5),
+                        (3 * i + 1, 5),
+                        (3 * i + 1, 6),
+                        (3 * i, 6),
+                        (3 * i, 5),
+                    ]
+                )
+                for i in range(q)
+            ]
+            coll = g.GeometryCollection(geoms)
+            ext = collection_extract(coll, 3)
+            npolys.append(len(ext.geoms) if ext.geom_type == "MultiPolygon" else 1)
+            nparts.append(len(get_parts_recursive(coll)))
+            pid_c.append(int(get_primitivetype_id(coll)))
+            pid_e.append(int(get_primitivetype_id(ext)))
+            area_c.append(int(round(ext.area * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_parts": pa.array(nparts, pa.int64()),
+                "n_polys": pa.array(npolys, pa.int64()),
+                "ptype_coll": pa.array(pid_c, pa.int64()),
+                "ptype_poly": pa.array(pid_e, pa.int64()),
+                "poly_area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        zoo, batch_format="pyarrow"
+    )
+
+
+def q_subdivide_rect(sf_dir: str):
+    """subdivide over a densified rectangle, closed-form oracle.
+
+    Per supplier key k, a 12x8 rectangle densified at 0.25 steps (161
+    coords) subdivided with num_coords_max = 40+(k%3)*10. The tile count is
+    create_grid2's squarish solve of ceil(161/ncm) — 5→4, 4→4, 3→3 tiles,
+    all non-empty — and the clip is along exact binary-fraction grid lines,
+    so the part-area sum is exactly 96. Re-expresses reference subdivision
+    before fan-out (_difference.py:71) as a driver-checked op.
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.general import subdivide
+
+    step = 0.25
+    xs = np.arange(0, 12 + step, step)
+    ys = np.arange(0, 8 + step, step)
+    coords = (
+        [(float(x), 0.0) for x in xs]
+        + [(12.0, float(y)) for y in ys[1:]]
+        + [(float(x), 8.0) for x in xs[::-1][1:]]
+        + [(0.0, float(y)) for y in ys[::-1][1:]]
+    )
+
+    def run(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        nparts, area_c = [], []
+        for k in keys:
+            k = int(k)
+            poly = g.Polygon(coords)
+            parts = subdivide(poly, num_coords_max=40 + (k % 3) * 10)
+            nparts.append(len(parts))
+            area_c.append(int(round(sum(p.area for p in parts) * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_parts": pa.array(nparts, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        run, batch_format="pyarrow"
+    )
 
 
 def q_view_angles(sf_dir: str):
@@ -1276,6 +1475,10 @@ QUERIES = {
     "make_valid_area": q_make_valid_area,
     "extend_line": q_extend_line,
     "collect_explode": q_collect_explode,
+    "difference_rects": q_difference_rects,
+    "inner_rings": q_inner_rings,
+    "geom_zoo": q_geom_zoo,
+    "subdivide_rect": q_subdivide_rect,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1655,6 +1858,55 @@ ORACLE_SQL = {
                CAST(1 AS BIGINT) AS valid_out,
                CAST((4 + s_suppkey % 9) * (2 + s_suppkey % 5) * 50 AS BIGINT)
                    AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_difference_rects): 20x10 subject minus m = 1+k%4
+    # strictly-interior disjoint unit squares -> one polygon, m holes,
+    # area 200-m
+    "difference_rects": """
+        SELECT s_suppkey,
+               CAST(1 AS BIGINT) AS n_polys,
+               CAST(1 + s_suppkey % 4 AS BIGINT) AS n_holes,
+               CAST((200 - (1 + s_suppkey % 4)) * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_inner_rings): 30x30 square, holes a = 1+k%9 and
+    # b = 5+k%13; keep a hole iff area > 8 (min_area_to_keep = 8)
+    "inner_rings": """
+        SELECT s_suppkey,
+               CAST((CASE WHEN 1 + s_suppkey % 9 > 8 THEN 1 ELSE 0 END)
+                  + (CASE WHEN 5 + s_suppkey % 13 > 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_holes_kept,
+               CAST((900
+                  - (CASE WHEN 1 + s_suppkey % 9 > 8
+                          THEN 1 + s_suppkey % 9 ELSE 0 END)
+                  - (CASE WHEN 5 + s_suppkey % 13 > 8
+                          THEN 5 + s_suppkey % 13 ELSE 0 END)) * 100
+                  AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_geom_zoo): p = 1+k%3 points, l = k%2 lines, q = 1+k%2
+    # unit squares in a GeometryCollection; extract(polygon) keeps the q
+    # squares, primitive ids: collection 0, polygon 3
+    "geom_zoo": """
+        SELECT s_suppkey,
+               CAST((1 + s_suppkey % 3) + s_suppkey % 2 + (1 + s_suppkey % 2)
+                   AS BIGINT) AS n_parts,
+               CAST(1 + s_suppkey % 2 AS BIGINT) AS n_polys,
+               CAST(0 AS BIGINT) AS ptype_coll,
+               CAST(3 AS BIGINT) AS ptype_poly,
+               CAST((1 + s_suppkey % 2) * 100 AS BIGINT) AS poly_area_c
+        FROM supplier
+    """,
+    # corpus rule (q_subdivide_rect): 161-coord densified 12x8 rect with
+    # num_coords_max = 40+(k%3)*10 -> ceil(161/ncm) in {5,4,3} squarish
+    # tiles -> create_grid2 gives {4,4,3} non-empty parts; grid lines land
+    # on exact binary fractions so the area sum is exactly 96
+    "subdivide_rect": """
+        SELECT s_suppkey,
+               CAST(CASE s_suppkey % 3 WHEN 2 THEN 3 ELSE 4 END AS BIGINT)
+                   AS n_parts,
+               CAST(9600 AS BIGINT) AS area_c
         FROM supplier
     """,
     # corpus rule (q_extend_line): L-bend (0,0)->(L,0)->(L,L), first segment
