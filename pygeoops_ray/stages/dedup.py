@@ -41,6 +41,32 @@ def _coarse_shift(n_rows_hint: int | None, target_rows: int = 500_000) -> int:
     return 63 - bits
 
 
+def _split_for_group_verify(ds, n_rows_hint: int | None, cshift: int):
+    """Split (metadata-only) the coarse-sort input so the per-group verify
+    stage fans out to every core.
+
+    Ray's range sort makes one reduce partition PER INPUT BLOCK, and the
+    verify map runs one task per partition — with the small-file read cap
+    (cpu/4 blocks) the expensive pair-verify stage was limited to 8 of 32
+    cores. Split to ~1 block per core, but never past half the coarse key
+    count (surplus partitions come out empty, see near_dup_pairs). At real
+    scale the natural block count already exceeds this and the repartition
+    is a cheap rebalance.
+    """
+    import math
+
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_keys = 1 << (63 - cshift)
+    blocks = max(4, min(ncpu, n_keys // 2))
+    if n_rows_hint:
+        # keep blocks near the 128 MB object-store sweet spot at scale
+        blocks = max(blocks, int(n_rows_hint * 24 // (128 << 20)))
+        blocks = min(blocks, max(4, n_keys // 2))
+    return ds.repartition(blocks, shuffle=False)
+
+
 def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
     """Keep min(keep_col) per key group: per-batch partial min, then groupby min.
 
@@ -237,7 +263,11 @@ def near_dup_pairs(
         )
 
     pairs = (
-        bands.map_batches(add_coarse, batch_format="pyarrow")
+        _split_for_group_verify(
+            bands.map_batches(add_coarse, batch_format="pyarrow"),
+            n_docs_hint * 16 if n_docs_hint else None,
+            _cshift,
+        )
         .groupby("coarse")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -582,8 +612,13 @@ def exact_jaccard_pairs(
     from pygeoops_ray.stages.groupagg import grouped_min
 
     pairs = (
-        docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
-        .map_batches(add_coarse, batch_format="pyarrow")
+        _split_for_group_verify(
+            docs_ds.map_batches(prefix_rows, batch_format="pyarrow").map_batches(
+                add_coarse, batch_format="pyarrow"
+            ),
+            n_docs_hint * 32 if n_docs_hint else None,
+            _cshift,
+        )
         .groupby("coarse")
         .map_groups(pair_verify, batch_format="pandas")
     )
@@ -791,8 +826,13 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None)
     from pygeoops_ray.stages.groupagg import grouped_min
 
     pairs = (
-        sims.map_batches(band_rows, batch_format="pyarrow")
-        .map_batches(add_coarse, batch_format="pyarrow")
+        _split_for_group_verify(
+            sims.map_batches(band_rows, batch_format="pyarrow").map_batches(
+                add_coarse, batch_format="pyarrow"
+            ),
+            n_docs_hint * nb if n_docs_hint else None,
+            _cshift,
+        )
         .groupby("coarse")
         .map_groups(pair_verify, batch_format="pandas")
     )
