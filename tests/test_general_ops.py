@@ -281,3 +281,78 @@ def test_squarish_grid_corpus_solver_matches_sql_semantics():
         c = max(rhe(n / r), 1)
         assert (c, r) == (cols, rows), k
         assert len(create_grid2((0.0, 0.0, W, H), n)) == cols * rows, k
+
+
+def test_driver_corpus_closed_forms_no_ray():
+    """The four newest driver corpora (q_difference_rects, q_inner_rings,
+    q_geom_zoo, q_subdivide_rect) as no-Ray properties: the kernel outputs
+    equal the oracle's closed forms for a key sweep."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.difference import difference_all
+    from pygeoops_ray.geo.general import (
+        collection_extract,
+        get_parts_recursive,
+        get_primitivetype_id,
+        remove_inner_rings,
+        subdivide,
+    )
+
+    def rect(x0, y0, x1, y1):
+        return g.Polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+
+    for k in range(60):
+        # difference_rects
+        m = 1 + k % 4
+        d = difference_all(
+            rect(0, 0, 20, 10), [rect(2 * i + 1, 1, 2 * i + 2, 2) for i in range(m)]
+        )
+        polys = d.geoms if d.geom_type == "MultiPolygon" else [d]
+        assert len(polys) == 1
+        assert sum(len(p.holes) for p in polys) == m
+        assert abs(sum(p.area for p in polys) - (200 - m)) < 1e-9
+
+        # inner_rings
+        a = 1 + k % 9
+        b = 5 + k % 13
+        poly = g.Polygon(
+            [(0, 0), (30, 0), (30, 30), (0, 30), (0, 0)],
+            [
+                [(2, 2), (3, 2), (3, 2 + a), (2, 2 + a), (2, 2)],
+                [(6, 2), (7, 2), (7, 2 + b), (6, 2 + b), (6, 2)],
+            ],
+        )
+        out = remove_inner_rings(poly, min_area_to_keep=8.0)
+        assert len(out.holes) == (a > 8) + (b > 8)
+        exp_area = 900 - (a if a > 8 else 0) - (b if b > 8 else 0)
+        assert abs(out.area - exp_area) < 1e-9
+
+        # geom_zoo
+        p = 1 + k % 3
+        l = k % 2
+        q = 1 + k % 2
+        geoms = [g.Point(float(i), 0.0) for i in range(p)]
+        geoms += [g.LineString([(0, i + 1), (1, i + 1)]) for i in range(l)]
+        geoms += [rect(3 * i, 5, 3 * i + 1, 6) for i in range(q)]
+        coll = g.GeometryCollection(geoms)
+        ext = collection_extract(coll, 3)
+        assert (len(ext.geoms) if ext.geom_type == "MultiPolygon" else 1) == q
+        assert len(get_parts_recursive(coll)) == p + l + q
+        assert get_primitivetype_id(coll) == 0 and get_primitivetype_id(ext) == 3
+        assert abs(ext.area - q) < 1e-12
+
+    # subdivide_rect: exact area sum and the {4,4,3} part counts
+    import numpy as np
+
+    step = 0.25
+    xs = np.arange(0, 12 + step, step)
+    ys = np.arange(0, 8 + step, step)
+    coords = (
+        [(float(x), 0.0) for x in xs]
+        + [(12.0, float(y)) for y in ys[1:]]
+        + [(float(x), 8.0) for x in xs[::-1][1:]]
+        + [(0.0, float(y)) for y in ys[::-1][1:]]
+    )
+    for kmod, exp_parts in [(0, 4), (1, 4), (2, 3)]:
+        parts = subdivide(g.Polygon(coords), num_coords_max=40 + kmod * 10)
+        assert len(parts) == exp_parts
+        assert sum(p.area for p in parts) == 96.0
