@@ -160,6 +160,15 @@ def run_scaling():
     import subprocess
 
     n_images = int(os.environ.get("RAY_GRAFT_SCALE_IMAGES", "1000000"))
+    # RAY_GRAFT_SCALE_DECODE=0 measures the join-only chain (footprint →
+    # cells → tiles → PIP join → counts, no pixel decode). The per-row
+    # decode+PSNR kernel is DRAM-bandwidth-bound: measured WALL-CONSTANT
+    # (~22 s for 300k images) at both 2 and 8 cpus on this box, with
+    # per-image CPU inflating 3x under 8-way contention — a single-node
+    # memory ceiling, not an engine property (each node of a real cluster
+    # brings its own DRAM, and images partition across nodes). The join-only
+    # number isolates the engine's distributed machinery from that ceiling.
+    decode = os.environ.get("RAY_GRAFT_SCALE_DECODE", "1") != "0"
     code = (
         "import ray, time, sys\n"
         "ncpu = int(sys.argv[1])\n"
@@ -171,7 +180,7 @@ def run_scaling():
         f"image_table_ds({n_images}).count()\n"
         "t0 = time.time()\n"
         f"n = flagship('{os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')}',"
-        f" n_images={n_images}, decode=True,"
+        f" n_images={n_images}, decode={decode},"
         " concurrency=max(2, int(ncpu * 0.75))).count()\n"
         "print('RESULT', round(time.time() - t0, 3))\n"
         "ray.shutdown()\n"
@@ -201,6 +210,7 @@ def run_scaling():
         json.dumps(
             {
                 "metric": "scaling_efficiency",
+                "decode": decode,
                 "cpus_lo": lo,
                 "cpus_hi": hi,
                 "sec_lo": t_lo,

@@ -945,6 +945,44 @@ def q_subdivide_rect(sf_dir: str):
     )
 
 
+def q_split_tiles(sf_dir: str):
+    """split_tiles over a single-tile corpus, closed-form oracle.
+
+    Per supplier key k, one (0,0,W,H) tile split toward wanted = 2+k%7
+    tiles. The reference's per-tile loop (halve, or third when the remaining
+    ratio rounds to 3) makes the part count a pure function of wanted:
+    {2:2, 3:3, 4:4, 5:8, 6:6, 7:8, 8:8} — and split bounds telescope, so the
+    area sum is exactly W*H. Re-expresses pygeoops split_tiles
+    (reference _grid.py per-tile ratio loop) as a driver-checked op; the
+    attribute-passthrough richness is pytest-gated (tests/test_grid.py).
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.grid import split_tiles
+
+    def run(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        nparts, area_c = [], []
+        for k in keys:
+            k = int(k)
+            W = 40.0 + (k % 4) * 10
+            H = 30.0 + (k % 3) * 10
+            tile = g.Polygon([(0, 0), (W, 0), (W, H), (0, H), (0, 0)])
+            parts = split_tiles([tile], 2 + k % 7)
+            nparts.append(len(parts))
+            area_c.append(int(round(sum(p.area for p in parts) * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_tiles": pa.array(nparts, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_view_angles(sf_dir: str):
     """View angles of corpus segments seen from the origin.
 
@@ -1278,6 +1316,46 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 minutes.
+
+    The streaming-window shape Ray Data lacks natively: each event belongs
+    to size/hop = 2 overlapping windows, so a flat-map assigns every row to
+    both window starts (vectorized repeat inside map_batches) and the
+    aggregate is the same scalable coarse-bucket combiner as the tumbling
+    case. Oracle: the window duplication is a UNION ALL of the two hop
+    offsets in SQL.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    hop = 1_800_000_000  # 30 min in us
+    size = 3_600_000_000  # 1 h
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        value_c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        # windows covering t: starts floor(t/hop)*hop and that minus hop
+        # (size/hop == 2); all starts are valid windows (t < start+size)
+        w1 = (ts // hop) * hop
+        w0 = w1 - hop
+        starts = np.concatenate([w0, w1])
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+                "wnd_start_us": pa.array(starts, pa.int64()),
+                "value_c": pa.array(np.concatenate([value_c, value_c]), pa.int64()),
+            }
+        )
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["event_type", "wnd_start_us"],
+        [("value_c", "size", "n"), ("value_c", "sum", "sum_value_c")],
+    )
+
+
 def _events_bucket_count(sf_dir: str, target_rows: int = 100_000, floor: int = 64) -> int:
     """Shuffle-bucket count sized to the input: ~target_rows rows per group.
 
@@ -1493,6 +1571,7 @@ QUERIES = {
     "extend_line": q_extend_line,
     "collect_explode": q_collect_explode,
     "difference_rects": q_difference_rects,
+    "split_tiles": q_split_tiles,
     "inner_rings": q_inner_rings,
     "geom_zoo": q_geom_zoo,
     "subdivide_rect": q_subdivide_rect,
@@ -1501,6 +1580,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
+    "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1646,6 +1726,26 @@ ORACLE_SQL = {
                count(*) AS n,
                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events GROUP BY 1, 2
+    """,
+    # hopping window = UNION ALL of the two hop offsets (size/hop = 2)
+    "hopping_window": """
+        WITH assigned AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 1800000000) * 1800000000 AS BIGINT)
+                       AS wnd_start_us,
+                   CAST(floor(value * 100) AS BIGINT) AS value_c
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 1800000000) * 1800000000
+                        - 1800000000 AS BIGINT) AS wnd_start_us,
+                   CAST(floor(value * 100) AS BIGINT) AS value_c
+            FROM events
+        )
+        SELECT event_type, wnd_start_us,
+               count(*) AS n,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM assigned GROUP BY 1, 2
     """,
     "top_orders": """
         SELECT o_orderkey, c_name, o_totalprice
@@ -1885,6 +1985,19 @@ ORACLE_SQL = {
                CAST(1 AS BIGINT) AS n_polys,
                CAST(1 + s_suppkey % 4 AS BIGINT) AS n_holes,
                CAST((200 - (1 + s_suppkey % 4)) * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_split_tiles): one (0,0,W,H) tile toward wanted = 2+k%7
+    # parts; the halve/third ratio loop gives counts {2:2,3:3,4:4,5:8,6:6,
+    # 7:8,8:8}; split bounds telescope so the area sum is exactly W*H
+    "split_tiles": """
+        SELECT s_suppkey,
+               CAST(CASE 2 + s_suppkey % 7
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 4
+                    WHEN 5 THEN 8 WHEN 6 THEN 6 ELSE 8 END AS BIGINT)
+                   AS n_tiles,
+               CAST((40 + s_suppkey % 4 * 10) * (30 + s_suppkey % 3 * 10)
+                    * 100 AS BIGINT) AS area_c
         FROM supplier
     """,
     # corpus rule (q_inner_rings): 30x30 square, holes a = 1+k%9 and
