@@ -169,22 +169,52 @@ def run_scaling():
     # brings its own DRAM, and images partition across nodes). The join-only
     # number isolates the engine's distributed machinery from that ceiling.
     decode = os.environ.get("RAY_GRAFT_SCALE_DECODE", "1") != "0"
-    code = (
+    mode = os.environ.get("RAY_GRAFT_SCALE_MODE", "full" if decode else "join")
+    prelude = (
         "import ray, time, sys\n"
         "ncpu = int(sys.argv[1])\n"
         "ray.init(address='local', num_cpus=ncpu, include_dashboard=False,"
         " logging_level='ERROR', log_to_driver=False)\n"
         "from ray.data import DataContext\n"
         "DataContext.get_current().enable_progress_bars = False\n"
-        "from pygeoops_ray.pipelines.flagship import flagship, image_table_ds\n"
-        f"image_table_ds({n_images}).count()\n"
-        "t0 = time.time()\n"
-        f"n = flagship('{os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')}',"
-        f" n_images={n_images}, decode={decode},"
-        " concurrency=max(2, int(ncpu * 0.75))).count()\n"
-        "print('RESULT', round(time.time() - t0, 3))\n"
-        "ray.shutdown()\n"
     )
+    if mode == "shuffle":
+        # co-grouped all-to-all PIP join (the engine's shuffle machinery):
+        # 200k rect footprints x n_images synthetic points through the
+        # side-tagged union -> super-cell sort -> vectorized in-group join.
+        # No pixel decode, so the measurement is free of the single-node
+        # DRAM ceiling that pins the full chain (see comment above).
+        code = prelude + (
+            "import ray.data as rd\n"
+            "from pygeoops_ray.stages import spatial as sp\n"
+            "from pygeoops_ray.pipelines.flagship import image_table_ds, add_footprint\n"
+            "rects = image_table_ds(200_000, columns=['image_id', 'w', 'h'])"
+            ".map_batches(add_footprint, batch_format='pyarrow')\n"
+            "def pts(b):\n"
+            "    b = b.rename_columns(['event_id'])\n"
+            "    return sp.points_from_events(b)\n"
+            f"points = rd.range({n_images}).map_batches(pts, batch_format='pyarrow')\n"
+            "rects.materialize(); points.materialize()\n"  # warm generators
+            "t0 = time.time()\n"
+            f"points = rd.range({n_images}).map_batches(pts, batch_format='pyarrow')\n"
+            "n = sp.pip_join_rects_points(\n"
+            "    image_table_ds(200_000, columns=['image_id', 'w', 'h'])"
+            ".map_batches(add_footprint, batch_format='pyarrow'),\n"
+            "    points, strategy='groupby', salt_hot=True).count()\n"
+            "print('RESULT', round(time.time() - t0, 3))\n"
+            "ray.shutdown()\n"
+        )
+    else:
+        code = prelude + (
+            "from pygeoops_ray.pipelines.flagship import flagship, image_table_ds\n"
+            f"image_table_ds({n_images}).count()\n"
+            "t0 = time.time()\n"
+            f"n = flagship('{os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')}',"
+            f" n_images={n_images}, decode={mode == 'full'},"
+            " concurrency=max(2, int(ncpu * 0.75))).count()\n"
+            "print('RESULT', round(time.time() - t0, 3))\n"
+            "ray.shutdown()\n"
+        )
 
     def one(ncpu: int) -> float:
         out = subprocess.run(
@@ -210,7 +240,7 @@ def run_scaling():
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "decode": decode,
+                "mode": mode,
                 "cpus_lo": lo,
                 "cpus_hi": hi,
                 "sec_lo": t_lo,

@@ -220,7 +220,8 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
     # native aggregate would pay per-group Python overhead at scale
     from pygeoops_ray.stages.groupagg import grouped_count
 
-    return grouped_count(joined, ["image_id"], "n_points")
+    # hint scales the coarse bucket count with the image population
+    return grouped_count(joined, ["image_id"], "n_points", n_rows_hint=n_images)
 
 
 def flagship_write(sf_dir: str, out_dir: str, n_images: int | None = None, n_buckets: int = 16):

@@ -119,7 +119,9 @@ def q_pip_join_agg(sf_dir: str):
     from pygeoops_ray.stages.groupagg import grouped_count
 
     joined = sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
-    return grouped_count(joined, ["image_id"], "n_points")
+    return grouped_count(
+        joined, ["image_id"], "n_points", n_rows_hint=_table_rows(sf_dir, "events")
+    )
 
 
 def q_clip_join(sf_dir: str):
@@ -145,12 +147,17 @@ def q_knn(sf_dir: str):
 
 def q_dedup_events(sf_dir: str):
     ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_type", "event_id"])
-    return dedup_stages.exact_dedup_min(ds, ["user_id", "event_type"], "event_id")
+    return dedup_stages.exact_dedup_min(
+        ds, ["user_id", "event_type"], "event_id",
+        n_rows_hint=_table_rows(sf_dir, "events"),
+    )
 
 
 def q_dedup_docs(sf_dir: str):
     ds = _read_blocked(sf_dir, "documents", columns=["text", "doc_id"])
-    return dedup_stages.exact_dedup_min(ds, ["text"], "doc_id").select_columns(["doc_id"])
+    return dedup_stages.exact_dedup_min(
+        ds, ["text"], "doc_id", n_rows_hint=_table_rows(sf_dir, "documents")
+    ).select_columns(["doc_id"])
 
 
 def q_jaccard_pairs(sf_dir: str):
@@ -1140,7 +1147,9 @@ def q_phash_dedup(sf_dir: str):
         )
 
     ds = ds.map_batches(to_ordinal, batch_format="pyarrow")
-    return dedup_stages.exact_dedup_min(ds, ["phash", "qdigest"], "i").select_columns(["i"])
+    return dedup_stages.exact_dedup_min(
+        ds, ["phash", "qdigest"], "i", n_rows_hint=_table_rows(sf_dir, "part") * 10
+    ).select_columns(["i"])
 
 
 class _FeatureDigestStage:

@@ -67,7 +67,7 @@ def _split_for_group_verify(ds, n_rows_hint: int | None, cshift: int):
     return ds.repartition(blocks, shuffle=False)
 
 
-def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
+def exact_dedup_min(ds, key_cols: list[str], keep_col: str, n_rows_hint: int | None = None):
     """Keep min(keep_col) per key group: per-batch partial min, then groupby min.
 
     Equivalent SQL: SELECT key..., min(keep) GROUP BY key...
@@ -86,7 +86,7 @@ def exact_dedup_min(ds, key_cols: list[str], keep_col: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # coarse-bucketed vectorized min: Ray's native aggregate pays per-group
     # Python overhead — untenable when every distinct key is its own group
-    return grouped_min(partials, key_cols, keep_col)
+    return grouped_min(partials, key_cols, keep_col, n_rows_hint=n_rows_hint)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -626,7 +626,10 @@ def exact_jaccard_pairs(
     # (jaccard identical wherever computed); bucketed vectorized min — every
     # pair is its own group, so Ray's native aggregate would pay per-group
     # Python overhead on the whole output
-    return grouped_min(pairs, ["doc_a", "doc_b"], "jaccard")
+    return grouped_min(
+        pairs, ["doc_a", "doc_b"], "jaccard",
+        n_rows_hint=n_docs_hint * 8 if n_docs_hint else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -838,4 +841,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None)
     )
     # dedup pairs found by several bands (hamming identical wherever found);
     # bucketed vectorized min — see groupagg.py
-    return grouped_min(pairs, ["doc_a", "doc_b"], "hamming")
+    return grouped_min(
+        pairs, ["doc_a", "doc_b"], "hamming",
+        n_rows_hint=n_docs_hint * 8 if n_docs_hint else None,
+    )

@@ -27,6 +27,16 @@ from __future__ import annotations
 __all__ = ["grouped_min", "grouped_count", "grouped_agg"]
 
 _N_BUCKETS = 64
+_TARGET_ROWS_PER_BUCKET = 500_000
+
+
+def _bucket_count(n_buckets: int, n_rows_hint: int | None) -> int:
+    """Scale the coarse bucket count with a row-count hint when the caller
+    has one: a fixed count means per-bucket frames grow linearly with the
+    distinct-key population (the round-1 sessionize %64 bug class)."""
+    if n_rows_hint:
+        return max(n_buckets, n_rows_hint // _TARGET_ROWS_PER_BUCKET)
+    return n_buckets
 
 
 def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS, pre=None):
@@ -50,7 +60,13 @@ def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS, pre
     )
 
 
-def grouped_min(ds, key_cols: list[str], val_col: str, n_buckets: int = _N_BUCKETS):
+def grouped_min(
+    ds,
+    key_cols: list[str],
+    val_col: str,
+    n_buckets: int = _N_BUCKETS,
+    n_rows_hint: int | None = None,
+):
     """SELECT key..., min(val) GROUP BY key... — scalable to many groups.
 
     min is algebraic: the per-batch partial min is combined by a second min,
@@ -63,10 +79,16 @@ def grouped_min(ds, key_cols: list[str], val_col: str, n_buckets: int = _N_BUCKE
     def reducer(df):
         return df.groupby(key_cols, as_index=False, sort=False)[val_col].min()
 
-    return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
+    return _bucketed(ds, key_cols, reducer, _bucket_count(n_buckets, n_rows_hint), pre=pre)
 
 
-def grouped_count(ds, key_cols: list[str], alias: str, n_buckets: int = _N_BUCKETS):
+def grouped_count(
+    ds,
+    key_cols: list[str],
+    alias: str,
+    n_buckets: int = _N_BUCKETS,
+    n_rows_hint: int | None = None,
+):
     """SELECT key..., count(*) AS alias GROUP BY key... — scalable to many
     groups. Partial per-batch counts are summed after the shuffle."""
 
@@ -76,7 +98,7 @@ def grouped_count(ds, key_cols: list[str], alias: str, n_buckets: int = _N_BUCKE
     def reducer(df):
         return df.groupby(key_cols, as_index=False, sort=False)[alias].sum()
 
-    return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
+    return _bucketed(ds, key_cols, reducer, _bucket_count(n_buckets, n_rows_hint), pre=pre)
 
 
 _COMBINE_OP = {"size": "sum", "sum": "sum", "min": "min", "max": "max"}
@@ -87,6 +109,7 @@ def grouped_agg(
     key_cols: list[str],
     aggs: list[tuple[str, str, str]],
     n_buckets: int = _N_BUCKETS,
+    n_rows_hint: int | None = None,
 ):
     """Multi-aggregate per key group: ``aggs`` is [(col, op, alias), ...]
     with op in pandas agg vocabulary ('sum', 'min', 'max', 'mean', 'count'
@@ -116,9 +139,9 @@ def grouped_agg(
         def reducer(df):
             return _apply(df, combine_specs)
 
-        return _bucketed(ds, key_cols, reducer, n_buckets, pre=pre)
+        return _bucketed(ds, key_cols, reducer, _bucket_count(n_buckets, n_rows_hint), pre=pre)
 
     def reducer(df):
         return _apply(df, aggs)
 
-    return _bucketed(ds, key_cols, reducer, n_buckets)
+    return _bucketed(ds, key_cols, reducer, _bucket_count(n_buckets, n_rows_hint))
