@@ -585,3 +585,46 @@ def test_winnow_fingerprints_match_textbook_reference():
     have = set(zip(got["doc_id"], got["fp_key"]))
     assert have == want
     assert not any(got["doc_id"] == 3) and not any(got["doc_id"] == 6)
+
+
+def test_hopping_window_matches_bruteforce(ray_session):
+    """q_hopping_window (1h windows every 30min) vs per-row brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.queries import QUERIES
+
+    got = (
+        QUERIES["hopping_window"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["event_type", "wnd_start_us"])
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    ts = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    val = np.floor(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    hop, size = 1_800_000_000, 3_600_000_000
+    rows = []
+    for off in range(size // hop):
+        w = (ts // hop) * hop - off * hop
+        rows.append(
+            pd.DataFrame({"event_type": ev["event_type"], "wnd_start_us": w, "v": val})
+        )
+    exp = (
+        pd.concat(rows)
+        .groupby(["event_type", "wnd_start_us"], as_index=False)
+        .agg(n=("v", "size"), sum_value_c=("v", "sum"))
+        .sort_values(["event_type", "wnd_start_us"])
+        .reset_index(drop=True)
+    )
+    # every event must land in exactly size/hop windows
+    assert int(got["n"].sum()) == 2 * len(ev)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "wnd_start_us", "n", "sum_value_c"]].astype(
+            {"n": "int64", "sum_value_c": "int64"}
+        ),
+        exp.astype({"n": "int64", "sum_value_c": "int64"}),
+    )
