@@ -15,7 +15,12 @@ def keep_geom_type2primitivetype_id(keep_geom_type, geometry: g.Geometry) -> int
             pid = get_primitivetype_id(geometry)
             return int(pid)
         return 0
-    if isinstance(keep_geom_type, int):
+    import numbers
+
+    # numbers.Integral also admits numpy integer scalars (np.int32(3) is not
+    # an int subclass) — reference parity: tests/test_paramvalidation.py:20
+    if isinstance(keep_geom_type, numbers.Integral):
+        keep_geom_type = int(keep_geom_type)
         if keep_geom_type not in (0, 1, 2, 3):
             raise ValueError(f"Invalid value for keep_geom_type: {keep_geom_type}")
         return keep_geom_type

@@ -356,3 +356,39 @@ def test_driver_corpus_closed_forms_no_ray():
         parts = subdivide(g.Polygon(coords), num_coords_max=40 + kmod * 10)
         assert len(parts) == exp_parts
         assert sum(p.area for p in parts) == 96.0
+
+
+def test_keep_geom_type2primitivetype_id_reference_matrix():
+    """Transcribed from reference tests/test_paramvalidation.py:8-33."""
+    import numpy as np
+    import pytest
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.paramvalidation import keep_geom_type2primitivetype_id as f
+
+    cases = [
+        (True, g.GeometryCollection([]), 0),
+        (True, g.Point(0.0, 0.0), 1),
+        (True, g.LineString([(0, 0), (1, 1)]), 2),
+        (True, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 3),
+        (False, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 0),
+        (0, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 0),
+        (1, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 1),
+        (2, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 2),
+        (3, g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 3),
+        (np.int32(3), g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)]), 3),
+    ]
+    for keep, geom, exp in cases:
+        assert f(keep, geom) == exp, (keep, exp)
+    # 0-dim ndarray-wrapped geometry (reference case 11)
+    arr = np.empty((), dtype=object)
+    arr[()] = g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)])
+    assert f(0, arr) == 0
+
+    poly = g.Polygon([(0, 0), (1, 0), (1, 1), (0, 0)])
+    with pytest.raises(ValueError, match="Invalid value for keep_geom_type"):
+        f(4, poly)
+    with pytest.raises(ValueError, match="Invalid value for keep_geom_type"):
+        f(-1, poly)
+    with pytest.raises(ValueError, match="Invalid type for keep_geom_type"):
+        f("bad_type", poly)
