@@ -276,6 +276,9 @@ def _close(arr: np.ndarray) -> np.ndarray:
 
 def make_valid(geometry, keep_collapsed: bool = True, only_if_invalid: bool = False):
     """Repair invalid geometries; valid input is returned unchanged."""
+    from pygeoops_ray.geo.general import _extract_0dim
+
+    geometry = _extract_0dim(geometry)  # 0-dim ndarray wrappers (ref parity)
     if geometry is None:
         return None
     if isinstance(geometry, np.ndarray):

@@ -392,3 +392,36 @@ def test_keep_geom_type2primitivetype_id_reference_matrix():
         f(-1, poly)
     with pytest.raises(ValueError, match="Invalid type for keep_geom_type"):
         f("bad_type", poly)
+
+
+def test_make_valid_keep_collapsed_reference_matrix():
+    """Transcribed from reference tests/test_general.py:447-478
+    (test_makevalid_keep_collapsed): collapsing-line MultiPolygon repairs to
+    a GeometryCollection with keep_collapsed else MultiPolygon; None and
+    0-dim ndarray wrappers pass through; valid boxes unchanged."""
+    import numpy as np
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.validity import make_valid
+
+    mp = g.MultiPolygon(
+        [
+            g.Polygon([(0, 0), (0, 10), (10, 0), (10, 10), (0, 0)]),
+            g.Polygon([(1, 1), (2, 1), (3, 1), (1, 1)]),
+        ]
+    )
+    arr = np.empty((), dtype=object)
+    arr[()] = mp
+    for geom in (mp, arr):
+        for oiv in (True, False):
+            assert make_valid(geom, keep_collapsed=True, only_if_invalid=oiv).geom_type == "GeometryCollection"
+            assert make_valid(geom, keep_collapsed=False, only_if_invalid=oiv).geom_type == "MultiPolygon"
+    assert make_valid(None, keep_collapsed=False) is None
+    none_arr = np.empty((), dtype=object)
+    none_arr[()] = None
+    assert make_valid(none_arr, keep_collapsed=True) is None
+    box = g.Polygon([(0, 0), (5, 0), (5, 5), (0, 5), (0, 0)])
+    box_arr = np.empty((), dtype=object)
+    box_arr[()] = box
+    assert make_valid(box, keep_collapsed=False).geom_type == "Polygon"
+    assert make_valid(box_arr, keep_collapsed=True).geom_type == "Polygon"
