@@ -27,6 +27,10 @@ def difference_all_tiled(
 ) -> g.Geometry | None:
     if geometry is None:
         return None
+    if isinstance(geometry, np.ndarray) and geometry.ndim == 0:
+        geometry = geometry.item()  # 0-dim ndarray wrappers (reference parity)
+        if geometry is None:
+            return None
     if not isinstance(geometry, g.Geometry):
         raise ValueError(f"geometry should be a geometry, not {geometry}")
     if geometry.is_empty or geometries_to_subtract is None:
@@ -66,6 +70,10 @@ def difference_all(
 ) -> g.Geometry | None:
     if geometry is None:
         return None
+    if isinstance(geometry, np.ndarray) and geometry.ndim == 0:
+        geometry = geometry.item()  # 0-dim ndarray wrappers (reference parity)
+        if geometry is None:
+            return None
     if not isinstance(geometry, g.Geometry):
         raise ValueError(f"geometry should be a geometry, not {geometry}")
     if geometry.is_empty:

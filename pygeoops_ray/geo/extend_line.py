@@ -21,6 +21,9 @@ __all__ = ["extend_line_by_distance", "extend_line_to_geometry"]
 def extend_line_by_distance(
     line: g.LineString, start_distance: float, end_distance: float
 ) -> g.LineString:
+    from pygeoops_ray.geo.general import _extract_0dim
+
+    line = _extract_0dim(line)  # 0-dim ndarray wrappers (reference parity)
     if start_distance == 0 and end_distance == 0:
         return line
     coords = line.coords[:, :2].copy()
@@ -30,6 +33,10 @@ def extend_line_by_distance(
 
 
 def extend_line_to_geometry(line, extend_to):
+    from pygeoops_ray.geo.general import _extract_0dim
+
+    line = _extract_0dim(line)
+    extend_to = _extract_0dim(extend_to)
     if isinstance(extend_to, (g.Polygon, g.MultiPolygon)):
         extend_to_line = _boundary(extend_to)
     elif isinstance(extend_to, (g.LineString, g.MultiLineString)):

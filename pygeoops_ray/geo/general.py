@@ -300,6 +300,7 @@ def subdivide(geometry: g.Geometry, num_coords_max: int = 1000):
     The engine's answer to very wide records before shuffles (the reference
     subdivides before its thread fan-out, _difference.py:71).
     """
+    geometry = _extract_0dim(geometry)
     from pygeoops_ray.geo import clip as _clip
     from pygeoops_ray.geo import grid as _grid
 

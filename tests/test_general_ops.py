@@ -425,3 +425,32 @@ def test_make_valid_keep_collapsed_reference_matrix():
     box_arr[()] = box
     assert make_valid(box, keep_collapsed=False).geom_type == "Polygon"
     assert make_valid(box_arr, keep_collapsed=True).geom_type == "Polygon"
+
+
+def test_zero_dim_ndarray_accepted_across_public_api():
+    """Reference parity (_extract_0dim_ndarray): every public geometry entry
+    accepts a 0-dim object ndarray wrapping a geometry."""
+    import numpy as np
+
+    import pygeoops_ray as pr
+    from pygeoops_ray.geo import geom as g
+
+    def wrap(x):
+        a = np.empty((), dtype=object)
+        a[()] = x
+        return a
+
+    poly = g.Polygon([(0, 0), (10, 0), (10, 2), (0, 2), (0, 0)])
+    line = g.LineString([(0, 0), (5, 0), (10, 0)])
+    assert len(pr.subdivide(wrap(poly), 4)) == 2
+    assert pr.difference_all(
+        wrap(poly), [g.Polygon([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])]
+    ).area == 19.0
+    assert pr.extend_line_by_distance(wrap(line), 1.0, 1.0).length == 12.0
+    blocker = g.Polygon([(12, -1), (14, -1), (14, 1), (12, 1), (12, -1)])
+    assert pr.extend_line_to_geometry(wrap(line), wrap(blocker)).length == 14.0
+    assert pr.centerline(wrap(poly)) is not None
+    assert pr.simplify(wrap(poly), 1.0) is not None
+    assert pr.make_valid(wrap(poly)).geom_type == "Polygon"
+    assert pr.remove_inner_rings(wrap(poly), 1.0).geom_type == "Polygon"
+    assert pr.get_primitivetype_id(wrap(poly)) == 3
