@@ -250,3 +250,35 @@ def test_extend_segment_by_ratio_matrix(p1, p2, ratio, exp):
 def test_extend_segment_to_bbox_matrix(p1, p2, bbox, exp):
     a, b = _extend_segment_to_bbox(p1, p2, bbox)
     assert (tuple(np.round(a, 9)), tuple(np.round(b, 9))) == exp
+
+
+def test_extend_line_to_geometry_polygon_island_reference():
+    """Transcribed from reference tests/test_extend_line.py:229-233: blockers
+    with holes — extensions stop at the island when it is in the path."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo.extend_line import extend_line_to_geometry
+
+    def box(x0, y0, x1, y1):
+        return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+    cases = [
+        (
+            g.MultiLineString(
+                [[(3, 5), (4, 5), (5, 5)], [(5, 5), (6, 6), (7, 7)], [(5, 5), (6, 4), (7, 3)]]
+            ),
+            g.Polygon(box(0, 0, 10, 10), [box(5, 4, 6, 6)]),
+            [[(0, 5), (4, 5), (5, 5)], [(5, 5), (6, 6), (10, 10)], [(5, 5), (6, 4), (10, 0)]],
+        ),
+        (
+            g.MultiLineString([[(3, 5), (5, 5)], [(3, 3), (5, 3)], [(3, 7), (5, 7)]]),
+            g.Polygon(box(0, 0, 10, 10), [box(6, 4, 7, 6)]),
+            [[(0, 5), (6, 5)], [(0, 3), (10, 3)], [(0, 7), (10, 7)]],
+        ),
+    ]
+    for line, geom, exp in cases:
+        r = extend_line_to_geometry(line, geom)
+        got = [
+            [tuple(c) for c in part.coords]
+            for part in (r.geoms if r.geom_type == "MultiLineString" else [r])
+        ]
+        assert got == [[tuple(map(float, c)) for c in part] for part in exp]
