@@ -224,12 +224,20 @@ def flagship(sf_dir: str, n_images: int | None = None, decode: bool = True, conc
     return grouped_count(joined, ["image_id"], "n_points", n_rows_hint=n_images)
 
 
-def flagship_write(sf_dir: str, out_dir: str, n_images: int | None = None, n_buckets: int = 16):
+def flagship_write(
+    sf_dir: str,
+    out_dir: str,
+    n_images: int | None = None,
+    ordinals_per_bucket: int = 62_500,
+):
     """Flagship chain with a RESUMABLE partitioned sink.
 
     The per-image join counts land as one parquet file per image-ordinal
     bucket with a lineage manifest (state/manifest.py); a rerun after a
-    partial failure recomputes only the missing buckets.
+    partial failure recomputes only the missing buckets. Buckets are
+    FIXED-SIZE ordinal ranges (not a fixed bucket count): partition count
+    grows with the input while file size and resume granularity stay
+    bounded — never one giant file at any scale.
     """
     from pygeoops_ray.state.manifest import write_partitioned
 
@@ -239,7 +247,7 @@ def flagship_write(sf_dir: str, out_dir: str, n_images: int | None = None, n_buc
         import pyarrow.compute as pc
 
         i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
-        bucket = pc.multiply(pc.divide(i, pa.scalar(1_000_000 // n_buckets + 1)), 1)
+        bucket = pc.divide(i, pa.scalar(ordinals_per_bucket))
         return batch.append_column("bucket", pc.cast(bucket, pa.int64()))
 
     ds = res.map_batches(bucketize, batch_format="pyarrow")

@@ -321,11 +321,11 @@ def test_flagship_write_resumable(rd, tmp_path):
     from pygeoops_ray.state.manifest import read_output
 
     out = str(tmp_path / "flagship_out")
-    rep1 = flagship_write(SF, out, n_images=1000, n_buckets=4)
+    rep1 = flagship_write(SF, out, n_images=1000, ordinals_per_bucket=250)
     assert (~rep1.skipped).sum() >= 1
     first = read_output(out).to_pandas().sort_values("image_id").reset_index(drop=True)
     # rerun: everything already in the manifest → all skipped, identical output
-    rep2 = flagship_write(SF, out, n_images=1000, n_buckets=4)
+    rep2 = flagship_write(SF, out, n_images=1000, ordinals_per_bucket=250)
     assert rep2.skipped.all()
     again = read_output(out).to_pandas().sort_values("image_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(first, again)
