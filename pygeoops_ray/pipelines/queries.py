@@ -1126,24 +1126,27 @@ def q_phash_dedup(sf_dir: str):
 
     phash alone is a coarse 64-bit candidate key with real collisions on this
     corpus (measured: 51 cross-pattern collisions at n=10k), so the keeper key
-    is (phash, qdigest) where qdigest is the md5 of the codec-invariant
-    quantized pixels — the standard near-dup shape (candidate bucket → exact
-    verify). Oracle: the generator's duplicate-injection rule (ordinal i with
-    i%101==0, i>0 reuses i-1's pixels — table/images.py:189), verified
-    equivalent to the content-derived dedup at n=2k and n=20k.
+    is (phash_q, qdigest): phash_q is the perceptual hash of the DEQUANTIZED
+    pixels (codec-invariant — the stored phash is computed over each row's
+    own lossy decode and can split a true duplicate across buckets, observed
+    2/198 pairs at n=20k) and qdigest is the md5 of the quantized pixels —
+    the standard near-dup shape (candidate bucket → exact verify). Oracle:
+    the generator's duplicate-injection rule (ordinal i with i%101==0, i>0
+    reuses i-1's pixels — table/images.py:189), verified equivalent to the
+    content-derived dedup at n=2k and n=20k.
     """
     import pyarrow.compute as pc
 
     from pygeoops_ray.stages.multimodal import quantized_digest_batch
 
     ds, n = _image_ds(sf_dir)
-    ds = ds.select_columns(["image_id", "bytes", "fmt", "phash"])
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
     ds = ds.map_batches(quantized_digest_batch, batch_format="pyarrow", batch_size=1024)
 
     def to_ordinal(batch: pa.Table) -> pa.Table:
         i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
         return pa.Table.from_pydict(
-            {"i": i, "phash": batch["phash"], "qdigest": batch["qdigest"]}
+            {"i": i, "phash": batch["phash_q"], "qdigest": batch["qdigest"]}
         )
 
     ds = ds.map_batches(to_ordinal, batch_format="pyarrow")

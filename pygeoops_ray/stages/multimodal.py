@@ -38,24 +38,34 @@ def decode_any(data: bytes, fmt: str) -> np.ndarray:
 
 
 def quantized_digest_batch(batch: pa.Table) -> pa.Table:
-    """Append ``qdigest``: md5 of the 6-bit-quantized decoded pixels + dims.
+    """Append ``qdigest`` (md5 of the 6-bit-quantized decoded pixels + dims)
+    and ``phash_q`` (perceptual hash of the DEQUANTIZED pixels).
 
     ``pix >> 2`` is the exact fixed point of the raw0/qz1 codec pair (qz1
     stores the quantized plane; its decode q*4+2 re-quantizes to q), so two
     encodings of the same source pattern — even across codecs — get the SAME
-    digest, while any genuinely different pattern gets a different one. This
-    is the exact-verify tier of the phash dedup pipeline: phash alone is a
-    coarse 64-bit candidate key with real collisions on this corpus.
+    digest, while any genuinely different pattern gets a different one.
+
+    ``phash_q`` exists because the STORED phash is computed over each row's
+    OWN decode: a raw0 source and a qz1 duplicate of the same pixels can
+    disagree in a phash bit when values sit on the quantizer's mean
+    threshold (measured: 2 of 198 injected duplicate pairs at n=20k).
+    Hashing the dequantized plane (q*4+2) makes the candidate key
+    codec-invariant, so the candidate bucket never splits a true duplicate.
     """
     import hashlib
 
-    digs = []
+    from pygeoops_ray.table.images import mean_phash
+
+    digs, phq = [], []
     for data, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
         pix = decode_any(data, fmt)
         h, w, _ = pix.shape
         q = (pix >> 2).astype(np.uint8)
         digs.append(hashlib.md5(q.tobytes() + struct.pack("<HH", w, h)).hexdigest())
-    return batch.append_column("qdigest", pa.array(digs, pa.string()))
+        phq.append(mean_phash((q << np.uint8(2)) + np.uint8(2)))
+    out = batch.append_column("qdigest", pa.array(digs, pa.string()))
+    return out.append_column("phash_q", pa.array(np.array(phq, dtype=np.uint64)))
 
 
 def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -628,3 +628,22 @@ def test_hopping_window_matches_bruteforce(ray_session):
         ),
         exp.astype({"n": "int64", "sum_value_c": "int64"}),
     )
+
+
+def test_quantized_digest_codec_invariant_phash():
+    """Regression: ordinals 14846/14847 are an injected duplicate pair whose
+    STORED phash differs (raw0 source vs qz1 duplicate — quantization flips
+    a mean-threshold bit). phash_q (hash of the dequantized plane) and
+    qdigest must both be identical across the codecs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pygeoops_ray.stages.multimodal import quantized_digest_batch
+    from pygeoops_ray.table import images as I
+
+    t = I.generate_images_for_ordinals(np.array([14846, 14847]), small=True)
+    assert t["fmt"][0].as_py() != t["fmt"][1].as_py()  # cross-codec pair
+    assert t["phash"][0].as_py() != t["phash"][1].as_py()  # the trap
+    out = quantized_digest_batch(t)
+    assert out["qdigest"][0].as_py() == out["qdigest"][1].as_py()
+    assert out["phash_q"][0].as_py() == out["phash_q"][1].as_py()
