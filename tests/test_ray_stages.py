@@ -647,3 +647,66 @@ def test_quantized_digest_codec_invariant_phash():
     out = quantized_digest_batch(t)
     assert out["qdigest"][0].as_py() == out["qdigest"][1].as_py()
     assert out["phash_q"][0].as_py() == out["phash_q"][1].as_py()
+
+
+def test_stage_registry_builder(rd):
+    """apply_stages: built-in composition equals the direct call, custom
+    stages register and chain, and a missing input column fails at plan time
+    (before any execution)."""
+    import pyarrow as pa
+    import pytest
+
+    from pygeoops_ray.pipelines.queries import _read
+    from pygeoops_ray.stages.registry import (
+        Stage,
+        apply_stages,
+        get_stage,
+        list_stages,
+        register,
+    )
+    from pygeoops_ray.stages.text import token_count_batch
+
+    assert "token_count" in list_stages()
+    ds = _read(SF, "documents", columns=["doc_id", "text"])
+    via_registry = apply_stages(ds, "token_count").to_pandas()
+    direct = (
+        _read(SF, "documents", columns=["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert via_registry.sort_values("doc_id").reset_index(drop=True).equals(
+        direct.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # custom stage chained AFTER a built-in, consuming its output column
+    def double_tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n2": pc.multiply(batch["n_tokens"], pa.scalar(2, pa.int64())),
+            }
+        )
+
+    register(Stage("double_tokens", double_tokens, ("n_tokens",), ("doc_id", "n2")), replace=True)
+    out = apply_stages(
+        _read(SF, "documents", columns=["doc_id", "text"]), "token_count", "double_tokens"
+    ).to_pandas()
+    assert (
+        out.sort_values("doc_id")["n2"].to_numpy()
+        == 2 * direct.sort_values("doc_id")["n_tokens"].to_numpy()
+    ).all()
+
+    # plan-time column validation: no execution happens for a bad pipeline
+    with pytest.raises(ValueError, match="needs column"):
+        apply_stages(_read(SF, "documents", columns=["doc_id", "text"]), "quantized_digest")
+    with pytest.raises(KeyError, match="unknown stage"):
+        get_stage("nope")
+
+    # actor-pool stage through the same surface
+    lang = apply_stages(
+        _read(SF, "documents", columns=["doc_id", "text"]), "lang_id", concurrency=2
+    ).to_pandas()
+    assert set(lang.columns) == {"doc_id", "lang_pred"}
+    assert len(lang) == len(direct)
