@@ -65,4 +65,8 @@ def __getattr__(name):
         from pygeoops_ray.geo import extend_line
 
         return getattr(extend_line, name)
+    if name in ("Stage", "register", "apply_stages", "list_stages"):
+        from pygeoops_ray.stages import registry
+
+        return getattr(registry, name)
     raise AttributeError(f"module 'pygeoops_ray' has no attribute {name!r}")
