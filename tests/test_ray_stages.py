@@ -710,3 +710,24 @@ def test_stage_registry_builder(rd):
     ).to_pandas()
     assert set(lang.columns) == {"doc_id", "lang_pred"}
     assert len(lang) == len(direct)
+
+
+def test_io_shim(rd, tmp_path):
+    """read_table prunes columns, strips schema metadata, and round-trips
+    through write_table; the lance seam raises a clear ImportError here."""
+    import pytest
+
+    from pygeoops_ray import io as pio
+
+    ds = pio.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    tab = ds.take_batch(batch_format="pyarrow")
+    assert tab.schema.names == ["doc_id"]
+    assert tab.schema.metadata is None
+
+    out = str(tmp_path / "roundtrip")
+    pio.write_table(ds, out)
+    back = pio.read_table(out)
+    assert back.count() == ds.count()
+
+    with pytest.raises(ImportError, match="lance"):
+        pio.read_table("/tmp/whatever.lance")
