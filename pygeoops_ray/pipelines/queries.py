@@ -1559,6 +1559,100 @@ def q_top_orders(sf_dir: str):
     return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
 
 
+# ---------------------------------------------------------------------------
+# audio / video multimodal ops (engine-owned codecs; generator rules are pure
+# integer arithmetic so the oracle re-derives every sample/pixel in SQL)
+# ---------------------------------------------------------------------------
+
+
+def _audio_ds(sf_dir: str):
+    """Synthetic clip table sized off documents; streams from an ordinal range
+    (generation is a pure function of the ordinal — no driver materialization)."""
+    from pygeoops_ray.table.audio import generate_audio_for_ordinals
+
+    n = max(_table_rows(sf_dir, "documents"), 500)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_audio_for_ordinals(batch["id"].to_numpy())
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode + exact integer feature extraction (actor-pool stage).
+
+    Engine pa8/paz1 PCM codecs (table/audio.py); features n_samples/sum_abs/
+    energy/max_abs/zero_crossings are exact int64, so the oracle value-checks
+    decode + the feature kernel end-to-end by re-deriving every sample from
+    the generator rule in SQL.
+    """
+    from pygeoops_ray.stages.multimodal import AudioFeatureStage
+
+    return _audio_ds(sf_dir).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+
+
+def q_audio_resample(sf_dir: str):
+    """Resample every clip to 4 kHz (nearest-sample, integer index math) and
+    re-extract features — verifies the resample op's exact output contract."""
+    from pygeoops_ray.stages.multimodal import AudioFeatureStage, AudioResampleStage
+
+    ds = _audio_ds(sf_dir).map_batches(
+        AudioResampleStage,
+        fn_constructor_kwargs={"rate_out": 4000},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=256,
+    )
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (every 5th frame) + per-frame integer pixel digest.
+
+    The vz1 container's offset table makes sampling a byte-range slice —
+    unsampled frames are never decompressed (the shape that matters at
+    100 TB of video). Sampled frames are self-contained qz1 images; the
+    digest stage decodes them and emits sum(d0+d1+d2), which the oracle
+    recomputes from the frame generator rule in SQL.
+    """
+    from pygeoops_ray.stages.multimodal import FrameSampleStage
+    from pygeoops_ray.table import images as I
+    from pygeoops_ray.table.video import generate_videos_for_ordinals
+
+    n = max(2 * _table_rows(sf_dir, "supplier"), 200)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_videos_for_ordinals(batch["id"].to_numpy())
+
+    vids = rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=64)
+    frames = vids.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n": 5},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(I.decode_image(d).astype(np.int64).sum())
+            for d in batch["bytes"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "video_id": batch["video_id"],
+                "frame_idx": batch["frame_idx"],
+                "sum_rgb": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -1604,6 +1698,9 @@ QUERIES = {
     "topo_simplify": q_topo_simplify,
     "phash_dedup": q_phash_dedup,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "audio_resample": q_audio_resample,
+    "video_frames": q_video_frames,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names
@@ -2303,5 +2400,109 @@ SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
        CAST(1 AS BIGINT) AS features_ok
 FROM dec
 GROUP BY i
+    """,
+    # audio_features: every int8 sample re-derived from the generator rule
+    # (table/audio.py) — exact integer features check decode + kernel e2e
+    "audio_features": """
+WITH n AS (SELECT greatest(count(*), 500) AS cnt FROM documents),
+clips AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+meta AS (
+    SELECT i, 4000 + (i * 13) % 1000 AS ns,
+           1 + (i * 7919) % 17 AS a, (i * 104729) % 256 AS b
+    FROM clips
+),
+smp AS (
+    SELECT m.i, t.t, ((m.a * t.t + m.b) % 256) - 128 AS s
+    FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.ns - 1)) AS t) t
+),
+feat AS (
+    SELECT i,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY i
+),
+zc AS (
+    SELECT i, CAST(count(*) FILTER (WHERE s * s_next < 0) AS BIGINT) AS zero_crossings
+    FROM (SELECT i, s, lead(s) OVER (PARTITION BY i ORDER BY t) AS s_next FROM smp)
+    GROUP BY i
+)
+SELECT 'clip_' || lpad(CAST(f.i AS VARCHAR), 10, '0') AS clip_id,
+       f.n_samples, f.sum_abs, f.energy, f.max_abs, z.zero_crossings
+FROM feat f JOIN zc z USING (i)
+    """,
+    # audio_resample: nearest-sample resample to 4 kHz — output sample k maps
+    # to input index (k*rate)//4000, n_out = ceil(ns*4000/rate), all integer
+    "audio_resample": """
+WITH n AS (SELECT greatest(count(*), 500) AS cnt FROM documents),
+clips AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+meta AS (
+    SELECT i, 4000 + (i * 13) % 1000 AS ns,
+           1 + (i * 7919) % 17 AS a, (i * 104729) % 256 AS b,
+           8000 + 1000 * (i % 3) AS rate
+    FROM clips
+),
+rs AS (SELECT *, (ns * 4000 + rate - 1) // rate AS n_out FROM meta),
+smp AS (
+    SELECT m.i, k.k,
+           ((m.a * ((k.k * m.rate) // 4000) + m.b) % 256) - 128 AS s
+    FROM rs m, LATERAL (SELECT unnest(generate_series(0, m.n_out - 1)) AS k) k
+),
+feat AS (
+    SELECT i,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY i
+),
+zc AS (
+    SELECT i, CAST(count(*) FILTER (WHERE s * s_next < 0) AS BIGINT) AS zero_crossings
+    FROM (SELECT i, s, lead(s) OVER (PARTITION BY i ORDER BY k) AS s_next FROM smp)
+    GROUP BY i
+)
+SELECT 'clip_' || lpad(CAST(f.i AS VARCHAR), 10, '0') AS clip_id,
+       f.n_samples, f.sum_abs, f.energy, f.max_abs, z.zero_crossings
+FROM feat f JOIN zc z USING (i)
+    """,
+    # video_frames: sampled-frame pixel digests re-derived from the vz1 frame
+    # generator rule (table/video.py) + qz1 requantization, all integer
+    "video_frames": """
+WITH n AS (SELECT greatest(2 * count(*), 200) AS cnt FROM supplier),
+vids AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS v
+),
+meta AS (
+    SELECT v, 16 + (v * 7) % 17 AS nf,
+           16 + (v * 37) % 33 AS w, 16 + (v * 53) % 29 AS h
+    FROM vids
+),
+fr AS (
+    SELECT m.v, m.w, m.h, j.j
+    FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.nf - 1)) AS j) j
+    WHERE j.j % 5 = 0
+),
+dec AS (
+    SELECT f.v, f.j,
+           p0 - (p0 % 4) + 2 AS d0,
+           p1 - (p1 % 4) + 2 AS d1,
+           p2 - (p2 % 4) + 2 AS d2
+    FROM fr f,
+         LATERAL (SELECT unnest(generate_series(0, f.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + (f.v * 11 + f.j * 17) % 256) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + (f.v * 23 + f.j * 29) % 256) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + (f.v * 31 + f.j * 41) % 256) % 256 AS p2) p
+)
+SELECT 'vid_' || lpad(CAST(v AS VARCHAR), 10, '0') AS video_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_rgb
+FROM dec
+GROUP BY v, j
     """,
 }

@@ -21,6 +21,8 @@ __all__ = [
     "ResizeStage",
     "FeatureStage",
     "FrameSampleStage",
+    "AudioFeatureStage",
+    "AudioResampleStage",
     "decode_any",
     "quantized_digest_batch",
 ]
@@ -137,21 +139,120 @@ class FeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage shape for video frame sampling — STUB.
+    """Actor-pool stage: video frame sampling, 1→k rows per video.
 
-    The schema contract is real: input (bytes, fmt='video/...', meta), output
-    one row per sampled frame with (frame_idx, bytes, w, h, fmt). Decoding
-    needs ffmpeg, absent here.
+    For the engine-owned ``vz1`` container (table/video.py) sampling is REAL
+    and zero-decode: the container's offset table turns "take every n-th
+    frame" into byte-range slices — unsampled frames are never decompressed,
+    which is the shape that survives 100 TB of video (decode cost scales with
+    SAMPLED frames only). Output rows are self-contained qz1 images, so every
+    downstream image stage (FeatureStage, ResizeStage, phash dedup) composes
+    unchanged.
+
+    Foreign codecs (mp4/webm/...) stay stubbed: decoding them needs ffmpeg,
+    absent from this container. The contract a real decoder must produce is
+    exactly what the vz1 path emits: (video_id, frame_idx:int64,
+    bytes:binary, w:int32, h:int32, fmt:string).
     """
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fmts = set(batch["fmt"].to_pylist())
-        raise NotImplementedError(
-            f"video frame sampling for {sorted(fmts)} needs ffmpeg, which this "
-            "container does not ship; the stage contract (1→k rows of "
-            "(frame_idx:int64, bytes:binary, w:int32, h:int32, fmt:string)) is "
-            "what a real decoder must produce"
+        from pygeoops_ray.table import video as V
+
+        vids, fidx, blobs, ws, hs, fmts = [], [], [], [], [], []
+        for vid, data, fmt in zip(
+            batch["video_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            if fmt != "vz1":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} needs ffmpeg, which this container "
+                    "does not ship; plug a real decoder in here"
+                )
+            n, w, h, _fps, offs, start = V.parse_header(data)
+            for j in range(0, n, self.every_n):
+                vids.append(vid)
+                fidx.append(j)
+                blobs.append(data[start + int(offs[j]) : start + int(offs[j + 1])])
+                ws.append(w)
+                hs.append(h)
+                fmts.append("qz1")
+        return pa.Table.from_pydict(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
         )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: exact integer features per audio clip.
+
+    Decode (engine pa8/paz1 codecs, table/audio.py) → vectorized int64
+    reductions: n_samples, sum_abs, energy (Σ s²), max_abs, zero_crossings
+    (count of t with s[t]·s[t+1] < 0). Every output is an exact integer the
+    driver oracle recomputes in SQL from the generator rule, so decode and
+    the feature kernel are value-checked end-to-end — the same
+    integer-digest pattern as the image feature oracle.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pygeoops_ray.table.audio import decode_audio
+
+        ids = batch["clip_id"].to_pylist()
+        n_s, s_abs, energy, m_abs, zc = [], [], [], [], []
+        for data in batch["bytes"].to_pylist():
+            s, _rate = decode_audio(data)
+            d = s.astype(np.int64)
+            n_s.append(len(d))
+            s_abs.append(int(np.abs(d).sum()))
+            energy.append(int((d * d).sum()))
+            m_abs.append(int(np.abs(d).max()) if len(d) else 0)
+            zc.append(int((d[:-1] * d[1:] < 0).sum()))
+        return pa.Table.from_pydict(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "n_samples": pa.array(n_s, pa.int64()),
+                "sum_abs": pa.array(s_abs, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+                "max_abs": pa.array(m_abs, pa.int64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+            }
+        )
+
+
+class AudioResampleStage:
+    """Actor-pool stage: decode → nearest-sample resample → re-encode.
+
+    Pure integer index math (table/audio.py:resample_nearest), so the output
+    is deterministic and oracle-checkable; output schema mirrors the input
+    with (bytes, n, rate) replaced.
+    """
+
+    def __init__(self, rate_out: int = 4000):
+        self.rate_out = rate_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pygeoops_ray.table.audio import decode_audio, encode_audio, resample_nearest
+
+        blobs, ns = [], []
+        fmts = batch["fmt"].to_pylist()
+        for data, fmt in zip(batch["bytes"].to_pylist(), fmts):
+            s, rate = decode_audio(data)
+            out = resample_nearest(s, rate, self.rate_out)
+            blobs.append(encode_audio(out, self.rate_out, fmt))
+            ns.append(len(out))
+        t = batch.drop_columns(["bytes", "n", "rate"])
+        t = t.append_column("bytes", pa.array(blobs, pa.binary()))
+        t = t.append_column("n", pa.array(ns, pa.int32()))
+        t = t.append_column(
+            "rate", pa.array([self.rate_out] * len(blobs), pa.int32())
+        )
+        return t

@@ -1,0 +1,144 @@
+"""Audio/video multimodal stages: engine codecs, zero-decode frame slicing,
+exact feature kernels. Ray plumbing is covered by the driver queries
+(audio_features / audio_resample / video_frames, oracle-checked); these pin
+the kernels without a Ray session.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pygeoops_ray.table import audio as A
+from pygeoops_ray.table import images as I
+from pygeoops_ray.table import video as V
+
+
+class TestAudioCodec:
+    @pytest.mark.parametrize("fmt", ["pa8", "paz1"])
+    def test_roundtrip(self, fmt):
+        s = A.synth_samples(7)
+        data = A.encode_audio(s, 8000, fmt)
+        out, rate = A.decode_audio(data)
+        assert rate == 8000
+        np.testing.assert_array_equal(out, s)
+
+    def test_unknown_fmt_raises(self):
+        with pytest.raises(ValueError):
+            A.encode_audio(np.zeros(4, np.int8), 8000, "mp3")
+        with pytest.raises(ValueError):
+            A.decode_audio(b"XXxxxxxxxxxx")
+
+    def test_synth_rule(self):
+        # generator rule must stay SQL-reproducible: spot-check the formula
+        i = 42
+        s = A.synth_samples(i)
+        n = 4000 + (i * 13) % 1000
+        a = 1 + (i * 7919) % 17
+        b = (i * 104729) % 256
+        assert len(s) == n
+        for t in (0, 1, 17, n - 1):
+            assert s[t] == ((a * t + b) % 256) - 128
+
+    def test_resample_nearest_exact(self):
+        s = A.synth_samples(3)
+        out = A.resample_nearest(s, 9000, 4000)
+        n_out = -((-len(s) * 4000) // 9000)
+        assert len(out) == n_out
+        for k in (0, 1, n_out - 1):
+            assert out[k] == s[(k * 9000) // 4000]
+
+    def test_resample_identity(self):
+        s = A.synth_samples(5)
+        np.testing.assert_array_equal(A.resample_nearest(s, 8000, 8000), s)
+
+
+class TestVideoContainer:
+    def test_roundtrip_and_slice(self):
+        v = 11
+        nf, w, h = V.video_meta(v)
+        data = V.synth_video(v)
+        n, w2, h2, fps, offs, start = V.parse_header(data)
+        assert (n, w2, h2) == (nf, w, h)
+        # zero-decode slice of frame j equals an independent per-frame encode
+        for j in (0, nf // 2, nf - 1):
+            blob = V.frame_bytes(data, j)
+            assert blob == I.encode_image(V.synth_frame(v, j, w, h), "qz1")
+            pix = I.decode_image(blob)
+            src = V.synth_frame(v, j, w, h)
+            # qz1 requantization: d = p - p%4 + 2
+            np.testing.assert_array_equal(
+                pix, (src - src % 4 + 2).astype(np.uint8)
+            )
+
+    def test_bad_magic_and_range(self):
+        with pytest.raises(ValueError):
+            V.parse_header(b"nope" + b"\0" * 20)
+        data = V.synth_video(1)
+        n, *_ = V.parse_header(data)
+        with pytest.raises(IndexError):
+            V.frame_bytes(data, n)
+
+
+class TestStagesNoRay:
+    """Stages are plain callables over pa.Table — exercised without Ray."""
+
+    def test_frame_sample_shape_and_zero_decode(self):
+        from pygeoops_ray.stages.multimodal import FrameSampleStage
+
+        batch = V.generate_videos_for_ordinals(np.array([0, 1, 2]))
+        out = FrameSampleStage(every_n=5)(batch)
+        assert out.column_names == ["video_id", "frame_idx", "bytes", "w", "h", "fmt"]
+        # one row per sampled frame
+        want = sum(len(range(0, V.video_meta(v)[0], 5)) for v in (0, 1, 2))
+        assert out.num_rows == want
+        assert set(out["fmt"].to_pylist()) == {"qz1"}
+        # every emitted frame decodes to the generator's requantized pixels
+        for vid, j, blob in zip(
+            out["video_id"].to_pylist(),
+            out["frame_idx"].to_pylist(),
+            out["bytes"].to_pylist(),
+        ):
+            v = int(vid.split("_")[1])
+            nf, w, h = V.video_meta(v)
+            src = V.synth_frame(v, j, w, h)
+            np.testing.assert_array_equal(
+                I.decode_image(blob), (src - src % 4 + 2).astype(np.uint8)
+            )
+
+    def test_frame_sample_foreign_codec_stub(self):
+        from pygeoops_ray.stages.multimodal import FrameSampleStage
+
+        batch = pa.Table.from_pydict(
+            {"video_id": ["x"], "bytes": [b"\x00"], "fmt": ["mp4"]}
+        )
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(every_n=2)(batch)
+
+    def test_audio_features_brute_force(self):
+        from pygeoops_ray.stages.multimodal import AudioFeatureStage
+
+        batch = A.generate_audio_for_ordinals(np.arange(6))
+        out = AudioFeatureStage()(batch)
+        for r in range(out.num_rows):
+            i = int(out["clip_id"][r].as_py().split("_")[1])
+            s = A.synth_samples(i).astype(np.int64)
+            assert out["n_samples"][r].as_py() == len(s)
+            assert out["sum_abs"][r].as_py() == int(np.abs(s).sum())
+            assert out["energy"][r].as_py() == int((s * s).sum())
+            assert out["max_abs"][r].as_py() == int(np.abs(s).max())
+            assert out["zero_crossings"][r].as_py() == int((s[:-1] * s[1:] < 0).sum())
+
+    def test_audio_resample_stage(self):
+        from pygeoops_ray.stages.multimodal import AudioResampleStage
+
+        batch = A.generate_audio_for_ordinals(np.arange(4))
+        out = AudioResampleStage(rate_out=4000)(batch)
+        assert set(out["rate"].to_pylist()) == {4000}
+        for r in range(out.num_rows):
+            i = int(out["clip_id"][r].as_py().split("_")[1])
+            rate, _fmt = A.clip_meta(i)
+            s = A.synth_samples(i)
+            want = A.resample_nearest(s, rate, 4000)
+            got, got_rate = A.decode_audio(out["bytes"][r].as_py())
+            assert got_rate == 4000
+            np.testing.assert_array_equal(got, want)
