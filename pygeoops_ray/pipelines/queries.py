@@ -1685,6 +1685,61 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(digest, batch_format="pyarrow")
 
 
+def q_geo_csv(sf_dir: str):
+    """CSV-with-WKT source → WKB geometry column → integer shape digests.
+
+    Exercises the io source path end-to-end under the correctness gate:
+    ray.data.read_csv → WKT parse kernel → WKB encode (+bbox columns) →
+    WKB decode → area/perimeter/bounds digests. The CSV is synthesized once
+    per size under /tmp (deterministic rect per supplier key: origin
+    (k%100, k//100), w=1+k%5, h=1+k%7), so the oracle is plain arithmetic.
+    """
+    import os
+
+    from pygeoops_ray import io as gio
+    from pygeoops_ray.geo import wkb as _wkb
+
+    n = _table_rows(sf_dir, "supplier")
+    path = f"/tmp/ray_geoops_cache/geo_csv_n{n}.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("s_suppkey,wkt\n")
+            for k in range(n):
+                x0, y0 = k % 100, k // 100
+                x1, y1 = x0 + 1 + k % 5, y0 + 1 + k % 7
+                f.write(
+                    f'{k},"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, '
+                    f'{x0} {y1}, {x0} {y0}))"\n'
+                )
+        os.replace(tmp, path)
+
+    ds = gio.read_geo_csv(path, geometry_col="wkt")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        areas, perims = [], []
+        for blob in batch["geometry"].to_pylist():
+            geom = _wkb.loads(blob)
+            areas.append(int(round(geom.area)))
+            perims.append(int(round(geom.length)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(batch["s_suppkey"].to_pylist(), pa.int64()),
+                "area_i": pa.array(areas, pa.int64()),
+                "perim_i": pa.array(perims, pa.int64()),
+                "minx_i": pa.array(
+                    [int(v) for v in batch["minx"].to_pylist()], pa.int64()
+                ),
+                "maxy_i": pa.array(
+                    [int(v) for v in batch["maxy"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -1733,6 +1788,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "audio_resample": q_audio_resample,
     "video_frames": q_video_frames,
+    "geo_csv": q_geo_csv,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names
@@ -2536,5 +2592,19 @@ SELECT 'vid_' || lpad(CAST(v AS VARCHAR), 10, '0') AS video_id,
        CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_rgb
 FROM dec
 GROUP BY v, j
+    """,
+    # geo_csv: the synthesized rect rule is plain arithmetic on the ordinal
+    # (CSV keys are 0..n-1 where n = supplier row count)
+    "geo_csv": """
+WITH n AS (SELECT count(*) AS cnt FROM supplier),
+ks AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS k
+)
+SELECT CAST(k AS BIGINT) AS s_suppkey,
+       CAST((1 + k % 5) * (1 + k % 7) AS BIGINT) AS area_i,
+       CAST(2 * ((1 + k % 5) + (1 + k % 7)) AS BIGINT) AS perim_i,
+       CAST(k % 100 AS BIGINT) AS minx_i,
+       CAST(k // 100 + 1 + k % 7 AS BIGINT) AS maxy_i
+FROM ks
     """,
 }

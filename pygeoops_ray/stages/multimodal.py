@@ -161,17 +161,16 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from pygeoops_ray.table import video as V
 
+        foreign = set(batch["fmt"].to_pylist()) - {"vz1"}
+        if foreign:
+            raise NotImplementedError(
+                f"video codec(s) {sorted(foreign)} need ffmpeg, which this "
+                "container does not ship; plug a real decoder in here"
+            )
         vids, fidx, blobs, ws, hs, fmts = [], [], [], [], [], []
-        for vid, data, fmt in zip(
-            batch["video_id"].to_pylist(),
-            batch["bytes"].to_pylist(),
-            batch["fmt"].to_pylist(),
+        for vid, data in zip(
+            batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
         ):
-            if fmt != "vz1":
-                raise NotImplementedError(
-                    f"video codec {fmt!r} needs ffmpeg, which this container "
-                    "does not ship; plug a real decoder in here"
-                )
             n, w, h, _fps, offs, start = V.parse_header(data)
             for j in range(0, n, self.every_n):
                 vids.append(vid)

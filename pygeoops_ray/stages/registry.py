@@ -132,6 +132,27 @@ def _register_builtins() -> None:
             ("image_id", "bytes", "fmt", "qdigest", "phash_q"),
             batch_size=1024,
         ),
+        Stage(
+            "audio_features",
+            mm.AudioFeatureStage,
+            ("clip_id", "bytes"),
+            ("clip_id", "n_samples", "sum_abs", "energy", "max_abs", "zero_crossings"),
+            batch_size=256,
+        ),
+        Stage(
+            "audio_resample",
+            mm.AudioResampleStage,
+            ("clip_id", "bytes", "n", "rate", "fmt"),
+            ("clip_id", "fmt", "bytes", "n", "rate"),
+            batch_size=256,
+        ),
+        Stage(
+            "frame_sample",
+            mm.FrameSampleStage,
+            ("video_id", "bytes", "fmt"),
+            ("video_id", "frame_idx", "bytes", "w", "h", "fmt"),
+            batch_size=64,
+        ),
     ):
         register(st)
 
