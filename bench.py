@@ -115,6 +115,9 @@ def run_bench() -> dict:
         "centerline",
         "sessionize",
         "range_join",
+        "audio_features",
+        "video_frames",
+        "geo_csv",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

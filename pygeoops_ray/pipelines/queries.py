@@ -277,6 +277,15 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(text_stages.quality_batch, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pretokenizer counts (regex compiled once per actor); the RE2-
+    compatible pattern makes the oracle an exact regexp_extract_all count."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stages.BpeTokenCount, batch_format="pyarrow", concurrency=2
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (rows-only: the classifier is not SQL-expressible)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1685,6 +1694,21 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(digest, batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed integer-exact k-means over the embeddings table.
+
+    Two Lloyd iterations, k=8: each iteration is one streaming pass with
+    per-batch partial (cluster → sum, count) against broadcast centroids
+    (ray.put once per iteration), tiny k×d driver reduce. The oracle replays
+    the identical integer algorithm (quantize → argmin → S//n centroids) in
+    unrolled SQL CTEs — value-exact, not a contract bit.
+    """
+    from pygeoops_ray.stages.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, iters=2)
+
+
 def q_geo_csv(sf_dir: str):
     """CSV-with-WKT source → WKB geometry column → integer shape digests.
 
@@ -1755,6 +1779,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
+    "bpe_tokens": q_bpe_tokens,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fp": q_winnow_fp,
@@ -1789,6 +1814,7 @@ QUERIES = {
     "audio_resample": q_audio_resample,
     "video_frames": q_video_frames,
     "geo_csv": q_geo_csv,
+    "kmeans": q_kmeans,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names
@@ -1882,6 +1908,15 @@ ORACLE_SQL = {
     """,
     "token_count": """
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    # same RE2 pattern the Ray stage compiles (stages/text.py
+    # BPE_PRETOKEN_PATTERN) — leftmost-first alternation matches Python re
+    "bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+'
+               )) AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
     "text_quality": """
@@ -2606,5 +2641,69 @@ SELECT CAST(k AS BIGINT) AS s_suppkey,
        CAST(k % 100 AS BIGINT) AS minx_i,
        CAST(k // 100 + 1 + k % 7 AS BIGINT) AS maxy_i
 FROM ks
+    """,
+    # kmeans: the integer Lloyd's algorithm replayed verbatim — quantize
+    # floor(x*100)+128 (shift keeps // floor/trunc-agnostic), centroids S//n,
+    # ties to smallest cluster, emptied cluster keeps its previous centroid
+    "kmeans": """
+WITH qv AS (
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT) + 128 AS q
+    FROM embeddings
+),
+c0ids AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cent0 AS (SELECT i.j, qv.idx, qv.q AS c FROM c0ids i JOIN qv USING (vec_id)),
+d1 AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent0 c USING (idx) GROUP BY qv.vec_id, c.j
+),
+a1 AS (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+s1 AS (
+    SELECT a1.j, qv.idx, sum(qv.q) AS sq, count(*) AS n
+    FROM a1 JOIN qv USING (vec_id) GROUP BY a1.j, qv.idx
+),
+cent1 AS (
+    SELECT c0.j, c0.idx, COALESCE(CAST(s1.sq // s1.n AS BIGINT), c0.c) AS c
+    FROM cent0 c0 LEFT JOIN s1 ON s1.j = c0.j AND s1.idx = c0.idx
+),
+d2_ AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent1 c USING (idx) GROUP BY qv.vec_id, c.j
+),
+a2 AS (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+        FROM d2_
+    ) WHERE rn = 1
+),
+s2 AS (
+    SELECT a2.j, qv.idx, sum(qv.q) AS sq, count(*) AS n
+    FROM a2 JOIN qv USING (vec_id) GROUP BY a2.j, qv.idx
+),
+cent2 AS (
+    SELECT c1.j, c1.idx, COALESCE(CAST(s2.sq // s2.n AS BIGINT), c1.c) AS c
+    FROM cent1 c1 LEFT JOIN s2 ON s2.j = c1.j AND s2.idx = c1.idx
+),
+df AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent2 c USING (idx) GROUP BY qv.vec_id, c.j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (
+    SELECT vec_id, j, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM df
+) WHERE rn = 1
     """,
 }

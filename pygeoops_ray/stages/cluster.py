@@ -1,0 +1,128 @@
+"""Distributed k-means over an embedding column (integer-exact Lloyd's).
+
+The classic training-data-pipeline clustering op, shaped for Ray Data's
+broadcast-iterate pattern: each Lloyd iteration is ONE streaming pass —
+``map_batches`` computes per-batch partial (cluster → sum vector, count)
+against broadcast centroids (``ray.put`` once per iteration, NOT re-shipped
+per batch), the driver reduces the tiny k×d partial table and re-broadcasts.
+Data never leaves the object store; driver state is k×d integers.
+
+Exactness contract (what makes the driver oracle possible): embeddings are
+quantized to ``floor(x*100) + 128`` (the shift keeps every value
+non-negative so Python/numpy floor division and DuckDB's truncating ``//``
+agree), centroids are ELEMENTWISE INTEGER means (S // n), distances are
+exact int64, ties break toward the smallest cluster id, and an emptied
+cluster keeps its previous centroid. Every step is integer arithmetic a SQL
+oracle replays verbatim — same pattern as the image/audio digest oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["kmeans_assign", "QUANT_SCALE", "QUANT_SHIFT"]
+
+QUANT_SCALE = 100
+QUANT_SHIFT = 128
+
+
+def _quantize(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(emb * QUANT_SCALE).astype(np.int64) + QUANT_SHIFT
+    return ids, q
+
+
+def _nearest(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignment, dist2) vs k×d integer centroids; ties → smallest id.
+
+    Values are small (≤ ~2*shift) so the int64 matmul is exact with huge
+    margin; np.argmin returns the FIRST minimum, which is the tie rule.
+    """
+    d2 = (
+        (q * q).sum(axis=1)[:, None]
+        - 2 * (q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(q)), a]
+
+
+def _init_centroids(ds, k: int) -> np.ndarray:
+    """Centroids 0..k-1 = quantized vectors of the k SMALLEST vec_ids.
+
+    Per-batch k-smallest partials keep the driver merge at ≤ k·n_blocks tiny
+    rows — no sort shuffle, no full materialization.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, q = _quantize(batch)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pd.DataFrame(
+            {"vec_id": ids[take], "q": [q[t].tobytes() for t in take]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    parts = parts.sort_values("vec_id").head(k)
+    return np.stack([np.frombuffer(b, dtype=np.int64) for b in parts["q"]])
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 2):
+    """Run `iters` Lloyd iterations; return a Dataset (vec_id, cluster, dist2).
+
+    ds must carry (vec_id:int64, embedding:list<float>). Centroids travel by
+    ``ray.put`` broadcast; each iteration and the final labeling are
+    streaming passes over the Dataset (3 passes total for iters=2).
+    """
+    import ray
+
+    cents = _init_centroids(ds, k)
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, _ref=ref, _k=k) -> pd.DataFrame:
+            c = ray.get(_ref)
+            ids, q = _quantize(batch)
+            a, _ = _nearest(q, c)
+            rows = []
+            for j in range(_k):
+                m = a == j
+                n = int(m.sum())
+                if n:
+                    rows.append((j, n, q[m].sum(axis=0).tobytes()))
+            return pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        parts = ds.map_batches(
+            partial_sums, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        new = cents.copy()  # emptied cluster keeps its previous centroid
+        for j in range(k):
+            sub = parts[parts["cluster"] == j]
+            if len(sub):
+                s = np.sum(
+                    np.stack([np.frombuffer(b, dtype=np.int64) for b in sub["sums"]]),
+                    axis=0,
+                )
+                new[j] = s // int(sub["n"].sum())
+        cents = new
+
+    ref = ray.put(cents)
+
+    def label(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        ids, q = _quantize(batch)
+        a, d2 = _nearest(q, c)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2, pa.int64()),
+            }
+        )
+
+    assert d == cents.shape[1]
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=None)

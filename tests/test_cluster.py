@@ -1,0 +1,75 @@
+"""Distributed integer k-means (stages/cluster.py) vs a single-process
+reference implementation of the same exact algorithm."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _reference_kmeans(ids, emb, k, iters):
+    """Plain-numpy replay of the exact integer algorithm."""
+    q = np.floor(emb * 100).astype(np.int64) + 128
+    order = np.argsort(ids, kind="stable")
+    cents = q[order[:k]].copy()
+
+    def nearest(qm, c):
+        d2 = (
+            (qm * qm).sum(1)[:, None] - 2 * (qm @ c.T) + (c * c).sum(1)[None, :]
+        )
+        a = d2.argmin(1)
+        return a, d2[np.arange(len(qm)), a]
+
+    for _ in range(iters):
+        a, _ = nearest(q, cents)
+        new = cents.copy()
+        for j in range(k):
+            m = a == j
+            if m.sum():
+                new[j] = q[m].sum(0) // int(m.sum())
+        cents = new
+    a, d2 = nearest(q, cents)
+    return a, d2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_reference():
+    import ray.data as rd
+
+    from pygeoops_ray.stages.cluster import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    n, d, k = 120, 16, 5
+    # three separated blobs + noise so clusters actually move across iters
+    emb = np.concatenate(
+        [
+            rng.normal(-0.3, 0.05, (40, d)),
+            rng.normal(0.0, 0.05, (40, d)),
+            rng.normal(0.3, 0.05, (40, d)),
+        ]
+    ).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    tab = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(6)  # multiple blocks → real partials
+    out = (
+        kmeans_assign(ds, k=k, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    want_a, want_d = _reference_kmeans(ids, emb.astype(np.float64), k, 3)
+    order = np.argsort(ids, kind="stable")
+    got = out.set_index("vec_id")
+    for pos in order:
+        vid = ids[pos]
+        assert got.loc[vid, "cluster"] == want_a[pos]
+        assert got.loc[vid, "dist2"] == want_d[pos]
+    # sanity: the blobs separate (≥3 distinct clusters survive)
+    assert out["cluster"].nunique() >= 3
