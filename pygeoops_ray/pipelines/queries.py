@@ -1694,6 +1694,78 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(digest, batch_format="pyarrow")
 
 
+def q_topn_per_key(sf_dir: str):
+    """Top-3 earliest events per user — bounded-output top-N per key.
+
+    Top-N per key is ALGEBRAIC: the per-batch pre-combine keeps ≤N rows per
+    (batch, key), so only bounded partials shuffle (the quota-sampling /
+    per-domain-cap op a training-data pipeline uses for balancing). Rank is
+    assigned inside the per-bucket reducer, where a key's rows are
+    group-local by construction.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if "ts" in df.columns:
+            df = df.assign(
+                ts_us=df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            ).drop(columns=["ts"])
+        return (
+            df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(3)
+        )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        out = topn(df)
+        out = out.assign(rnk=out.groupby("user_id", sort=False).cumcount() + 1)
+        return out[["user_id", "event_id", "rnk"]]
+
+    n_buckets = _bucket_count(64, _table_rows(sf_dir, "events"))
+    return _bucketed(ds, ["user_id"], reducer, n_buckets, pre=topn)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles via value histogram (bounded cardinality).
+
+    The scalable exact-quantile shape for quantized measures: per-block
+    value counts → distributed combine (only distinct-value partials move)
+    → the driver scans the SMALL histogram cumsum for the p25/50/75/99
+    cut points (smallest v with cum ≥ ceil(p·n/100), all integer).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"v": pa.array(vals, pa.int64()), "c": pa.array(cnts, pa.int64())}
+        )
+
+    h = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None),
+        ["v"],
+        [("c", "sum", "c")],
+    )
+    df = h.to_pandas().sort_values("v").reset_index(drop=True)
+    n = int(df["c"].sum())
+    cum = df["c"].cumsum().to_numpy()
+    rows = []
+    for pct in (25, 50, 75, 99):
+        thr = (pct * n + 99) // 100
+        idx = int(np.searchsorted(cum, thr))
+        rows.append((pct, int(df["v"].iloc[idx])))
+    return pd.DataFrame(rows, columns=["pct", "value_c"]).astype("int64")
+
+
 def q_kmeans(sf_dir: str):
     """Distributed integer-exact k-means over the embeddings table.
 
@@ -1815,6 +1887,8 @@ QUERIES = {
     "video_frames": q_video_frames,
     "geo_csv": q_geo_csv,
     "kmeans": q_kmeans,
+    "topn_per_key": q_topn_per_key,
+    "quantiles": q_quantiles,
 }
 
 # SQL uses only pre-registered views (part, events, nation, ...). Column names
@@ -2705,5 +2779,29 @@ FROM (
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
     FROM df
 ) WHERE rn = 1
+    """,
+    "topn_per_key": """
+        SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk
+        FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    # quantiles: smallest v with cumulative count >= ceil(p*n/100), exact
+    "quantiles": """
+        WITH h AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        n AS (SELECT count(*) AS n FROM events),
+        p AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+        SELECT CAST(p.pct AS BIGINT) AS pct, CAST(min(cum.v) AS BIGINT) AS value_c
+        FROM p, cum, n
+        WHERE cum.cum >= (p.pct * n.n + 99) // 100
+        GROUP BY p.pct
     """,
 }
