@@ -1629,8 +1629,11 @@ def q_audio_features(sf_dir: str):
     """
     from pygeoops_ray.stages.multimodal import AudioFeatureStage
 
+    # stateless kernel → instance form (elastic task pool): passing the CLASS
+    # would make a fixed actor pool that the fused generator stage serializes
+    # behind (measured 2-actor bottleneck on the video path)
     return _audio_ds(sf_dir).map_batches(
-        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioFeatureStage(), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -1640,14 +1643,10 @@ def q_audio_resample(sf_dir: str):
     from pygeoops_ray.stages.multimodal import AudioFeatureStage, AudioResampleStage
 
     ds = _audio_ds(sf_dir).map_batches(
-        AudioResampleStage,
-        fn_constructor_kwargs={"rate_out": 4000},
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=256,
+        AudioResampleStage(rate_out=4000), batch_format="pyarrow", batch_size=256
     )
     return ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioFeatureStage(), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -1670,12 +1669,10 @@ def q_video_frames(sf_dir: str):
         return generate_videos_for_ordinals(batch["id"].to_numpy())
 
     vids = rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=64)
+    # instance form (task pool): the class form's fixed actor pool fuses with
+    # the generator stage and caps the whole chain at `concurrency` workers
     frames = vids.map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"every_n": 5},
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=64,
+        FrameSampleStage(every_n=5), batch_format="pyarrow", batch_size=64
     )
 
     def digest(batch: pa.Table) -> pa.Table:
