@@ -69,4 +69,8 @@ def __getattr__(name):
         from pygeoops_ray.stages import registry
 
         return getattr(registry, name)
+    if name in ("write_partitioned", "read_output", "read_pruned", "CheckpointManifest"):
+        from pygeoops_ray.state import manifest
+
+        return getattr(manifest, name)
     raise AttributeError(f"module 'pygeoops_ray' has no attribute {name!r}")

@@ -156,6 +156,77 @@ def q_pip_join_agg(sf_dir: str):
     )
 
 
+def q_spatial_pruned_read(sf_dir: str):
+    """Cell-partitioned resumable sink + bbox-PRUNED read-back + aggregate.
+
+    The 100-TB read-path feature: event points are written once as a
+    grid-cell-partitioned parquet directory whose checkpoint manifest records
+    each partition's [min, max] of (px, py) (state/manifest.py
+    write_partitioned stats_cols). The read side (read_pruned) then serves a
+    bbox query by (1) dropping whole partition files on the driver from the
+    few-KB manifest — no Ray task ever touches them — and (2) pushing the
+    bbox down as a pyarrow filter so parquet row-group stats prune inside
+    the surviving files. The bbox is deliberately NOT cell-aligned on its
+    x-high edge, so the result exercises both levels: file pruning AND
+    row filtering within a kept partition.
+
+    Oracle: the points are pure arithmetic on event_id (_PTS), so the bbox
+    filter + per-cell aggregate re-derives exactly in SQL.
+    """
+    import hashlib
+    import os
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.state.manifest import (
+        CheckpointManifest,
+        read_pruned,
+        write_partitioned,
+    )
+
+    cs = 2048  # partition cell: 8x8 world tiles → ≤375 partitions on this world
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_rows = _table_rows(sf_dir, "events")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/spatial_sink_{key}"
+
+    man_done = len(CheckpointManifest(out_dir, "points").completed())
+
+    def add_gcell(b: pa.Table) -> pa.Table:
+        # px/py are integer-valued doubles (pure event_id arithmetic): the
+        # int64 cast is exact, so the cell key matches the SQL `// 2048`
+        gx = b["px"].to_numpy().astype(np.int64) // cs
+        gy = b["py"].to_numpy().astype(np.int64) // cs
+        return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
+
+    if man_done == 0 or not os.path.isdir(out_dir):
+        pts = (
+            _read_blocked(sf_dir, "events", columns=["event_id"])
+            .map_batches(sp.points_from_events, batch_format="pyarrow")
+            .map_batches(add_gcell, batch_format="pyarrow")
+        )
+        write_partitioned(
+            pts, out_dir, "gcell", stage="points",
+            lineage={"sf_dir": sf_dir}, stats_cols=["px", "py"],
+        )
+
+    bbox = (131072.0, 0.0, 197608.0, 4096.0)  # x1 cuts INTO cell 96 (row filter)
+    ds = read_pruned(
+        out_dir, {"px": (bbox[0], bbox[2]), "py": (bbox[1], bbox[3])}, stage="points"
+    )
+    return grouped_agg(
+        ds,
+        ["gcell"],
+        [
+            ("event_id", "size", "n_points"),
+            ("event_id", "min", "min_eid"),
+            ("event_id", "sum", "sum_eid"),
+        ],
+        n_rows_hint=n_rows,
+    )
+
+
 def q_clip_join(sf_dir: str):
     """Raster-tile ↔ footprint clip join: per-pair clipped area (S-H kernel)."""
     ds = sp.clip_tiles(_images(sf_dir))
@@ -1837,6 +1908,7 @@ QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
     "pip_join_agg": q_pip_join_agg,
+    "spatial_pruned_read": q_spatial_pruned_read,
     "clip_join": q_clip_join,
     "knn": q_knn,
     "dedup_events": q_dedup_events,
@@ -1927,6 +1999,17 @@ ORACLE_SQL = {
         FROM img JOIN pts
           ON pts.px >= img.minx AND pts.px < img.maxx
          AND pts.py >= img.miny AND pts.py < img.maxy
+    """,
+    "spatial_pruned_read": f"""
+        WITH pts AS ({_PTS})
+        SELECT CAST(px AS BIGINT) // 2048 + 1024 * (CAST(py AS BIGINT) // 2048)
+                   AS gcell,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(event_id) AS BIGINT) AS min_eid,
+               CAST(sum(event_id) AS BIGINT) AS sum_eid
+        FROM pts
+        WHERE px >= 131072 AND px < 197608 AND py >= 0 AND py < 4096
+        GROUP BY 1
     """,
     "pip_join_agg": f"""
         WITH img AS ({_IMG}), pts AS ({_PTS})

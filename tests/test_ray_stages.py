@@ -167,6 +167,50 @@ def test_manifest_resume(rd, tmp_path):
     assert all(rec["row_count"] > 0 and rec["checksum"] >= 0 for rec in done.values())
 
 
+def test_read_pruned_bbox(rd, tmp_path):
+    """Manifest range stats prune whole partition files; the pushed-down
+    filter prunes rows inside kept files; result == brute-force filter."""
+    from pygeoops_ray.state.manifest import CheckpointManifest, read_pruned, write_partitioned
+
+    out_dir = str(tmp_path / "sink")
+    n = 4000
+    eid = np.arange(n, dtype=np.int64)
+    px = (eid % 40).astype(np.float64) * 100.0 + (eid * 7 % 100).astype(np.float64)
+    py = (eid // 40 % 5).astype(np.float64) * 100.0 + (eid * 13 % 100).astype(np.float64)
+    gcell = (px.astype(np.int64) // 400) + 1024 * (py.astype(np.int64) // 400)
+    tab = pa.Table.from_pydict(
+        {"event_id": pa.array(eid), "px": pa.array(px), "py": pa.array(py),
+         "gcell": pa.array(gcell)}
+    )
+    write_partitioned(rd.from_arrow(tab), out_dir, "gcell", stage="pts", stats_cols=["px", "py"])
+    done = CheckpointManifest(out_dir, "pts").completed()
+    n_parts = len(done)
+    assert n_parts == len(np.unique(gcell))
+    assert all("px" in rec["stats"] and "py" in rec["stats"] for rec in done.values())
+
+    # bbox: x in [800, 2050) — cuts INTO the x-cell starting at 2000 —, y in [0, 400)
+    ranges = {"px": (800.0, 2050.0), "py": (0.0, 400.0)}
+    got = read_pruned(out_dir, ranges, stage="pts").to_pandas()
+    mask = (px >= 800) & (px < 2050) & (py >= 0) & (py < 400)
+    assert sorted(got.event_id) == sorted(eid[mask])
+
+    # file-level pruning really happened: only partitions intersecting the bbox
+    kept = [
+        rec for rec in done.values()
+        if rec["stats"]["px"][1] >= 800 and rec["stats"]["px"][0] < 2050
+        and rec["stats"]["py"][1] >= 0 and rec["stats"]["py"][0] < 400
+    ]
+    assert len(kept) < n_parts / 3  # the bbox covers well under a third of cells
+    # and the row filter worked inside the partially-covered x-cell at 2000
+    assert ((got.px >= 2000) & (got.px < 2050)).any()
+    assert not (got.px >= 2050).any()
+
+    # empty-intersection bbox: zero rows, dataset-level schema preserved
+    empty_ds = read_pruned(out_dir, {"px": (1e9, 2e9)}, stage="pts")
+    assert empty_ds.count() == 0
+    assert "event_id" in empty_ds.schema().names
+
+
 def test_decode_validate_invariants(rd):
     from pygeoops_ray.pipelines.flagship import DecodeValidate
     from pygeoops_ray.table import images as I
