@@ -127,6 +127,32 @@ def test_lsh_topk_recall(rd):
     assert summary.to_dict("records") == [{"n_queries": 8, "k": 10, "recall_ok": 1}]
 
 
+def test_map_worker_death_retried(rd, tmp_path):
+    """Streaming execution survives a worker death mid-pipeline.
+
+    One map task hard-kills its worker process (os._exit — the same signal
+    Ray sees on an OOM-killed or lost node); Ray retries the task on a fresh
+    worker and the dataset completes with every row intact. Together with
+    test_manifest_resume (file-level resume across DRIVER restarts) this
+    covers both fault domains of the north rule's resumability requirement.
+    """
+    flag = tmp_path / "died_once"
+
+    def maybe_die(batch: pa.Table) -> pa.Table:
+        # exactly one task dies, once (flag lands on shared /tmp before exit)
+        if not flag.exists():
+            flag.write_text("x")
+            os._exit(1)
+        return batch
+
+    ds = rd.range(100_000, override_num_blocks=8).map_batches(
+        maybe_die, batch_format="pyarrow"
+    )
+    tot = ds.sum("id")
+    assert flag.exists()  # the kill really happened
+    assert tot == 99_999 * 100_000 // 2  # and no rows were lost or duplicated
+
+
 def test_manifest_resume(rd, tmp_path):
     from pygeoops_ray.state.manifest import CheckpointManifest, read_output, write_partitioned
 
