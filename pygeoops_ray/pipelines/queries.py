@@ -484,6 +484,51 @@ def q_ann_ivf(sf_dir: str):
     return _ann_recall_summary(sf_dir, ann_stages.ivf_topk, min_mean_recall_pct=40)
 
 
+def q_ann_ivf_disk(sf_dir: str):
+    """Disk-persisted IVF index: recall contract + I/O-pruning contract.
+
+    Index build (once per table, resumable): vectors written as one parquet
+    partition per coarse cell through the checkpoint manifest, centroids as
+    a sidecar (stages/ann.build_ivf_disk_index). Query: only the probed
+    cells' FILES are read (ivf_disk_topk) — the 100-TB similarity-search
+    shape where the index is a data layout and a query's I/O is nprobe/N of
+    the corpus. Output adds ``pruned_ok`` (files_read < files_total) to the
+    recall contract, so a regression in either the recall OR the pruning
+    turns the driver hash red.
+    """
+    import hashlib
+    import os
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/ivf_index_{key}"
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(out_dir, "centroids.npy")):
+        ann_stages.build_ivf_disk_index(emb, out_dir)
+
+    k = 10
+    q_ids, qm = _query_vectors(sf_dir)
+    approx_ds, n_read, n_total = ann_stages.ivf_disk_topk(out_dir, q_ids, qm, k=k)
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    approx = approx_ds.to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= 40)], pa.int64()),
+            "pruned_ok": pa.array([int(0 < n_read < n_total)], pa.int64()),
+        }
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH approximate-NN recall gate: mean recall@10 >= 30%.
 
@@ -1937,6 +1982,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_disk": q_ann_ivf_disk,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "hopping_window": q_hopping_window,
@@ -2610,6 +2656,16 @@ ORACLE_SQL = {
         SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
                CAST(10 AS BIGINT) AS k,
                CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings
+    """,
+    # ann_ivf_disk: recall contract plus the I/O-pruning contract — the query
+    # reads only probed partitions of the persisted index; pruned_ok asserts
+    # files_read < files_total actually held
+    "ann_ivf_disk": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok,
+               CAST(1 AS BIGINT) AS pruned_ok
         FROM embeddings
     """,
     # image_features: the generator (splitmix64 offsets + per-axis gradient

@@ -23,9 +23,35 @@ __all__ = ["CheckpointManifest", "write_partitioned", "read_output", "read_prune
 
 def _row_checksum(df: pd.DataFrame) -> int:
     """Order-insensitive 64-bit checksum of a partition's rows."""
-    h = pd.util.hash_pandas_object(
-        df.reindex(sorted(df.columns), axis=1), index=False
-    ).to_numpy(dtype=np.uint64)
+    df = df.reindex(sorted(df.columns), axis=1)
+    try:
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+    except TypeError:
+        # nested payloads (e.g. list<float> embeddings arrive as object
+        # columns of ndarrays) aren't pandas-hashable — hash their bytes
+        import hashlib
+
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in df.columns:
+            s = df[c]
+            try:
+                ch = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+            except TypeError:
+                ch = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(
+                                b"" if v is None else np.asarray(v).tobytes()
+                            ).digest()[:8],
+                            "little",
+                        )
+                        for v in s
+                    ),
+                    dtype=np.uint64,
+                    count=len(s),
+                )
+            # rotate before combining so column order matters
+            h = ((h << np.uint64(1)) | (h >> np.uint64(63))) ^ ch
     total = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
     return int(total & np.uint64(0x7FFFFFFFFFFFFFFF))
 

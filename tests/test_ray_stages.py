@@ -107,6 +107,40 @@ def test_exact_dedup(rd):
     )
 
 
+def test_ivf_disk_index(rd, tmp_path):
+    """Persisted IVF: probed-partition reads return the same neighbors as
+    the in-stream IVF on identical centroids, and the query provably reads
+    a strict subset of the index files."""
+    from pygeoops_ray.pipelines.queries import _query_vectors
+    from pygeoops_ray.stages import ann
+
+    out_dir = str(tmp_path / "ivf")
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = ann.build_ivf_disk_index(emb, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "centroids.npy"))
+
+    q_ids, qm = _query_vectors(SF)
+    disk, n_read, n_total = ann.ivf_disk_topk(out_dir, q_ids, qm, k=10)
+    assert 0 < n_read < n_total  # I/O pruning actually happened
+
+    # same probe set + same centroids → same neighbor ids as the in-stream
+    # scorer over the full table
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :4]
+    stream = ann._probed_topk(emb, q_ids.astype(np.int64), qn, cent, probe, 10).to_pandas()
+    d = disk.to_pandas().sort_values(["q_id", "rnk"]).reset_index(drop=True)
+    s = stream.sort_values(["q_id", "rnk"]).reset_index(drop=True)
+    assert d["vec_id"].tolist() == s["vec_id"].tolist()
+
+    # rebuild on the same directory is a no-op resume (manifest skip)
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    before = CheckpointManifest(out_dir, "ivf").completed()
+    ann.build_ivf_disk_index(emb, out_dir)
+    after = CheckpointManifest(out_dir, "ivf").completed()
+    assert set(after) == set(before)
+
+
 def test_lsh_topk_recall(rd):
     from pygeoops_ray.pipelines.queries import _query_vectors, q_ann_lsh, q_ann_topk
     from pygeoops_ray.stages import ann
