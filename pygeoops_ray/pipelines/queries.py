@@ -227,6 +227,64 @@ def q_spatial_pruned_read(sf_dir: str):
     )
 
 
+def q_geo_pruned_read(sf_dir: str):
+    """Extent-pruned GEOMETRY reads — the GeoParquet bbox-column idiom.
+
+    Footprint rectangles land in a cell-partitioned resumable sink whose
+    manifest records per-partition extents of all four bbox columns; a
+    bbox-INTERSECTION query (rect ∩ bbox ≠ ∅, touching counts) is served as
+    one-sided ranges over those stats: minx < x1 AND maxx >= x0 AND
+    miny < y1 AND maxy >= y0. Same two pruning levels as
+    spatial_pruned_read (whole files from the manifest, rows via the pushed
+    filter), but over extents rather than points — rects OVERHANGING their
+    home cell are still found because the stats cover the overhang.
+    """
+    import hashlib
+    import os
+
+    from pygeoops_ray.state.manifest import (
+        CheckpointManifest,
+        read_pruned,
+        write_partitioned,
+    )
+
+    cs = 2048
+    part_path = os.path.join(sf_dir, "part.parquet")
+    n_rows = _table_rows(sf_dir, "part")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(part_path)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/geo_sink_{key}"
+
+    def add_gcell(b: pa.Table) -> pa.Table:
+        gx = b["minx"].to_numpy().astype(np.int64) // cs
+        gy = b["miny"].to_numpy().astype(np.int64) // cs
+        return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
+
+    if not CheckpointManifest(out_dir, "rects").completed():
+        rects = _images(sf_dir).map_batches(add_gcell, batch_format="pyarrow")
+        write_partitioned(
+            rects, out_dir, "gcell", stage="rects",
+            lineage={"sf_dir": sf_dir},
+            stats_cols=["minx", "maxx", "miny", "maxy"],
+        )
+
+    # slots 100..182 — populated at every scale (part has >=200 rows at
+    # sf0.001); x1 cuts INTO a cell so row filtering is exercised too
+    x0, y0, x1, y1 = 25600.0, 0.0, 46600.0, 4096.0
+    ds = read_pruned(
+        out_dir,
+        {
+            "minx": (None, x1),
+            "maxx": (x0, None),
+            "miny": (None, y1),
+            "maxy": (y0, None),
+        },
+        stage="rects",
+    )
+    return ds.select_columns(["image_id", "minx", "miny", "maxx", "maxy"])
+
+
 def q_clip_join(sf_dir: str):
     """Raster-tile ↔ footprint clip join: per-pair clipped area (S-H kernel)."""
     ds = sp.clip_tiles(_images(sf_dir))
@@ -1954,6 +2012,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "pip_join_agg": q_pip_join_agg,
     "spatial_pruned_read": q_spatial_pruned_read,
+    "geo_pruned_read": q_geo_pruned_read,
     "clip_join": q_clip_join,
     "knn": q_knn,
     "dedup_events": q_dedup_events,
@@ -2045,6 +2104,12 @@ ORACLE_SQL = {
         FROM img JOIN pts
           ON pts.px >= img.minx AND pts.px < img.maxx
          AND pts.py >= img.miny AND pts.py < img.maxy
+    """,
+    "geo_pruned_read": f"""
+        WITH img AS ({_IMG})
+        SELECT image_id, minx, miny, maxx, maxy
+        FROM img
+        WHERE minx < 46600 AND maxx >= 25600 AND miny < 4096 AND maxy >= 0
     """,
     "spatial_pruned_read": f"""
         WITH pts AS ({_PTS})

@@ -167,6 +167,11 @@ def read_pruned(out_dir: str, ranges: dict[str, tuple], stage: str = "main"):
 
     ``ranges`` maps column → half-open interval ``[lo, hi)`` (a 2D bbox is
     two entries: ``{"px": (x0, x1), "py": (y0, y1)}``; a time slice is one).
+    Either bound may be ``None`` (unbounded); one-sided ranges on extent
+    columns express bbox INTERSECTION over geometries — e.g. rectangles with
+    (minx, maxx, miny, maxy) columns intersect a query bbox iff
+    ``{"minx": (None, x1), "maxx": (x0, None), "miny": (None, y1),
+    "maxy": (y0, None)}`` — the GeoParquet bbox-column idiom.
     Pruning happens at TWO levels:
 
     1. **Partition files** whose manifest [min, max] misses an interval are
@@ -192,15 +197,19 @@ def read_pruned(out_dir: str, ranges: dict[str, tuple], stage: str = "main"):
         for col, (lo, hi) in ranges.items():
             if col in st:
                 mn, mx = st[col]
-                if mx < lo or mn >= hi:
+                if (lo is not None and mx < lo) or (hi is not None and mn >= hi):
                     keep = False
                     break
         if keep and os.path.exists(rec["output_file"]):
             files.append(rec["output_file"])
     expr = None
     for col, (lo, hi) in ranges.items():
-        e = (_field(col) >= lo) & (_field(col) < hi)
-        expr = e if expr is None else expr & e
+        for e in (
+            (_field(col) >= lo) if lo is not None else None,
+            (_field(col) < hi) if hi is not None else None,
+        ):
+            if e is not None:
+                expr = e if expr is None else expr & e
     if not files:
         # predicate misses every partition: read the smallest file under the
         # (row-excluding) filter so the dataset keeps the sink schema

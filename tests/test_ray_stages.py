@@ -270,6 +270,12 @@ def test_read_pruned_bbox(rd, tmp_path):
     assert empty_ds.count() == 0
     assert "event_id" in empty_ds.schema().names
 
+    # one-sided ranges (the extent-intersection building block): px >= 3000
+    hi_only = read_pruned(out_dir, {"px": (3000.0, None)}, stage="pts").to_pandas()
+    assert sorted(hi_only.event_id) == sorted(eid[px >= 3000])
+    lo_only = read_pruned(out_dir, {"px": (None, 500.0)}, stage="pts").to_pandas()
+    assert sorted(lo_only.event_id) == sorted(eid[px < 500])
+
 
 def test_decode_validate_invariants(rd):
     from pygeoops_ray.pipelines.flagship import DecodeValidate
