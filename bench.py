@@ -207,6 +207,41 @@ def run_scaling():
             "print('RESULT', round(time.time() - t0, 3))\n"
             "ray.shutdown()\n"
         )
+    elif mode == "kernel":
+        # CPU-bound geometry kernel (centerline over 80-pt wavy polygons):
+        # per-row heavy compute with a cache-resident working set, so — unlike
+        # the decode chain — the measurement has NO DRAM-bandwidth component.
+        # Engine efficiency here isolates Ray scheduling/dispatch overhead;
+        # compare against the matmul hardware control.
+        # 4000 geoms ≈ 160 s at 2 cpus on this box (the symmetric rings are
+        # near-cocircular, so this corpus exercises the exact-rational
+        # Delaunay fallback heavily — deliberately CPU-hard per row); the
+        # recorded 0.986 run used RAY_GRAFT_SCALE_GEOMS=20000
+        n_geoms = int(os.environ.get("RAY_GRAFT_SCALE_GEOMS", "4000"))
+        code = prelude + (
+            "import numpy as np\n"
+            "import pyarrow as pa\n"
+            "import ray.data as rd\n"
+            "from pygeoops_ray.geo.geom import Polygon\n"
+            "from pygeoops_ray.geo.centerline import centerline\n"
+            "def work(b):\n"
+            "    out = []\n"
+            "    for i in b['id'].to_numpy():\n"
+            "        th = np.linspace(0.0, 2 * np.pi, 81)[:-1]\n"
+            "        r = 10.0 + np.sin(th * (3 + i % 5)) * (1.0 + (i % 7) * 0.2)\n"
+            "        xs = np.cos(th) * r + float(i) * 40.0\n"
+            "        ys = np.sin(th) * r\n"
+            "        ring = np.c_[np.append(xs, xs[0]), np.append(ys, ys[0])]\n"
+            "        c = centerline(Polygon(ring))\n"
+            "        out.append(0 if c is None else 1)\n"
+            "    return pa.table({'ok': pa.array(out, pa.int64())})\n"
+            "t0 = time.time()\n"
+            f"tot = rd.range({n_geoms}, override_num_blocks=max(8, ncpu * 4))"
+            ".map_batches(work, batch_format='pyarrow', batch_size=16).sum('ok')\n"
+            f"assert tot == {n_geoms}, tot\n"
+            "print('RESULT', round(time.time() - t0, 3))\n"
+            "ray.shutdown()\n"
+        )
     else:
         code = prelude + (
             "from pygeoops_ray.pipelines.flagship import flagship, image_table_ds\n"
@@ -239,6 +274,11 @@ def run_scaling():
     t_lo = statistics.median(lo_runs)
     t_hi = statistics.median(hi_runs)
     eff = (t_lo / t_hi) / (hi / lo)
+    n_rows = (
+        int(os.environ.get("RAY_GRAFT_SCALE_GEOMS", "4000"))
+        if mode == "kernel"
+        else n_images
+    )
     print(
         json.dumps(
             {
@@ -250,9 +290,9 @@ def run_scaling():
                 "sec_hi": t_hi,
                 "runs_lo": lo_runs,
                 "runs_hi": hi_runs,
-                "n_images": n_images,
-                "images_per_sec_lo": round(n_images / t_lo, 1),
-                "images_per_sec_hi": round(n_images / t_hi, 1),
+                "n_rows": n_rows,
+                "rows_per_sec_lo": round(n_rows / t_lo, 1),
+                "rows_per_sec_hi": round(n_rows / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
             }
         )

@@ -1454,6 +1454,71 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_quarantine_decode(sf_dir: str):
+    """Dead-letter quarantine: corrupted rows split out in ONE pass.
+
+    Every ordinal with ``i % 97 == 0`` gets its byte payload truncated
+    (deterministic corruption); DecodeValidate flags them (decode raises →
+    decode_ok=False, "quarantine, not crash"); stages/quarantine.py appends
+    the failing rows to a side parquet sink from inside the map task while
+    good rows flow on — the upstream never executes twice. The summary binds
+    BOTH paths to the oracle: n_ok counts the surviving stream, n_quarantined
+    and sum_quarantined count the dead-letter sink read back (deduped by
+    image_id — task retries make the sink at-least-once).
+    """
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.pipelines.flagship import DecodeValidate
+    from pygeoops_ray.stages.quarantine import quarantine_by_flag, read_quarantine
+
+    ds, n = _image_ds(sf_dir)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}".encode()).hexdigest()[:10]
+    qdir = f"/tmp/pygeoops_ray_cache/quarantine_{key}"
+    # the sink accumulates across runs by design (at-least-once + keyed dedup
+    # absorbs that for the SAME corpus); a fresh dir keeps the demo tight
+    shutil.rmtree(qdir, ignore_errors=True)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        i = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+        ).to_numpy()
+        data = batch["bytes"].to_pylist()
+        out = [
+            d[: len(d) // 2] if int(o) % 97 == 0 else d for o, d in zip(i, data)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes", pa.array(out, pa.binary())
+        )
+
+    validated = ds.map_batches(corrupt, batch_format="pyarrow").map_batches(
+        DecodeValidate(), batch_format="pyarrow", batch_size=256
+    )
+    good = quarantine_by_flag(validated, "decode_ok", qdir)
+    n_ok = good.count()
+
+    quar = read_quarantine(qdir, "image_id")
+
+    def ords(batch: pa.Table) -> pa.Table:
+        i = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+        ).to_numpy()
+        return pa.Table.from_pydict({"i": pa.array(i, pa.int64())})
+
+    qi = quar.map_batches(ords, batch_format="pyarrow").to_pandas()["i"].to_numpy()
+    return pa.Table.from_pydict(
+        {
+            "n_total": pa.array([n], pa.int64()),
+            "n_ok": pa.array([int(n_ok)], pa.int64()),
+            "n_quarantined": pa.array([len(qi)], pa.int64()),
+            "sum_quarantined": pa.array([int(qi.sum())], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (groupby / join / window engine capabilities)
 # ---------------------------------------------------------------------------
@@ -2042,6 +2107,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_disk": q_ann_ivf_disk,
+    "quarantine_decode": q_quarantine_decode,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "hopping_window": q_hopping_window,
@@ -2722,6 +2788,20 @@ ORACLE_SQL = {
                CAST(10 AS BIGINT) AS k,
                CAST(1 AS BIGINT) AS recall_ok
         FROM embeddings
+    """,
+    # quarantine_decode: the corruption rule (i % 97 == 0 → truncated bytes)
+    # is pure arithmetic, so BOTH paths — surviving-stream count and the
+    # dead-letter sink contents — re-derive exactly in SQL
+    "quarantine_decode": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+        s AS (SELECT unnest(generate_series(0,
+                   CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i)
+        SELECT CAST((SELECT cnt FROM n) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE i % 97 <> 0) AS BIGINT) AS n_ok,
+               CAST(count(*) FILTER (WHERE i % 97 = 0) AS BIGINT) AS n_quarantined,
+               CAST(coalesce(sum(i) FILTER (WHERE i % 97 = 0), 0) AS BIGINT)
+                   AS sum_quarantined
+        FROM s
     """,
     # ann_ivf_disk: recall contract plus the I/O-pruning contract — the query
     # reads only probed partitions of the persisted index; pruned_ok asserts

@@ -161,6 +161,38 @@ def test_lsh_topk_recall(rd):
     assert summary.to_dict("records") == [{"n_queries": 8, "k": 10, "recall_ok": 1}]
 
 
+def test_quarantine_split(rd, tmp_path):
+    """One-pass dead-letter split: flagged-False rows land in the side sink,
+    good rows flow on, and read_quarantine dedups task-retry duplicates."""
+    import glob
+    import shutil
+
+    from pygeoops_ray.stages.quarantine import quarantine_by_flag, read_quarantine
+
+    qdir = str(tmp_path / "dlq")
+    n = 5000
+    tab = pa.Table.from_pydict(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "ok": pa.array(np.arange(n) % 7 != 0),
+            "payload": pa.array([f"p{i}" for i in range(n)]),
+        }
+    )
+    good = quarantine_by_flag(
+        rd.from_arrow(tab).repartition(8), "ok", qdir
+    ).to_pandas()
+    assert sorted(good.rid) == sorted(np.arange(n)[np.arange(n) % 7 != 0])
+    assert "ok" not in good.columns  # flag consumed by default
+
+    # simulate a retried task: duplicate one sink file under a new name
+    f = sorted(glob.glob(f"{qdir}/q-*.parquet"))[0]
+    shutil.copy(f, f.replace("q-", "q-retry"))
+    quar = read_quarantine(qdir, "rid").to_pandas()
+    assert sorted(quar.rid) == sorted(np.arange(n)[np.arange(n) % 7 == 0])
+    assert quar.rid.is_unique  # retry duplicates deduped on read
+    assert list(quar.columns) == ["rid", "ok", "payload"]  # full row preserved
+
+
 def test_map_worker_death_retried(rd, tmp_path):
     """Streaming execution survives a worker death mid-pipeline.
 
