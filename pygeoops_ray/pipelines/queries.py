@@ -1524,6 +1524,22 @@ def q_quarantine_decode(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_table_profile(sf_dir: str):
+    """Distributed data profiling of lineitem's numeric columns.
+
+    count / nulls / min / max move as one partial row per (block, column);
+    EXACT n_distinct runs per-block unique → distinct-(column, value) dedup →
+    per-column count, so shuffle volume is the distinct-value count, never
+    the raw rows (stages/profile.py). The profile is the first job any
+    pipeline runs against an unknown 100-TB table.
+    """
+    from pygeoops_ray.stages.profile import profile_numeric
+
+    cols = ["l_discount", "l_extendedprice", "l_orderkey", "l_quantity"]
+    ds = _read_blocked(sf_dir, "lineitem", columns=cols)
+    return profile_numeric(ds, cols, n_rows_hint=_table_rows(sf_dir, "lineitem"))
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate over lineitem.
 
@@ -2108,6 +2124,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_disk": q_ann_ivf_disk,
     "quarantine_decode": q_quarantine_decode,
+    "table_profile": q_table_profile,
     "pricing_summary": q_pricing_summary,
     "events_window": q_events_window,
     "hopping_window": q_hopping_window,
@@ -2788,6 +2805,36 @@ ORACLE_SQL = {
                CAST(10 AS BIGINT) AS k,
                CAST(1 AS BIGINT) AS recall_ok
         FROM embeddings
+    """,
+    "table_profile": """
+        SELECT col AS "column", n, n_null, min_v, max_v, n_distinct FROM (
+          SELECT 'l_orderkey' AS col,
+                 CAST(count(l_orderkey) AS BIGINT) AS n,
+                 CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+                 CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+                 CAST(max(l_orderkey) AS DOUBLE) AS max_v,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+                 CAST(count(*) - count(l_quantity) AS BIGINT),
+                 CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+                 CAST(count(DISTINCT l_quantity) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+                 CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                 CAST(min(l_extendedprice) AS DOUBLE),
+                 CAST(max(l_extendedprice) AS DOUBLE),
+                 CAST(count(DISTINCT l_extendedprice) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+                 CAST(count(*) - count(l_discount) AS BIGINT),
+                 CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+                 CAST(count(DISTINCT l_discount) AS BIGINT)
+          FROM lineitem
+        ) ORDER BY "column"
     """,
     # quarantine_decode: the corruption rule (i % 97 == 0 → truncated bytes)
     # is pure arithmetic, so BOTH paths — surviving-stream count and the

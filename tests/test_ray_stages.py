@@ -161,6 +161,28 @@ def test_lsh_topk_recall(rd):
     assert summary.to_dict("records") == [{"n_queries": 8, "k": 10, "recall_ok": 1}]
 
 
+def test_profile_numeric_nulls(rd):
+    """Profiler stats are exact on a null-bearing column (the driver tables
+    are null-free, so the null path needs its own corpus)."""
+    from pygeoops_ray.stages.profile import profile_numeric
+
+    n = 10_000
+    a = np.arange(n, dtype=np.float64)
+    a[a % 13 == 0] = np.nan
+    b = (np.arange(n) % 250).astype(np.float64)
+    tab = pa.Table.from_pydict({"a": pa.array(a), "b": pa.array(b)})
+    out = (
+        profile_numeric(rd.from_arrow(tab).repartition(6), ["a", "b"])
+        .to_pandas()
+        .set_index("column")
+    )
+    n_nan = int(np.isnan(a).sum())
+    assert out.loc["a", "n"] == n - n_nan and out.loc["a", "n_null"] == n_nan
+    assert out.loc["a", "min_v"] == 1.0 and out.loc["a", "max_v"] == n - 1
+    assert out.loc["a", "n_distinct"] == n - n_nan
+    assert out.loc["b", "n_distinct"] == 250 and out.loc["b", "n_null"] == 0
+
+
 def test_quarantine_split(rd, tmp_path):
     """One-pass dead-letter split: flagged-False rows land in the side sink,
     good rows flow on, and read_quarantine dedups task-retry duplicates."""
