@@ -421,6 +421,89 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(text_stages.LangId, batch_format="pyarrow", concurrency=2)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end LLM training-data curation, composed and oracle-exact.
+
+    The flagship text-side chain: quality filter (token count + average
+    token length, the exact text_quality rules) → exact dedup (min doc_id
+    per identical text) → near-duplicate removal (prefix-filtered exact
+    word-3-gram Jaccard at t=0.5 — guaranteed recall, so the removal rule
+    "drop every doc_b of a pair (doc_a < doc_b)" is deterministic) →
+    deterministic train/val split (Knuth multiplicative hash of doc_id).
+    Every stage is an already-oracle-checked operator; this query binds the
+    COMPOSITION to one SQL oracle (per-split doc counts, token sums, id
+    checksums).
+
+    Scale notes: the dedup output is materialized once because two
+    consumers read it (the pair finder and the final filter) — at real
+    scale that's a write_partitioned checkpoint instead. The near-dup
+    removal set is the PAIR OUTPUT (bounded by duplicate density, not
+    corpus size) and is broadcast via ray.put; a duplicate-saturated corpus
+    would switch to a hashed anti-join.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_chars = pc.utf8_length(text)
+        n_spaces = pc.subtract(
+            n_chars, pc.utf8_length(pc.replace_substring(text, " ", ""))
+        )
+        n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+        atl = pc.divide(
+            pc.cast(pc.subtract(n_chars, n_spaces), pa.float64()),
+            pc.cast(n_tokens, pa.float64()),
+        )
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, 5),
+            pc.and_(pc.greater_equal(atl, 3.0), pc.less_equal(atl, 12.0)),
+        )
+        return b.filter(keep)
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    n_docs = _table_rows(sf_dir, "documents")
+    deduped = dedup_stages.exact_dedup_min(
+        filtered, ["text"], "doc_id", n_rows_hint=n_docs
+    ).materialize()
+
+    pairs = dedup_stages.exact_jaccard_pairs(
+        deduped, jaccard_threshold=0.5, n_docs_hint=n_docs
+    )
+    drop = np.unique(pairs.select_columns(["doc_b"]).to_pandas()["doc_b"].to_numpy())
+    dref = ray.put(drop.astype(np.int64))
+
+    def split_and_count(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        keep = ~np.isin(ids, ray.get(dref))
+        ids = ids[keep]
+        toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()[keep]
+        bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        split = np.where(bucket % np.uint64(10) == 9, "val", "train")
+        return pa.Table.from_pydict(
+            {
+                "split": pa.array(split),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        deduped.map_batches(split_and_count, batch_format="pyarrow"),
+        ["split"],
+        [
+            ("doc_id", "size", "n_docs"),
+            ("n_tokens", "sum", "sum_tokens"),
+            ("doc_id", "sum", "sum_doc_id"),
+        ],
+        n_buckets=2,
+    )
+
+
 def q_fingerprint(sf_dir: str):
     """md5 document fingerprints (oracle: DuckDB md5(text))."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2105,6 +2188,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
+    "curation_pipeline": q_curation_pipeline,
     "bpe_tokens": q_bpe_tokens,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2275,6 +2359,49 @@ ORACLE_SQL = {
                CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
         FROM documents
+    """,
+    # curation_pipeline: quality rules, dedup, the prefix-filter-exact
+    # jaccard pair rule and the multiplicative-hash split are ALL pure
+    # functions of the text/ids, so the whole composed chain re-derives in
+    # one CTE chain
+    "curation_pipeline": """
+        WITH q AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(length(text) - (length(text) - length(replace(text, ' ', '')))
+                        AS DOUBLE) / len(string_split(text, ' ')) AS atl
+            FROM documents
+        ),
+        f AS (SELECT doc_id, text FROM q
+              WHERE n_tokens >= 5 AND atl >= 3 AND atl <= 12),
+        d AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        dup AS (
+            SELECT DISTINCT b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ),
+        keep AS (SELECT d.doc_id, d.text FROM d
+                 WHERE d.doc_id NOT IN (SELECT doc_b FROM dup)),
+        s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 = 9
+                        THEN 'val' ELSE 'train' END AS split
+            FROM keep
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM s GROUP BY split
     """,
     "ann_topk": """
         WITH q AS (
