@@ -118,6 +118,10 @@ def run_bench() -> dict:
         "audio_features",
         "video_frames",
         "geo_csv",
+        "table_profile",
+        "curation_pipeline",
+        "spatial_pruned_read",
+        "quarantine_decode",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
