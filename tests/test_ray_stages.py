@@ -183,6 +183,43 @@ def test_profile_numeric_nulls(rd):
     assert out.loc["b", "n_distinct"] == 250 and out.loc["b", "n_null"] == 0
 
 
+def test_read_pruned_randomized_ranges(rd, tmp_path):
+    """Seeded-random range predicates (two-sided, one-sided, empty, full)
+    all return exactly the brute-force filter result."""
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
+
+    out_dir = str(tmp_path / "sink")
+    n = 3000
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1000, n).round(3)
+    y = rng.uniform(0, 100, n).round(3)
+    rid = np.arange(n, dtype=np.int64)
+    cell = (x.astype(np.int64) // 100) + 16 * (y.astype(np.int64) // 25)
+    tab = pa.Table.from_pydict(
+        {"rid": pa.array(rid), "x": pa.array(x), "y": pa.array(y), "cell": pa.array(cell)}
+    )
+    write_partitioned(rd.from_arrow(tab), out_dir, "cell", stage="p", stats_cols=["x", "y"])
+
+    for _ in range(12):
+        lo_x = float(rng.uniform(-100, 1100)) if rng.random() < 0.8 else None
+        hi_x = float(rng.uniform(-100, 1100)) if rng.random() < 0.8 else None
+        lo_y = float(rng.uniform(-10, 110)) if rng.random() < 0.5 else None
+        ranges = {"x": (lo_x, hi_x), "y": (lo_y, None)}
+        got = read_pruned(out_dir, ranges, stage="p")
+        mask = np.ones(n, dtype=bool)
+        if lo_x is not None:
+            mask &= x >= lo_x
+        if hi_x is not None:
+            mask &= x < hi_x
+        if lo_y is not None:
+            mask &= y >= lo_y
+        want = sorted(rid[mask])
+        if not want:
+            assert got.count() == 0
+        else:
+            assert sorted(got.to_pandas().rid) == want
+
+
 def test_quarantine_split(rd, tmp_path):
     """One-pass dead-letter split: flagged-False rows land in the side sink,
     good rows flow on, and read_quarantine dedups task-retry duplicates."""
