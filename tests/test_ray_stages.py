@@ -252,6 +252,27 @@ def test_quarantine_split(rd, tmp_path):
     assert list(quar.columns) == ["rid", "ok", "payload"]  # full row preserved
 
 
+def test_read_quarantine_worstcase_duplication(rd, tmp_path):
+    """Every key duplicated in EVERY file (40x): keyed dedup must still emit
+    each key exactly once — pins Ray's range-sort tie semantics (equal keys
+    land in one output block) that the final per-block dedup relies on."""
+    import pyarrow.parquet as pq2
+
+    from pygeoops_ray.stages.quarantine import read_quarantine
+
+    d = str(tmp_path / "dlq")
+    os.makedirs(d)
+    keys = np.arange(500, dtype=np.int64)
+    for f in range(40):
+        t = pa.Table.from_pydict(
+            {"rid": pa.array(keys), "src": pa.array(np.full(500, f, np.int64))}
+        )
+        pq2.write_table(t, os.path.join(d, f"q-{f:03d}.parquet"))
+    out = read_quarantine(d, "rid").to_pandas()
+    assert len(out) == 500 and out.rid.is_unique
+    assert sorted(out.rid) == list(range(500))
+
+
 def test_map_worker_death_retried(rd, tmp_path):
     """Streaming execution survives a worker death mid-pipeline.
 
