@@ -177,11 +177,7 @@ def q_spatial_pruned_read(sf_dir: str):
     import os
 
     from pygeoops_ray.stages.groupagg import grouped_agg
-    from pygeoops_ray.state.manifest import (
-        CheckpointManifest,
-        read_pruned,
-        write_partitioned,
-    )
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
 
     cs = 2048  # partition cell: 8x8 world tiles → ≤375 partitions on this world
     events_path = os.path.join(sf_dir, "events.parquet")
@@ -191,8 +187,6 @@ def q_spatial_pruned_read(sf_dir: str):
     ).hexdigest()[:10]
     out_dir = f"/tmp/pygeoops_ray_cache/spatial_sink_{key}"
 
-    man_done = len(CheckpointManifest(out_dir, "points").completed())
-
     def add_gcell(b: pa.Table) -> pa.Table:
         # px/py are integer-valued doubles (pure event_id arithmetic): the
         # int64 cast is exact, so the cell key matches the SQL `// 2048`
@@ -200,7 +194,11 @@ def q_spatial_pruned_read(sf_dir: str):
         gy = b["py"].to_numpy().astype(np.int64) // cs
         return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
 
-    if man_done == 0 or not os.path.isdir(out_dir):
+    # reuse the sink only when a PRIOR RUN FINISHED it (marker written after
+    # write_partitioned returns) — a partial manifest from a crashed run must
+    # resume the write, not be served as if complete
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
         pts = (
             _read_blocked(sf_dir, "events", columns=["event_id"])
             .map_batches(sp.points_from_events, batch_format="pyarrow")
@@ -210,6 +208,8 @@ def q_spatial_pruned_read(sf_dir: str):
             pts, out_dir, "gcell", stage="points",
             lineage={"sf_dir": sf_dir}, stats_cols=["px", "py"],
         )
+        with open(done_marker, "w") as f:
+            f.write("1")
 
     bbox = (131072.0, 0.0, 197608.0, 4096.0)  # x1 cuts INTO cell 96 (row filter)
     ds = read_pruned(
@@ -242,11 +242,7 @@ def q_geo_pruned_read(sf_dir: str):
     import hashlib
     import os
 
-    from pygeoops_ray.state.manifest import (
-        CheckpointManifest,
-        read_pruned,
-        write_partitioned,
-    )
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
 
     cs = 2048
     part_path = os.path.join(sf_dir, "part.parquet")
@@ -261,13 +257,19 @@ def q_geo_pruned_read(sf_dir: str):
         gy = b["miny"].to_numpy().astype(np.int64) // cs
         return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
 
-    if not CheckpointManifest(out_dir, "rects").completed():
+    # completion marker, not manifest emptiness: a partial manifest from a
+    # crashed run must resume the write (write_partitioned skips finished
+    # partitions), never be served as if complete
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
         rects = _images(sf_dir).map_batches(add_gcell, batch_format="pyarrow")
         write_partitioned(
             rects, out_dir, "gcell", stage="rects",
             lineage={"sf_dir": sf_dir},
             stats_cols=["minx", "maxx", "miny", "maxy"],
         )
+        with open(done_marker, "w") as f:
+            f.write("1")
 
     # slots 100..182 — populated at every scale (part has >=200 rows at
     # sf0.001); x1 cuts INTO a cell so row filtering is exercised too
