@@ -1455,6 +1455,42 @@ def q_phash_dedup(sf_dir: str):
     ).select_columns(["i"])
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance ≤ 3.
+
+    The image-payload analogue of simhash_pairs: decode → integer-exact
+    block-mean hash (table/images.int_mean_hash — cross-multiplied
+    "block mean > image mean", no float ops, so DuckDB re-derives every hash
+    from the generator rule) → generic banded ``hamming_pairs`` (K+1 bands;
+    pigeonhole gives 100% recall) → exact popcount verify in-bucket. Oracle
+    is the full all-pairs bit_count(xor(...)) ≤ K SQL over the SQL-derived
+    hashes. At n=2k: 24 hamming-0 pairs (codec-invariant: a raw0 source and
+    its qz1 duplicate hash identically) + 111 genuine near-misses.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.multimodal import int_hash_batch
+
+    ds, n = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(int_hash_batch, batch_format="pyarrow", batch_size=1024)
+
+    def to_ordinal(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        return pa.Table.from_pydict({"i": i, "ihash": batch["ihash"]})
+
+    ds = ds.map_batches(to_ordinal, batch_format="pyarrow")
+    return dedup_stages.hamming_pairs(
+        ds,
+        id_col="i",
+        hash_col="ihash",
+        max_hamming=3,
+        n_rows_hint=n,
+        out_a="i_a",
+        out_b="i_b",
+    )
+
+
 class _FeatureDigestStage:
     """Actor-pool stage: run the real FeatureStage kernel AND an integer
     pixel digest from one decode, binding the float features to the exact
@@ -2224,6 +2260,7 @@ QUERIES = {
     "view_angles": q_view_angles,
     "topo_simplify": q_topo_simplify,
     "phash_dedup": q_phash_dedup,
+    "phash_near_dup": q_phash_near_dup,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_resample": q_audio_resample,
@@ -2799,6 +2836,94 @@ ORACLE_SQL = {
         SELECT CAST(u.i AS BIGINT) AS i
         FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
         WHERE NOT (u.i % 101 = 0 AND u.i > 0)
+    """,
+    # phash_near_dup: re-derive every image's integer block-mean hash from the
+    # generator rule (same splitmix64/gradient/quantize replay as
+    # image_features), assemble the 64-bit hash in HUGEINT, then the exact
+    # all-pairs hamming check — bit-for-bit the kernel's arithmetic.
+    "phash_near_dup": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+),
+-- gray block sums over the floor-start 8x8 partition: pixel y is in block
+-- row (8y+7)//h (identity for starts floor(r*h/8)); same for columns
+bsum AS (
+    SELECT i, h, w,
+           (8 * y + 7) // h AS br,
+           (8 * x + 7) // w AS bc,
+           sum(d0 + d1 + d2) AS s
+    FROM dec
+    GROUP BY i, h, w, br, bc
+),
+tot AS (SELECT i, sum(s) AS t FROM bsum GROUP BY i),
+hashes AS (
+    SELECT b.i,
+           sum(CASE WHEN b.s * (b.h * b.w)
+                        > tot.t * ((((b.br + 1) * b.h) // 8 - (b.br * b.h) // 8)
+                                   * (((b.bc + 1) * b.w) // 8 - (b.bc * b.w) // 8))
+                    THEN (CAST(1 AS HUGEINT) << CAST(63 - (b.br * 8 + b.bc) AS INTEGER))
+                    ELSE 0 END) AS v
+    FROM bsum b JOIN tot ON b.i = tot.i
+    GROUP BY b.i
+),
+signed AS (
+    SELECT i,
+           CAST(CASE WHEN v >= 9223372036854775808
+                     THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS ihash
+    FROM hashes
+)
+SELECT CAST(a.i AS BIGINT) AS i_a, CAST(b.i AS BIGINT) AS i_b,
+       CAST(bit_count(xor(a.ihash, b.ihash)) AS BIGINT) AS hamming
+FROM signed a JOIN signed b ON a.i < b.i
+WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
     """,
     # corpus rule (q_simplify_geo): W x H rectangle densified to unit spacing
     # (W = 16 + k%5*8, H = 8 + k%3*4); RDP at tol 0.5 keeps exactly the 4

@@ -691,25 +691,55 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None):
     """SimHash near-duplicate pairs: all (a<b) with hamming(sh_a, sh_b) <= K.
 
-    Candidate generation splits the 64-bit simhash into K+1 contiguous bands;
-    two hashes differing in <= K bits leave at least one band untouched
-    (pigeonhole), so grouping on (band_id, band_value) has 100% recall — the
-    operator is oracle-exact vs an all-pairs SQL bit_count(xor(...)) check.
-    Verify is exact hamming inside the group (simhashes ride with the rows;
-    no re-join needed), then a groupby dedups pairs found by several bands.
+    Thin wrapper: simhash signature stage + the generic banded
+    ``hamming_pairs`` join (see there for the recall argument).
+    """
+    sims = docs_ds.map_batches(_SimHasher(), batch_format="pyarrow")
+    return hamming_pairs(
+        sims,
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        n_rows_hint=n_docs_hint,
+        out_a="doc_a",
+        out_b="doc_b",
+    )
+
+
+def hamming_pairs(
+    ds,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_rows_hint: int | None = None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+):
+    """All (a<b) id pairs whose 64-bit hashes differ in <= K bits.
+
+    Generic over the hash semantics (simhash over text, perceptual hash over
+    image pixels, ...). Candidate generation splits the 64-bit hash into K+1
+    contiguous bands; two hashes differing in <= K bits leave at least one
+    band untouched (pigeonhole), so grouping on (band_id, band_value) has
+    100% recall — the operator is oracle-exact vs an all-pairs SQL
+    bit_count(xor(...)) check. Verify is exact hamming inside the group
+    (hashes ride with the rows; no re-join needed), then a groupby dedups
+    pairs found by several bands. Hot buckets are refined HmSearch-style
+    (sub-band grouping of the non-band bits) before pair enumeration.
     """
     nb = max_hamming + 1
-    _cshift = _coarse_shift(n_docs_hint * nb if n_docs_hint else None)
+    # params are shadowed by pair_verify's local accumulators — bind copies
+    out_a_name, out_b_name = out_a, out_b
+    _cshift = _coarse_shift(n_rows_hint * nb if n_rows_hint else None)
     # band bit-widths: as even as possible over 64 bits
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     offs = np.cumsum([0] + widths[:-1]).astype(np.uint64)
     widths = np.array(widths, dtype=np.uint64)
 
-    sims = docs_ds.map_batches(_SimHasher(), batch_format="pyarrow")
-
     def band_rows(b: pa.Table) -> pa.Table:
-        sh = b["simhash"].to_numpy().astype(np.uint64)
-        ids = b["doc_id"].to_numpy()
+        sh = b[hash_col].to_numpy().astype(np.uint64)
+        ids = b[id_col].to_numpy()
         n = len(sh)
         band_vals = np.empty((n, nb), dtype=np.uint64)
         for i in range(nb):
@@ -813,27 +843,27 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None)
         if not out_a:
             return pd.DataFrame(
                 {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
+                    out_a_name: pd.Series([], dtype="int64"),
+                    out_b_name: pd.Series([], dtype="int64"),
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
         return pd.DataFrame(
             {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
+                out_a_name: np.concatenate(out_a),
+                out_b_name: np.concatenate(out_b),
                 "hamming": np.concatenate(out_h),
             }
-        ).drop_duplicates(["doc_a", "doc_b"])
+        ).drop_duplicates([out_a_name, out_b_name])
 
     from pygeoops_ray.stages.groupagg import grouped_min
 
     pairs = (
         _split_for_group_verify(
-            sims.map_batches(band_rows, batch_format="pyarrow").map_batches(
+            ds.map_batches(band_rows, batch_format="pyarrow").map_batches(
                 add_coarse, batch_format="pyarrow"
             ),
-            n_docs_hint * nb if n_docs_hint else None,
+            n_rows_hint * nb if n_rows_hint else None,
             _cshift,
         )
         .groupby("coarse")
@@ -842,6 +872,6 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_docs_hint: int | None = None)
     # dedup pairs found by several bands (hamming identical wherever found);
     # bucketed vectorized min — see groupagg.py
     return grouped_min(
-        pairs, ["doc_a", "doc_b"], "hamming",
-        n_rows_hint=n_docs_hint * 8 if n_docs_hint else None,
+        pairs, [out_a_name, out_b_name], "hamming",
+        n_rows_hint=n_rows_hint * 8 if n_rows_hint else None,
     )

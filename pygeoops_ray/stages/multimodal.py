@@ -70,6 +70,25 @@ def quantized_digest_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("phash_q", pa.array(np.array(phq, dtype=np.uint64)))
 
 
+def int_hash_batch(batch: pa.Table) -> pa.Table:
+    """(image_id, bytes, fmt) → (image_id, ihash): integer-exact block-mean
+    perceptual hash of each row's decoded pixels (table/images.int_mean_hash).
+
+    The hash has no float ops, so the phash_near_dup oracle re-derives every
+    value from the generator rule in integer SQL.
+    """
+    from pygeoops_ray.table.images import int_mean_hash
+
+    hs = np.empty(len(batch), dtype=np.int64)
+    for j, (data, fmt) in enumerate(
+        zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+    ):
+        hs[j] = int_mean_hash(decode_any(data, fmt))
+    return pa.Table.from_pydict(
+        {"image_id": batch["image_id"], "ihash": pa.array(hs, pa.int64())}
+    )
+
+
 def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize (pure numpy; deterministic)."""
     h, w, _ = pix.shape

@@ -148,6 +148,34 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+def int_mean_hash(pixels: np.ndarray) -> int:
+    """64-bit integer-exact block-mean hash (the SQL-replayable phash).
+
+    Bit (r, c) is set iff the 8x8 block's gray SUM times the image pixel
+    count exceeds the image gray sum times the block pixel count — the
+    cross-multiplied form of "block mean > image mean" with no float
+    division, so every comparison is exact int64 arithmetic and the hash is
+    bit-reproducible in integer SQL (the phash_near_dup oracle re-derives it
+    from the generator rule). Gray = r+g+b; blocks partition rows/columns by
+    the same floor starts as ``_phash_geom`` (pixel y is in block
+    (8y+7)//h). Differs from ``mean_phash`` only in the threshold (image
+    mean, not mean-of-block-means) — chosen precisely because it has an
+    exact integer form.
+    """
+    h, w, _ = pixels.shape
+    ys, xs, _ = _phash_geom(h, w)
+    rows = np.add.reduceat(
+        pixels.reshape(h, w * 3), ys, axis=0, dtype=np.int64
+    )  # (8, w*3)
+    blocks = np.add.reduceat(rows, 3 * xs, axis=1)  # (8, 8) gray block sums
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    areas = np.outer(ye - ys, xe - xs).astype(np.int64)
+    bits = (blocks * (h * w) > blocks.sum() * areas).flatten()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(v).astype(np.int64))
+
+
 _PHASH_GEOM: dict[tuple[int, int], tuple] = {}
 
 

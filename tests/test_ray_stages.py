@@ -953,3 +953,60 @@ def test_io_shim(rd, tmp_path):
 
     with pytest.raises(ImportError, match="lance"):
         pio.read_table("/tmp/whatever.lance")
+
+
+def test_int_mean_hash_matches_naive_and_hamming_pairs_bruteforce(rd):
+    """int_mean_hash == per-pixel integer reference (both codec decode paths);
+    generic banded hamming_pairs == all-pairs brute force on image hashes."""
+    from pygeoops_ray.stages.dedup import hamming_pairs
+    from pygeoops_ray.table.images import int_mean_hash, synth_pixels_batch
+
+    def naive(pix):
+        h, w, _ = pix.shape
+        p = pix.astype(int)
+        tot = int(p.sum())
+        v = 0
+        for br in range(8):
+            for bc in range(8):
+                ys = [y for y in range(h) if (8 * y + 7) // h == br]
+                xs = [x for x in range(w) if (8 * x + 7) // w == bc]
+                s = sum(int(p[y, x, c]) for y in ys for x in xs for c in range(3))
+                if s * (h * w) > tot * len(ys) * len(xs):
+                    v |= 1 << (63 - (br * 8 + bc))
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    n = 300
+    hashes = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        src = i - 1 if (i % 101 == 0 and i > 0) else i
+        w = 16 + (src * 37) % 49
+        h = 16 + (src * 53) % 41
+        pix = synth_pixels_batch(np.array([src]), w, h)[0]
+        if i % 3 == 0:  # qz1 decode rule
+            pix = ((pix >> 2) << 2) + 2
+        hashes[i] = int_mean_hash(pix)
+        if i < 12 or i in (101, 202):  # naive check incl. an injected dup
+            assert hashes[i] == naive(pix), i
+
+    tab = pa.table({"i": np.arange(n, dtype=np.int64), "ihash": hashes})
+    got = hamming_pairs(
+        rd.from_arrow(tab).repartition(3),
+        id_col="i",
+        hash_col="ihash",
+        max_hamming=3,
+        n_rows_hint=n,
+        out_a="i_a",
+        out_b="i_b",
+    ).to_pandas()
+    found = set(zip(got["i_a"], got["i_b"]))
+    u = hashes.astype(np.uint64)
+    x = u[:, None] ^ u[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+    want = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if ham[a, b] <= 3
+    }
+    assert found == want and len(want) > 0
+    # hamming column is the exact popcount
+    for _, r in got.iterrows():
+        assert r["hamming"] == ham[int(r["i_a"]), int(r["i_b"])]
+    assert (100, 101) in found  # injected duplicate pair, hamming 0
