@@ -67,6 +67,84 @@ def _dedup_coords(coords: np.ndarray, tol: float = 1e-8) -> np.ndarray:
     return coords[keep]
 
 
+def _greedy_dedup_ring(ring: np.ndarray, tol: float) -> np.ndarray | None:
+    """GEOS RepeatedPointRemover on one ring: keep a vertex only if it is
+    farther than ``tol`` from the LAST KEPT vertex (greedy, not pairwise).
+    Input/output rings are closed; returns None when the ring collapses
+    below 4 points (GEOS raises "invalid number of points in linearring")."""
+    c = ring[:, :2]
+    open_c = c[:-1] if len(c) > 1 and np.array_equal(c[0], c[-1]) else c
+    t2 = tol * tol
+    kept = [open_c[0]]
+    for p in open_c[1:]:
+        d0 = p[0] - kept[-1][0]
+        d1 = p[1] - kept[-1][1]
+        if d0 * d0 + d1 * d1 > t2:
+            kept.append(p)
+    # the closure vertex is subject to the same rule: trailing points within
+    # tol of the ring start are repeats of the endpoint (this is what makes
+    # the 3e-10 sliver collapse → retry ladder → keep-original, as GEOS does)
+    while len(kept) > 1:
+        d0 = kept[-1][0] - kept[0][0]
+        d1 = kept[-1][1] - kept[0][1]
+        if d0 * d0 + d1 * d1 > t2:
+            break
+        kept.pop()
+    if len(kept) < 3:
+        return None
+    kept.append(kept[0])
+    return np.asarray(kept)
+
+
+def _remove_repeated_points_poly(geom: g.Geometry, tol: float):
+    """``shapely.remove_repeated_points(poly, tol)`` parity
+    (reference _centerline.py:147-152): ring-wise greedy dedup; returns
+    (result, collapsed) where collapsed=True maps to GEOS's linearring
+    exception (a ring fell below 4 points)."""
+    if isinstance(geom, g.Polygon):
+        shell = _greedy_dedup_ring(geom.shell, tol)
+        if shell is None:
+            return None, True
+        holes = []
+        for hole in geom.holes:
+            h = _greedy_dedup_ring(hole, tol)
+            if h is None:
+                return None, True
+            holes.append(h)
+        return g.Polygon(shell, holes), False
+    if isinstance(geom, g._Multi):
+        parts = []
+        for p in geom.geoms:
+            r, collapsed = _remove_repeated_points_poly(p, tol)
+            if collapsed:
+                return None, True
+            parts.append(r)
+        return type(geom)(parts), False
+    return geom, False
+
+
+def _set_precision_poly(geom: g.Geometry, grid: float):
+    """Rough ``shapely.set_precision`` emulation for the reference's retry
+    ladder (_centerline.py:153-156): snap coordinates to the grid, drop exact
+    consecutive duplicates; None when a ring collapses (the caller's
+    empty/invalid check then keeps the original geometry)."""
+    if isinstance(geom, g.Polygon):
+        rings = []
+        for ring in [geom.shell, *geom.holes]:
+            c = np.round(ring[:, :2] / grid) * grid
+            r = _greedy_dedup_ring(c, 0.0)
+            if r is None:
+                return None
+            rings.append(r)
+        return g.Polygon(rings[0], rings[1:])
+    if isinstance(geom, g._Multi):
+        parts = [_set_precision_poly(p, grid) for p in geom.geoms]
+        if any(p is None for p in parts):
+            return None
+        return type(geom)(parts)
+    return geom
+
+
 def normalize_lines(geometry: g.Geometry | None) -> g.Geometry | None:
     """GEOS-normalize parity (verified against the reference's golden WKTs,
     tests/test_centerline.py:93-131): each line is oriented so the first
@@ -193,11 +271,24 @@ def _centerline_local(
                     if max_area > 0 and (max_area - min_area) / max_area <= 0.1:
                         geom_for_voronoi = densified
 
-        # drop only (near-)exact consecutive duplicates: the tolerance scales
-        # with the geometry so micro-scale features (the reference's "very
-        # narrow polygon" golden spans 3e-10 in y) survive — GEOS's
-        # remove_repeated_points empirically keeps them too, and the exact
-        # circumcenter fallback in voronoi.py handles the conditioning
+        # reference ladder (_centerline.py:147-159): remove_repeated_points
+        # at ABSOLUTE 1e-8 (ring collapse → set_precision retry), and keep
+        # the deduped geometry only if it is non-empty and still valid —
+        # that validity gate is what lets micro-scale features (the 3e-10
+        # sliver golden) keep their original vertices while real-world
+        # lon/lat polygons with 1e-9-spaced vertices get the cleanup.
+        deduped, collapsed = _remove_repeated_points_poly(geom_for_voronoi, 1e-8)
+        if collapsed:
+            deduped = _set_precision_poly(geom_for_voronoi, 1e-8)
+        if deduped is not None and not deduped.is_empty:
+            from pygeoops_ray.geo.validity import is_valid
+
+            changed = deduped.num_coordinates != geom_for_voronoi.num_coordinates
+            if not changed or is_valid(deduped):
+                geom_for_voronoi = deduped
+
+        # then drop (near-)exact duplicates among the site points as pure
+        # numerical conditioning for the exact-arithmetic Voronoi
         bc = g.get_coordinates(geom_for_voronoi)
         extent = float(np.ptp(bc[:, :2], axis=0).max()) if len(bc) else 0.0
         boundary_pts = _dedup_coords(bc, tol=1e-12 * (1.0 + extent))

@@ -197,6 +197,25 @@ _ELLIPSE = (
             -2.0, False,
             "LINESTRING (188875 235891, 188875 235891)",
         ),
+        # ref :112-124 fancy L, mbl=0, extend=True — the densest golden
+        # (7 parts incl. boundary extensions)
+        (
+            _FANCY_L, 0.0, True,
+            "MULTILINESTRING ((8.87687074829932 0.9829931972789112, 9.5125 2), (8.87687074829932 0.9829931972789112, 9.466666666666667 0), (1.1367816091954022 1.1160919540229888, 8.87687074829932 0.9829931972789112), (1 8.75, 3.8125000000000004 10), (1 8.75, 1.1367816091954022 1.1160919540229888), (0.0653333333333331 0, 1.1367816091954022 1.1160919540229888), (-1.8124999999999996 10, 1 8.75))",
+        ),
+        # ref :132-139 narrow sliver, extend variant (same WKT: nothing to
+        # extend — the line already spans the sliver)
+        (
+            "POLYGON ((64440.00000007346534403 218000.00000000279396772, 64438.00000007345079212 218000.00000000279396772, 64438.00000007345079212 218000.00000000311410986, 64440.00000007346534403 218000.00000000311410986, 64440.00000007346534403 218000.00000000279396772))",
+            -1.0, True,
+            "LINESTRING (64438.00000007345 218000.00000000297, 64440.000000073465 218000.00000000297)",
+        ),
+        # ref :140-146 degenerate sliver, extend variant
+        (
+            "POLYGON ((188875 235891, 188875 235890.99999999092, 188874.99999999703 235890.99999999686, 188874.99999999546 235891, 188875 235891))",
+            -2.0, True,
+            "LINESTRING (188875 235891, 188875 235891)",
+        ),
     ],
 )
 def test_centerline_goldens_exact(poly_wkt, mbl, extend, exp_wkt):
@@ -232,3 +251,46 @@ def test_centerline_large_corridor_scales():
     # medial axis of a 300-long corridor ~ 300 (branches at the wiggles add a bit)
     assert 290 < cl.length < 320
     assert dt < 60  # generous bound: catches a quadratic regression, not noise
+
+
+def test_centerline_points_very_close_together_structural():
+    """ref tests/test_centerline.py "Points very close together": a real-world
+    lon/lat polygon whose boundary has vertex pairs 3.6e-9 apart. The 1e-8
+    remove_repeated_points ladder (reference _centerline.py:147-159) must
+    engage without collapsing the polygon, and the centerline must stay
+    inside and span the shape. Exact golden parity is a DOCUMENTED DEVIATION
+    (SURVEY §8.3): near-cocircular densified sites admit several legal
+    Delaunay triangulations and GEOS's incremental quad-edge insertion picks
+    a different one, so Voronoi vertices in the degenerate corner differ by
+    ~6e-5 — far above the 1e-6 golden tolerance but equally valid medial-axis
+    approximations.
+    """
+    import numpy as np
+
+    from pygeoops_ray.geo import geom as g
+
+    poly_wkt = open("/root/reference/tests/test_centerline.py").read()
+    import re
+
+    m = re.search(
+        r'"Points very close together",\s*(-?[\d.]+),\s*"(POLYGON \(\(.*?\)\))"',
+        poly_wkt,
+        re.S,
+    )
+    poly = wkt.loads(m.group(2))
+    cl = centerline(poly, min_branch_length=float(m.group(1)))
+    assert cl is not None and not cl.is_empty
+    # spans most of the polygon's diagonal extent
+    c = g.get_coordinates(cl)
+    ext = np.ptp(g.get_coordinates(poly)[:, :2], axis=0)
+    span = np.ptp(c[:, :2], axis=0)
+    assert span[0] > 0.5 * ext[0] and span[1] > 0.5 * ext[1]
+    # vertices stay inside the polygon's bbox (RDP simplification may step
+    # slightly outside the concave boundary itself — the reference's DP
+    # simplify does the same), and the output is finite and bounded
+    pc_ = g.get_coordinates(poly)[:, :2]
+    assert np.all(np.isfinite(c))
+    assert np.all(c[:, 0] >= pc_[:, 0].min() - 1e-9)
+    assert np.all(c[:, 0] <= pc_[:, 0].max() + 1e-9)
+    assert np.all(c[:, 1] >= pc_[:, 1].min() - 1e-9)
+    assert np.all(c[:, 1] <= pc_[:, 1].max() + 1e-9)
