@@ -122,6 +122,8 @@ def run_bench() -> dict:
         "curation_pipeline",
         "spatial_pruned_read",
         "quarantine_decode",
+        "phash_near_dup",
+        "image_pyramid",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -1491,6 +1491,38 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_image_pyramid(sf_dir: str):
+    """Raster tile pyramid over the image table: 2 levels of iterated 2x2
+    integer box-mean downsampling (stages/multimodal.pyramid_batch), one row
+    per (image, level) with exact integer pixel digests. The oracle replays
+    decode AND both floor-division levels from the generator rule in SQL;
+    ``pyramid_ok`` binds the engine-codec re-encode roundtrip in-run.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.multimodal import pyramid_batch
+
+    ds, _ = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(pyramid_batch, batch_format="pyarrow", batch_size=1024)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "i": i,
+                "level": batch["level"],
+                "w": batch["w"],
+                "h": batch["h"],
+                "sum_rgb": batch["sum_rgb"],
+                "sum_sq": batch["sum_sq"],
+                "pyramid_ok": batch["pyramid_ok"],
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 class _FeatureDigestStage:
     """Actor-pool stage: run the real FeatureStage kernel AND an integer
     pixel digest from one decode, binding the float features to the exact
@@ -2261,6 +2293,7 @@ QUERIES = {
     "topo_simplify": q_topo_simplify,
     "phash_dedup": q_phash_dedup,
     "phash_near_dup": q_phash_near_dup,
+    "image_pyramid": q_image_pyramid,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_resample": q_audio_resample,
@@ -2924,6 +2957,88 @@ SELECT CAST(a.i AS BIGINT) AS i_a, CAST(b.i AS BIGINT) AS i_b,
        CAST(bit_count(xor(a.ihash, b.ihash)) AS BIGINT) AS hamming
 FROM signed a JOIN signed b ON a.i < b.i
 WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
+    """,
+    # image_pyramid: replay decode, then BOTH 2x2 floor-mean levels — floor
+    # division at each level, exactly the kernel's arithmetic.
+    "image_pyramid": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+),
+lvl1 AS (
+    SELECT i, h, w, y // 2 AS yb, x // 2 AS xb,
+           sum(d0) // 4 AS e0, sum(d1) // 4 AS e1, sum(d2) // 4 AS e2
+    FROM dec
+    WHERE y < 2 * (h // 2) AND x < 2 * (w // 2)
+    GROUP BY i, h, w, y // 2, x // 2
+),
+lvl2 AS (
+    SELECT i, h, w, yb // 2 AS yb2, xb // 2 AS xb2,
+           sum(e0) // 4 AS f0, sum(e1) // 4 AS f1, sum(e2) // 4 AS f2
+    FROM lvl1
+    WHERE yb < 2 * ((h // 2) // 2) AND xb < 2 * ((w // 2) // 2)
+    GROUP BY i, h, w, yb // 2, xb // 2
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(1 AS BIGINT) AS level,
+       CAST(w // 2 AS BIGINT) AS w, CAST(h // 2 AS BIGINT) AS h,
+       CAST(sum(e0 + e1 + e2) AS BIGINT) AS sum_rgb,
+       CAST(sum(e0 * e0 + e1 * e1 + e2 * e2) AS BIGINT) AS sum_sq,
+       CAST(1 AS BIGINT) AS pyramid_ok
+FROM lvl1 GROUP BY i, h, w
+UNION ALL
+SELECT CAST(i AS BIGINT) AS i, CAST(2 AS BIGINT) AS level,
+       CAST((w // 2) // 2 AS BIGINT) AS w, CAST((h // 2) // 2 AS BIGINT) AS h,
+       CAST(sum(f0 + f1 + f2) AS BIGINT) AS sum_rgb,
+       CAST(sum(f0 * f0 + f1 * f1 + f2 * f2) AS BIGINT) AS sum_sq,
+       CAST(1 AS BIGINT) AS pyramid_ok
+FROM lvl2 GROUP BY i, h, w
     """,
     # corpus rule (q_simplify_geo): W x H rectangle densified to unit spacing
     # (W = 16 + k%5*8, H = 8 + k%3*4); RDP at tol 0.5 keeps exactly the 4

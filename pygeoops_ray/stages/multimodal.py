@@ -89,6 +89,57 @@ def int_hash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def pyramid_batch(batch: pa.Table, levels: int = 2) -> pa.Table:
+    """Raster tile pyramid: iterated 2x2 integer box-mean downsampling.
+
+    One output row per (image, level 1..levels): level L halves the previous
+    level's dims (odd trailing row/col dropped) and each output pixel is
+    ``(a+b+c+d)//4`` of its 2x2 block — floor division at EVERY level, so
+    the whole pyramid is exact integer arithmetic the image_pyramid oracle
+    replays in SQL. Emits the re-encoded level bytes (raw0) plus integer
+    pixel digests binding the values, and a ``pyramid_ok`` codec-roundtrip
+    bit.
+    """
+    from pygeoops_ray.table.images import decode_image, encode_image
+
+    ids, lvls, ws, hs, datas, srgb, ssq, ok = [], [], [], [], [], [], [], []
+    for iid, data, fmt in zip(
+        batch["image_id"].to_pylist(),
+        batch["bytes"].to_pylist(),
+        batch["fmt"].to_pylist(),
+    ):
+        pix = decode_any(data, fmt)
+        for lvl in range(1, levels + 1):
+            h2, w2 = pix.shape[0] // 2, pix.shape[1] // 2
+            if h2 < 1 or w2 < 1:
+                break
+            p = pix[: 2 * h2, : 2 * w2].astype(np.int64)
+            pix = (
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+            ).astype(np.uint8)
+            enc = encode_image(pix, "raw0")
+            ids.append(iid)
+            lvls.append(lvl)
+            ws.append(w2)
+            hs.append(h2)
+            datas.append(enc)
+            srgb.append(int(pix.sum(dtype=np.int64)))
+            ssq.append(int((pix.astype(np.int64) ** 2).sum()))
+            ok.append(1 if np.array_equal(decode_image(enc), pix) else 0)
+    return pa.Table.from_pydict(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "level": pa.array(lvls, pa.int64()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "bytes": pa.array(datas, pa.binary()),
+            "sum_rgb": pa.array(srgb, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+            "pyramid_ok": pa.array(ok, pa.int64()),
+        }
+    )
+
+
 def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize (pure numpy; deterministic)."""
     h, w, _ = pix.shape

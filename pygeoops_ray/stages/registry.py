@@ -133,6 +133,20 @@ def _register_builtins() -> None:
             batch_size=1024,
         ),
         Stage(
+            "int_hash",
+            mm.int_hash_batch,
+            ("image_id", "bytes", "fmt"),
+            ("image_id", "ihash"),
+            batch_size=1024,
+        ),
+        Stage(
+            "image_pyramid",
+            mm.pyramid_batch,
+            ("image_id", "bytes", "fmt"),
+            ("image_id", "level", "w", "h", "bytes", "sum_rgb", "sum_sq", "pyramid_ok"),
+            batch_size=1024,
+        ),
+        Stage(
             "audio_features",
             mm.AudioFeatureStage,
             ("clip_id", "bytes"),

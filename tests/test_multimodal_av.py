@@ -142,3 +142,42 @@ class TestStagesNoRay:
             got, got_rate = A.decode_audio(out["bytes"][r].as_py())
             assert got_rate == 4000
             np.testing.assert_array_equal(got, want)
+
+
+class TestImagePyramid:
+    def test_pyramid_matches_naive_and_roundtrips(self):
+        """pyramid_batch == per-block floor-mean reference at every level,
+        incl. odd dims (trailing row/col dropped); bytes decode back to the
+        level pixels."""
+        from pygeoops_ray.stages.multimodal import pyramid_batch
+        from pygeoops_ray.table.images import decode_image, encode_image
+
+        rng = np.random.default_rng(7)
+        rows = {"image_id": [], "bytes": [], "fmt": []}
+        pix_by_id = {}
+        for k, (h, w) in enumerate([(16, 16), (17, 19), (21, 16), (16, 63)]):
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            iid = f"img_{k:012d}"
+            rows["image_id"].append(iid)
+            rows["bytes"].append(encode_image(pix, "raw0"))
+            rows["fmt"].append("raw0")
+            pix_by_id[iid] = pix
+        out = pyramid_batch(pa.table(rows)).to_pandas()
+        assert len(out) == 8  # 2 levels x 4 images
+        for iid, pix in pix_by_id.items():
+            cur = pix
+            for lvl in (1, 2):
+                h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+                ref = np.empty((h2, w2, 3), dtype=np.uint8)
+                for y in range(h2):
+                    for x in range(w2):
+                        for c in range(3):
+                            blk = cur[2 * y : 2 * y + 2, 2 * x : 2 * x + 2, c]
+                            ref[y, x, c] = int(blk.astype(int).sum()) // 4
+                r = out[(out.image_id == iid) & (out.level == lvl)].iloc[0]
+                assert (r.h, r.w) == (h2, w2)
+                assert r.sum_rgb == int(ref.astype(np.int64).sum())
+                assert r.sum_sq == int((ref.astype(np.int64) ** 2).sum())
+                assert r.pyramid_ok == 1
+                np.testing.assert_array_equal(decode_image(r["bytes"]), ref)
+                cur = ref
