@@ -144,6 +144,20 @@ def q_pip_join(sf_dir: str):
     return sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
 
 
+def q_pip_anti_join(sf_dir: str):
+    """Spatial ANTI join: event points covered by NO image footprint.
+
+    Same cell-cogrouped shuffle as pip_join with the containment mask
+    inverted per group (a point lands in exactly one group and every rect
+    overlapping that cell is replicated into it, so per-group "zero hits" is
+    globally correct). The SURVEY §2.2 semi/anti family as a first-class
+    driver-checked operator; oracle is the NOT EXISTS SQL.
+    """
+    return sp.pip_join_rects_points(
+        _images(sf_dir), _points(sf_dir), join_type="anti"
+    )
+
+
 def q_pip_join_agg(sf_dir: str):
     """Points-per-image counts over the PIP join (bucketed vectorized count:
     one group per matched image — high-cardinality keys take the coarse-bucket
@@ -2244,6 +2258,7 @@ def q_geo_csv(sf_dir: str):
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
+    "pip_anti_join": q_pip_anti_join,
     "pip_join_agg": q_pip_join_agg,
     "spatial_pruned_read": q_spatial_pruned_read,
     "geo_pruned_read": q_geo_pruned_read,
@@ -2343,6 +2358,16 @@ ORACLE_SQL = {
         FROM img JOIN pts
           ON pts.px >= img.minx AND pts.px < img.maxx
          AND pts.py >= img.miny AND pts.py < img.maxy
+    """,
+    "pip_anti_join": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT pts.event_id
+        FROM pts
+        WHERE NOT EXISTS (
+            SELECT 1 FROM img
+            WHERE pts.px >= img.minx AND pts.px < img.maxx
+              AND pts.py >= img.miny AND pts.py < img.maxy
+        )
     """,
     "geo_pruned_read": f"""
         WITH img AS ({_IMG})

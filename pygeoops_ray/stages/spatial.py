@@ -176,6 +176,7 @@ def pip_join_rects_points(
     hot_threshold: int | None = None,
     salt_factor: int = 8,
     points_broadcast=None,
+    join_type: str = "inner",
 ):
     """Distributed point-in-polygon join, co-partitioned on the Hilbert cell id.
 
@@ -198,6 +199,12 @@ def pip_join_rects_points(
     rect_col_types: arrow types of rect_cols (default image_id:string, rest
     int64) - passed explicitly so no schema probe has to pre-execute the plan.
     """
+    if join_type not in ("inner", "anti"):
+        raise ValueError(f"join_type must be 'inner' or 'anti', got {join_type!r}")
+    if join_type == "anti" and strategy != "groupby":
+        # anti needs every point to flow through its (single) group even when
+        # no rect shares it — only the co-grouped shape guarantees that
+        raise ValueError("join_type='anti' requires strategy='groupby'")
     rcells = rects_ds.map_batches(expand_covering_tiles, batch_format="pyarrow").map_batches(
         add_tile_cell_id, batch_format="pyarrow"
     )
@@ -376,17 +383,27 @@ def pip_join_rects_points(
         pcells.map_batches(pside, batch_format="pyarrow")
     )
 
-    empty_out = {
-        c: pd.Series([], dtype="string" if rect_id_types[c] == pa.string() else "int64")
-        for c in rnames
-    }
-    empty_out.update({c: pd.Series([], dtype="int64") for c in pnames})
+    anti = join_type == "anti"
+    if anti:
+        empty_out = {c: pd.Series([], dtype="int64") for c in pnames}
+    else:
+        empty_out = {
+            c: pd.Series([], dtype="string" if rect_id_types[c] == pa.string() else "int64")
+            for c in rnames
+        }
+        empty_out.update({c: pd.Series([], dtype="int64") for c in pnames})
 
     def join_group(grp: pd.DataFrame) -> pd.DataFrame:
         side = grp["side"].to_numpy()
         r = grp[side == 0]
         p = grp[side == 1]
-        if len(r) == 0 or len(p) == 0:
+        if len(p) == 0:
+            return pd.DataFrame(empty_out)
+        if len(r) == 0:
+            # a point lands in exactly one group, so "no rects here" means
+            # globally uncovered — the anti output is the whole point side
+            if anti:
+                return pd.DataFrame({c: p[c].to_numpy() for c in pnames})
             return pd.DataFrame(empty_out)
         # vectorized per-cell candidate expansion: rects sorted by cell_id,
         # searchsorted gives each point its candidate rect range
@@ -404,6 +421,8 @@ def pip_join_rects_points(
         ends = np.searchsorted(rc, pc_, side="right")
         counts = ends - starts
         if counts.sum() == 0:
+            if anti:
+                return pd.DataFrame({c: p[c].to_numpy() for c in pnames})
             return pd.DataFrame(empty_out)
         pi = np.repeat(np.arange(len(pc_)), counts)
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -417,6 +436,10 @@ def pip_join_rects_points(
         )
         ri = ri[hit]
         pi = pi[hit]
+        if anti:
+            covered = np.zeros(len(pc_), dtype=bool)
+            covered[pi] = True
+            return pd.DataFrame({c: p[c].to_numpy()[~covered] for c in pnames})
         if len(ri) == 0:
             return pd.DataFrame(empty_out)
         out = {c: r[c].to_numpy()[order][ri] for c in rnames}
@@ -427,8 +450,9 @@ def pip_join_rects_points(
 
     def fix_types(batch: pa.Table) -> pa.Table:
         cols = {}
-        for c in rnames:
-            cols[c] = batch[c].cast(rect_id_types[c]) if batch[c].type != rect_id_types[c] else batch[c]
+        if not anti:
+            for c in rnames:
+                cols[c] = batch[c].cast(rect_id_types[c]) if batch[c].type != rect_id_types[c] else batch[c]
         for c in pnames:
             cols[c] = batch[c].cast(pa.int64()) if batch[c].type != pa.int64() else batch[c]
         return pa.Table.from_pydict(cols)

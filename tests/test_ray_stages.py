@@ -1010,3 +1010,37 @@ def test_int_mean_hash_matches_naive_and_hamming_pairs_bruteforce(rd):
     for _, r in got.iterrows():
         assert r["hamming"] == ham[int(r["i_a"]), int(r["i_b"])]
     assert (100, 101) in found  # injected duplicate pair, hamming 0
+
+
+def test_pip_anti_join_complement_and_salted(rd):
+    """anti == all points minus inner-join points; salted anti identical;
+    anti with an empty rect side returns every point."""
+    from pygeoops_ray.stages import spatial as sp
+
+    imgs = rd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+    pts = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    inner = sp.pip_join_rects_points(imgs, pts).to_pandas()
+    anti = sp.pip_join_rects_points(imgs, pts, join_type="anti").to_pandas()
+    all_pts = set(
+        rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+        .to_pandas()["event_id"]
+    )
+    assert set(anti.event_id) == all_pts - set(inner.event_id)
+    assert len(anti) > 0 and set(anti.columns) == {"event_id"}
+    salted = sp.pip_join_rects_points(
+        imgs, pts, join_type="anti", salt_hot=True, hot_threshold=1, salt_factor=4
+    ).to_pandas()
+    assert set(salted.event_id) == set(anti.event_id)
+    empty_rects = imgs.filter(lambda row: False)
+    anti_all = sp.pip_join_rects_points(
+        empty_rects, pts, join_type="anti"
+    ).to_pandas()
+    assert set(anti_all.event_id) == all_pts
+    import pytest
+
+    with pytest.raises(ValueError, match="anti"):
+        sp.pip_join_rects_points(imgs, pts, join_type="anti", strategy="broadcast")
