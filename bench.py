@@ -124,6 +124,7 @@ def run_bench() -> dict:
         "quarantine_decode",
         "phash_near_dup",
         "image_pyramid",
+        "zonal_stats",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -1537,6 +1537,45 @@ def q_image_pyramid(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per 100-unit world zone, the integer sum of decoded
+    pixel gray values and pixel count over ALL images touching the zone —
+    the classic raster↔vector aggregate, over real decoded pixels.
+
+    The zone grid is deliberately NOT aligned to the 256-unit image grid, so
+    footprints straddle zone boundaries and the per-image reduceat split is
+    exercised (stages/multimodal.zonal_partial_batch). Only <=4 partial rows
+    per image shuffle; the oracle replays decode + the zone assignment
+    arithmetic per pixel in SQL.
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.stages.multimodal import zonal_partial_batch
+    from pygeoops_ray.table.images import footprint_of_ordinal
+
+    import pyarrow.compute as pc
+
+    ds, n = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+
+    def add_origin(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        minx, miny, _, _ = footprint_of_ordinal(
+            i.to_numpy(), np.zeros(len(batch)), np.zeros(len(batch))
+        )
+        out = batch.append_column("minx", pa.array(minx))
+        return out.append_column("miny", pa.array(miny))
+
+    partials = ds.map_batches(add_origin, batch_format="pyarrow").map_batches(
+        zonal_partial_batch, batch_format="pyarrow", batch_size=1024
+    )
+    return grouped_agg(
+        partials,
+        ["zone_x", "zone_y"],
+        [("sum_gray", "sum", "sum_gray"), ("n_px", "sum", "n_px")],
+        n_rows_hint=n * 4,
+    )
+
+
 class _FeatureDigestStage:
     """Actor-pool stage: run the real FeatureStage kernel AND an integer
     pixel digest from one decode, binding the float features to the exact
@@ -2309,6 +2348,7 @@ QUERIES = {
     "phash_dedup": q_phash_dedup,
     "phash_near_dup": q_phash_near_dup,
     "image_pyramid": q_image_pyramid,
+    "zonal_stats": q_zonal_stats,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_resample": q_audio_resample,
@@ -2982,6 +3022,67 @@ SELECT CAST(a.i AS BIGINT) AS i_a, CAST(b.i AS BIGINT) AS i_b,
        CAST(bit_count(xor(a.ihash, b.ihash)) AS BIGINT) AS hamming
 FROM signed a JOIN signed b ON a.i < b.i
 WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
+    """,
+    # zonal_stats: replay decode, then assign every pixel its 100-unit world
+    # zone from the georeference rule and aggregate — pure integer SQL.
+    "zonal_stats": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT ((i % 1000) * 256 + x) // 100 AS zone_x,
+       ((i // 1000) * 256 + y) // 100 AS zone_y,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_gray,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM dec
+GROUP BY 1, 2
     """,
     # image_pyramid: replay decode, then BOTH 2x2 floor-mean levels — floor
     # division at each level, exactly the kernel's arithmetic.

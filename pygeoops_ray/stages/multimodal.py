@@ -140,6 +140,50 @@ def pyramid_batch(batch: pa.Table, levels: int = 2) -> pa.Table:
     )
 
 
+def zonal_partial_batch(batch: pa.Table, zone: int = 100) -> pa.Table:
+    """Zonal-statistics partials: per (image, world zone), the integer sum of
+    decoded gray values (r+g+b) and pixel count inside that zone.
+
+    Pixel (y, x) of image i covers the unit world square
+    [minx+x, minx+x+1) x [miny+y, miny+y+1); with integer zone size and
+    integer pixel corners every pixel lies in exactly ONE zone, so the
+    per-image split is two reduceats at the zone boundaries (each footprint
+    here touches <= 4 zones). Only these tiny partials shuffle; the global
+    zonal aggregate is a sum per zone key (stages/groupagg.grouped_agg).
+    Expects minx/miny footprint columns (integer-valued) alongside bytes/fmt.
+    """
+    minxs = batch["minx"].to_numpy()
+    minys = batch["miny"].to_numpy()
+    zx_out, zy_out, sg_out, np_out = [], [], [], []
+    for k, (data, fmt) in enumerate(
+        zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+    ):
+        pix = decode_any(data, fmt)
+        h, w, _ = pix.shape
+        x0, y0 = int(minxs[k]), int(minys[k])
+        gray = pix.reshape(h, w * 3)
+        xb = [0] + [x for x in range(1, w) if (x0 + x) % zone == 0]
+        yb = [0] + [y for y in range(1, h) if (y0 + y) % zone == 0]
+        colsum = np.add.reduceat(gray, [3 * x for x in xb], axis=1, dtype=np.int64)
+        blocks = np.add.reduceat(colsum, yb, axis=0)  # (ny, nx) gray sums
+        nx_px = np.diff(xb + [w])
+        ny_px = np.diff(yb + [h])
+        for iy in range(len(yb)):
+            for ix in range(len(xb)):
+                zx_out.append((x0 + xb[ix]) // zone)
+                zy_out.append((y0 + yb[iy]) // zone)
+                sg_out.append(int(blocks[iy, ix]))
+                np_out.append(int(ny_px[iy] * nx_px[ix]))
+    return pa.Table.from_pydict(
+        {
+            "zone_x": pa.array(zx_out, pa.int64()),
+            "zone_y": pa.array(zy_out, pa.int64()),
+            "sum_gray": pa.array(sg_out, pa.int64()),
+            "n_px": pa.array(np_out, pa.int64()),
+        }
+    )
+
+
 def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize (pure numpy; deterministic)."""
     h, w, _ = pix.shape

@@ -147,6 +147,13 @@ def _register_builtins() -> None:
             batch_size=1024,
         ),
         Stage(
+            "zonal_partial",
+            mm.zonal_partial_batch,
+            ("bytes", "fmt", "minx", "miny"),
+            ("zone_x", "zone_y", "sum_gray", "n_px"),
+            batch_size=1024,
+        ),
+        Stage(
             "audio_features",
             mm.AudioFeatureStage,
             ("clip_id", "bytes"),

@@ -181,3 +181,43 @@ class TestImagePyramid:
                 assert r.pyramid_ok == 1
                 np.testing.assert_array_equal(decode_image(r["bytes"]), ref)
                 cur = ref
+
+
+class TestZonalStats:
+    def test_partials_match_naive(self):
+        """zonal_partial_batch == per-pixel zone assignment; boundary
+        straddling in both axes."""
+        from pygeoops_ray.stages.multimodal import zonal_partial_batch
+        from pygeoops_ray.table.images import encode_image
+
+        rng = np.random.default_rng(3)
+        # origin 456: zone boundary at 500 falls inside a 64-wide image
+        cases = [(456, 72, 64, 60), (0, 0, 16, 16), (190, 395, 20, 16)]
+        rows = {"image_id": [], "bytes": [], "fmt": [], "minx": [], "miny": []}
+        pix_all = []
+        for k, (x0, y0, w, h) in enumerate(cases):
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows["image_id"].append(f"img_{k:012d}")
+            rows["bytes"].append(encode_image(pix, "raw0"))
+            rows["fmt"].append("raw0")
+            rows["minx"].append(float(x0))
+            rows["miny"].append(float(y0))
+            pix_all.append((x0, y0, pix))
+        out = zonal_partial_batch(pa.table(rows)).to_pandas()
+        # naive: accumulate every pixel into its zone
+        want: dict = {}
+        for x0, y0, pix in pix_all:
+            h, w, _ = pix.shape
+            for y in range(h):
+                for x in range(w):
+                    key = ((x0 + x) // 100, (y0 + y) // 100)
+                    g_, n_ = want.get(key, (0, 0))
+                    want[key] = (g_ + int(pix[y, x].astype(int).sum()), n_ + 1)
+        got: dict = {}
+        for _, r in out.iterrows():
+            key = (r.zone_x, r.zone_y)
+            g_, n_ = got.get(key, (0, 0))
+            got[key] = (g_ + r.sum_gray, n_ + r.n_px)
+        assert got == want
+        # first case straddles both axes → 4 partial rows for image 0
+        assert (out.index < 4).sum() == 4
