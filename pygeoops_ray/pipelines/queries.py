@@ -2187,6 +2187,51 @@ def q_topn_per_key(sf_dir: str):
     return _bucketed(ds, ["user_id"], reducer, n_buckets, pre=topn)
 
 
+def q_top_terms(sf_dir: str):
+    """Per-document top-3 terms joined with each term's global document
+    frequency — the TF-IDF shape with exact integer statistics.
+
+    Three classic distributed pieces over one tokenized pass: (1) per-doc
+    term counts (vectorized batch kernel, one row per distinct (doc, term));
+    (2) global DF via the algebraic grouped count (only (batch, term)
+    partials shuffle); (3) per-doc top-3 by (tf DESC, term ASC) via the
+    bounded-partial top-N shape, then a hash join of the SMALL top-k output
+    back to DF by term. The term-count table is materialized once for its
+    two consumers (at real scale: a write_partitioned checkpoint, same
+    pattern as curation_pipeline).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_count
+    from pygeoops_ray.stages.text import term_counts_batch
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = docs.map_batches(term_counts_batch, batch_format="pyarrow").materialize()
+
+    df_ds = grouped_count(tc, ["term"], "df", n_rows_hint=n_docs * 40)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["doc_id", "tf", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(3)
+        )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        out = pre(df)
+        out = out.assign(rnk=out.groupby("doc_id", sort=False).cumcount() + 1)
+        return out[["doc_id", "term", "tf", "rnk"]]
+
+    n_buckets = _bucket_count(64, n_docs * 40)
+    top = _bucketed(tc, ["doc_id"], reducer, n_buckets, pre=pre)
+    return top.join(df_ds, join_type="inner", num_partitions=4, on=("term",))
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles via value histogram (bounded cardinality).
 
@@ -2356,6 +2401,7 @@ QUERIES = {
     "geo_csv": q_geo_csv,
     "kmeans": q_kmeans,
     "topn_per_key": q_topn_per_key,
+    "top_terms": q_top_terms,
     "quantiles": q_quantiles,
 }
 
@@ -3612,6 +3658,28 @@ FROM (
                    ) AS rn
             FROM events
         ) WHERE rn <= 3
+    """,
+    "top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        ranked AS (
+            SELECT doc_id, term, tf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, term
+                   ) AS rnk
+            FROM tf
+        )
+        SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
+               CAST(r.rnk AS BIGINT) AS rnk, CAST(d.df AS BIGINT) AS df
+        FROM ranked r JOIN dfq d USING (term)
+        WHERE r.rnk <= 3
     """,
     # quantiles: smallest v with cumulative count >= ceil(p*n/100), exact
     "quantiles": """

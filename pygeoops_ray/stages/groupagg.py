@@ -24,6 +24,8 @@ there.
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 __all__ = ["grouped_min", "grouped_count", "grouped_agg"]
 
 _N_BUCKETS = 64
@@ -50,8 +52,13 @@ def _bucketed(ds, key_cols: list[str], reducer, n_buckets: int = _N_BUCKETS, pre
         df["_gb"] = (h % n_buckets).astype("int64")
         return df
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return reducer(g.drop(columns=["_gb"]))
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # return Arrow WITHOUT pandas schema metadata: metadata-bearing
+        # schemas are unhashable, so any downstream shuffle (e.g. a hash
+        # join on the aggregate's output) would fall into Ray's slow
+        # per-task schema-unify path with a warning per reduce task
+        out = pa.Table.from_pandas(reducer(g.drop(columns=["_gb"])), preserve_index=False)
+        return out.replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

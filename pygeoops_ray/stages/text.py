@@ -19,7 +19,32 @@ __all__ = [
     "LangId",
     "fingerprint_batch",
     "winnow_batch",
+    "term_counts_batch",
 ]
+
+
+def term_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, term, tf): single-space terms, empties
+    dropped, one row per distinct (doc, term) — the TF side of the TF/DF
+    pipeline (top_terms query). Counter is per-doc exact and the oracle's
+    ``string_split(text, ' ')`` produces the same terms."""
+    from collections import Counter
+
+    ids_out: list = []
+    terms_out: list = []
+    tf_out: list = []
+    for did, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for t, n in Counter(tok for tok in txt.split(" ") if tok).items():
+            ids_out.append(did)
+            terms_out.append(t)
+            tf_out.append(n)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+        }
+    )
 
 # GPT-2-style pretokenizer shape, restricted to RE2-compatible syntax (no
 # lookaheads) so DuckDB's regexp_extract_all counts the SAME tokens —

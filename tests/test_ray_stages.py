@@ -1044,3 +1044,54 @@ def test_pip_anti_join_complement_and_salted(rd):
 
     with pytest.raises(ValueError, match="anti"):
         sp.pip_join_rects_points(imgs, pts, join_type="anti", strategy="broadcast")
+
+
+def test_top_terms_bruteforce(rd):
+    """term_counts_batch + bucketed top-3 + DF join == per-doc brute force,
+    incl. tf ties broken by term and duplicate terms across docs."""
+    from collections import Counter
+
+    from pygeoops_ray.stages.groupagg import _bucketed, grouped_count
+    from pygeoops_ray.stages.text import term_counts_batch
+
+    texts = {
+        0: "b a a b c",          # tie a/b at tf=2 → a first
+        1: "x x x y  z z",       # double space → empty dropped
+        2: "a",                  # single term
+        3: "c c b b a a d",      # 3-way tie
+    }
+    tab = pa.table({"doc_id": list(texts), "text": [texts[i] for i in texts]})
+    tc = rd.from_arrow(tab).repartition(2).map_batches(
+        term_counts_batch, batch_format="pyarrow"
+    ).materialize()
+    df_ds = grouped_count(tc, ["term"], "df")
+
+    import pandas as pd
+
+    def pre(df):
+        return (
+            df.sort_values(["doc_id", "tf", "term"], ascending=[True, False, True],
+                           kind="mergesort")
+            .groupby("doc_id", sort=False).head(3)
+        )
+
+    def reducer(df):
+        out = pre(df)
+        out = out.assign(rnk=out.groupby("doc_id", sort=False).cumcount() + 1)
+        return out[["doc_id", "term", "tf", "rnk"]]
+
+    top = _bucketed(tc, ["doc_id"], reducer, 2, pre=pre)
+    got = top.join(df_ds, join_type="inner", num_partitions=2, on=("term",)).to_pandas()
+
+    # brute force
+    alldf = Counter()
+    for t in texts.values():
+        alldf.update(set(tok for tok in t.split(" ") if tok))
+    want = set()
+    for did, t in texts.items():
+        c = Counter(tok for tok in t.split(" ") if tok)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for r, (term, tf) in enumerate(ranked, 1):
+            want.add((did, term, tf, r, alldf[term]))
+    assert set(zip(got.doc_id, got.term, got.tf, got.rnk, got.df)) == want
+    assert (0, "a", 2, 1, 3) in want  # tie broken toward 'a'; df('a')=3
