@@ -2232,6 +2232,73 @@ def q_top_terms(sf_dir: str):
     return top.join(df_ds, join_type="inner", num_partitions=4, on=("term",))
 
 
+def q_global_rank(sf_dir: str):
+    """Global row_number over (ts, event_id) — the distributed rank shape.
+
+    Ray's range sort globally orders blocks and sorts within them; a
+    metadata-sized second pass collects one (block-min key, count) row per
+    block, the driver cumsums those few rows into per-block rank offsets
+    (keyed by the block's min key — keys are unique), and a final whole-block
+    map adds offset + arange. Two streaming passes over the sorted result
+    (materialized once), no row ever leaves its block after the sort.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_pydict({"event_id": batch["event_id"], "ts_us": ts_us})
+
+    sorted_ds = ds.map_batches(to_key, batch_format="pyarrow").sort(
+        ["ts_us", "event_id"]
+    ).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "min_ts": pa.array([], pa.int64()),
+                    "min_eid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "min_ts": [batch["ts_us"][0].as_py()],
+                "min_eid": [batch["event_id"][0].as_py()],
+                "cnt": [len(batch)],
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["min_ts", "min_eid"])
+    )
+    offs = np.concatenate([[0], parts["cnt"].to_numpy().cumsum()[:-1]])
+    offsets = {
+        (int(t), int(e)): int(o)
+        for t, e, o in zip(parts["min_ts"], parts["min_eid"], offs)
+    }
+    oref = ray.put(offsets)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"event_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())}
+            )
+        off = ray.get(oref)[
+            (batch["ts_us"][0].as_py(), batch["event_id"][0].as_py())
+        ]
+        rnk = off + 1 + np.arange(len(batch), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"event_id": batch["event_id"], "rnk": pa.array(rnk, pa.int64())}
+        )
+
+    return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles via value histogram (bounded cardinality).
 
@@ -2402,6 +2469,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
+    "global_rank": q_global_rank,
     "quantiles": q_quantiles,
 }
 
@@ -3680,6 +3748,11 @@ FROM (
                CAST(r.rnk AS BIGINT) AS rnk, CAST(d.df AS BIGINT) AS df
         FROM ranked r JOIN dfq d USING (term)
         WHERE r.rnk <= 3
+    """,
+    "global_rank": """
+        SELECT event_id,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rnk
+        FROM events
     """,
     # quantiles: smallest v with cumulative count >= ceil(p*n/100), exact
     "quantiles": """

@@ -1095,3 +1095,22 @@ def test_top_terms_bruteforce(rd):
             want.add((did, term, tf, r, alldf[term]))
     assert set(zip(got.doc_id, got.term, got.tf, got.rnk, got.df)) == want
     assert (0, "a", 2, 1, 3) in want  # tie broken toward 'a'; df('a')=3
+
+
+def test_global_rank_oracle_shape(rd):
+    """Distributed row_number == argsort rank, with duplicate ts values
+    forcing the (ts, event_id) tie-break across block boundaries."""
+    from pygeoops_ray.pipelines.queries import q_global_rank
+
+    out = q_global_rank(SF).to_pandas()
+    import duckdb
+
+    want = duckdb.sql(
+        f"""SELECT event_id,
+                   CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rnk
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["rnk"].to_numpy() == want["rnk"].to_numpy()).all()
+    assert got["rnk"].min() == 1 and got["rnk"].max() == len(got)
