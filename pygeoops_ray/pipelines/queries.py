@@ -2336,6 +2336,60 @@ def q_quantiles(sf_dir: str):
     return pd.DataFrame(rows, columns=["pct", "value_c"]).astype("int64")
 
 
+def q_group_median(sf_dir: str):
+    """Exact per-user median of the quantized value column — grouped
+    distributed quantiles via the histogram shape.
+
+    Per-block (user, value-bucket) counts are the only thing that shuffles
+    (grouped_agg's algebraic pre-combine); the per-user cut-point scan runs
+    inside the bucketed reducer where each user's histogram is group-local.
+    Same integer cut rule as the global ``quantiles`` query, shared with the
+    SQL oracle: smallest v with running count >= ceil(50·n/100).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_agg
+
+    n_events = _table_rows(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        v = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "v": v})
+        g = df.groupby(["user_id", "v"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    h = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None),
+        ["user_id", "v"],
+        [("c", "sum", "c")],
+        n_rows_hint=n_events,
+    )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "v"], kind="mergesort")
+        n = df.groupby("user_id", sort=False)["c"].transform("sum")
+        cum = df.groupby("user_id", sort=False)["c"].cumsum()
+        thr = (50 * n + 99) // 100
+        hit = df[cum >= thr].groupby("user_id", sort=False).first().reset_index()
+        nn = df.groupby("user_id", sort=False)["c"].sum().reset_index(name="n")
+        out = hit.merge(nn, on="user_id")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "median_c": out["v"].astype("int64"),
+                "n": out["n"].astype("int64"),
+            }
+        )
+
+    return _bucketed(
+        h, ["user_id"], reducer, _bucket_count(64, n_events), pre=None
+    )
+
+
 def q_kmeans(sf_dir: str):
     """Distributed integer-exact k-means over the embeddings table.
 
@@ -2470,6 +2524,7 @@ QUERIES = {
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
+    "group_median": q_group_median,
     "quantiles": q_quantiles,
 }
 
@@ -3753,6 +3808,23 @@ FROM (
         SELECT event_id,
                CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rnk
         FROM events
+    """,
+    "group_median": """
+        WITH h AS (
+            SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT user_id, v,
+                   sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum
+            FROM h
+        ),
+        n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        SELECT n.user_id, CAST(min(cum.v) AS BIGINT) AS median_c,
+               CAST(n.n AS BIGINT) AS n
+        FROM n JOIN cum ON n.user_id = cum.user_id
+        WHERE cum.cum >= (50 * n.n + 99) // 100
+        GROUP BY n.user_id, n.n
     """,
     # quantiles: smallest v with cumulative count >= ceil(p*n/100), exact
     "quantiles": """

@@ -72,3 +72,25 @@ def test_bucket_hash_deterministic_across_processes(ray_session):
     # one output row per distinct key proves co-bucketing held
     assert sorted(out["k"]) == ["a", "b", "c"]
     assert dict(zip(out["k"], out["v"])) == {"a": 2, "b": 0, "c": 9}
+
+
+def test_group_median_bruteforce(ray_session):
+    """Grouped histogram median == per-user numpy median-cut brute force."""
+    import duckdb
+    import numpy as np
+
+    from pygeoops_ray.pipelines.queries import ORACLE_SQL, q_group_median
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_group_median(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ev = duckdb.sql(f"SELECT user_id, value FROM '{sf}/events.parquet'").df()
+    for uid, grp in ev.groupby("user_id"):
+        v = np.sort(np.floor(grp["value"].to_numpy() * 100).astype(np.int64))
+        n = len(v)
+        thr = (50 * n + 99) // 100
+        want = int(v[thr - 1])
+        row = got[got.user_id == uid]
+        assert int(row.median_c.iloc[0]) == want, uid
+        assert int(row.n.iloc[0]) == n
