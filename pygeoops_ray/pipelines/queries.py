@@ -2460,6 +2460,307 @@ def q_geo_csv(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# round-2 final wave: bloom semi-join, outer-join agg, stratified sampling,
+# rollup, embedding quantization, image augmentation
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Lineitem rows of high-value orders via a Bloom-filter broadcast
+    semi-join (stages/bloomjoin.py), digested per return flag.
+
+    The 100-TB join-pruning shape: the build side (orders with
+    o_totalprice > 250k) compresses to a few-MB bit array broadcast once;
+    the probe stream drops non-matches inside map_batches BEFORE any
+    exchange, and the exact ``left_semi`` join that removes Bloom false
+    positives shuffles only the survivors. Output values are EXACT (the
+    filter has no false negatives; FPs die in the semi join), so the oracle
+    is the plain semi-join SQL.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n_orders = _table_rows(sf_dir, "orders")
+    build = _read_blocked(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 250000.0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    probe = _read_blocked(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    semi = bloom_semi_join(
+        probe,
+        build.select_columns(["o_orderkey"]),
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+        n_build_hint=n_orders,
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        qty_c = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty_c": pa.array(qty_c, pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        semi.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("qty_c", "size", "n_rows"), ("qty_c", "sum", "sum_qty_c")],
+        n_buckets=2,
+    )
+
+
+def q_cust_order_stats(sf_dir: str):
+    """Per-market-segment customer stats via LEFT OUTER join — customers
+    with no orders survive with zero-filled measures.
+
+    Shape: orders pre-aggregate per custkey (algebraic — only one partial
+    row per (block, key) shuffles), then Ray's ``left_outer`` hash join
+    against the customer table, null-fill in a vectorized map, and a tiny
+    per-segment aggregate. ``n_inactive`` counts the join's null side, so
+    the oracle (LEFT JOIN + FILTER WHERE IS NULL) checks outer-join
+    semantics end-to-end, not just inner matches.
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n_orders = _table_rows(sf_dir, "orders")
+    orders = _read_blocked(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def order_cents(batch: pa.Table) -> pa.Table:
+        spend = np.floor(batch["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"o_custkey": batch["o_custkey"], "spend_c": pa.array(spend, pa.int64())}
+        )
+
+    per_cust = grouped_agg(
+        orders.map_batches(order_cents, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("spend_c", "sum", "spend_c"), ("spend_c", "size", "n_orders")],
+        n_rows_hint=n_orders,
+    )
+    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_orders_a = batch["n_orders"].to_numpy(zero_copy_only=False)
+        inactive = pa.compute.is_null(batch["n_orders"]).to_numpy(zero_copy_only=False)
+        spend = batch["spend_c"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "one": pa.array(np.ones(n, np.int64)),
+                "inactive": pa.array(inactive.astype(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    np.nan_to_num(n_orders_a.astype(np.float64)).astype(np.int64)
+                ),
+                "spend_c": pa.array(
+                    np.nan_to_num(spend.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(fill, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [
+            ("one", "sum", "n_cust"),
+            ("inactive", "sum", "n_inactive"),
+            ("n_orders", "sum", "n_orders"),
+            ("spend_c", "sum", "spend_c"),
+        ],
+        n_buckets=2,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling of orders (10%..50% by priority).
+
+    The training-data balancing shape: keep a row iff
+    ``(o_orderkey * 2654435761) mod 2^32 mod 100 < rate(stratum)`` — a pure
+    map with NO shuffle and NO RNG state, so the sample is identical on
+    rerun/resume and across any partitioning (uint64 wraparound preserves
+    the mod-2^32 value, so numpy and the HUGEINT-free SQL agree exactly).
+    Output digests per stratum prove both the rate selection and the exact
+    membership (sum of sampled keys).
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        pri = batch["o_orderpriority"].to_pandas()
+        digit = pri.str.slice(0, 1).astype(np.int64).to_numpy()
+        with np.errstate(over="ignore"):
+            bucket = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                2**32
+            ) % np.uint64(100)
+        keep = bucket.astype(np.int64) < digit * 10
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch["o_orderpriority"].filter(pa.array(keep)),
+                "o_orderkey": pa.array(keys[keep], pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(sample, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"],
+        [("o_orderkey", "size", "n_sampled"), ("o_orderkey", "sum", "sum_okey")],
+        n_buckets=2,
+    )
+
+
+def q_sales_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) in ONE scan.
+
+    Super-aggregate levels are derived from the fine-group partials, not
+    from re-scanning: the per-block combiner emits ≤6 rows per block (the
+    fine key space), and the single final reduce — whose input is
+    group-cardinality-bounded, never data-bounded — folds the fine groups
+    upward into the per-flag and grand-total rows ('ALL' sentinel labels).
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        out = g.agg(sum_qty_c=("sum_qty_c", "sum"), sum_base_c=("sum_base_c", "sum"))
+        out["n_rows"] = g.size()["size"].to_numpy()
+        return out
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        def agg(frame, keys):
+            g = frame.groupby(keys, sort=False, as_index=False)
+            return g.agg(
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                n_rows=("n_rows", "sum"),
+            )
+
+        fine = agg(df, ["l_returnflag", "l_linestatus"])
+        per_flag = agg(fine, ["l_returnflag"]).assign(l_linestatus="ALL")
+        total = (
+            fine[["sum_qty_c", "sum_base_c", "n_rows"]]
+            .sum()
+            .to_frame()
+            .T.assign(l_returnflag="ALL", l_linestatus="ALL")
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_c", "sum_base_c"]
+        out = pd.concat([fine, per_flag, total], ignore_index=True)[cols]
+        return out.astype({"n_rows": np.int64, "sum_qty_c": np.int64, "sum_base_c": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1, shuffle=False).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8-style embedding quantization (the vector-compression step an
+    ANN index applies at rest) with per-vector integer digests.
+
+    Rule shared with kmeans: q = floor(x·100) + 128 over the float64-cast
+    values, so every digest is exact and the oracle replays the whole
+    transform via unnest + generate_subscripts. A pure map — no shuffle.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        ids, mat = _matrix_of(batch)
+        q = np.floor(mat * 100.0).astype(np.int64) + 128
+        w = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "sum_q": pa.array(q.sum(axis=1), pa.int64()),
+                "sum_q2": pa.array((q * q).sum(axis=1), pa.int64()),
+                "wsum": pa.array(q @ w, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow", batch_size=None)
+
+
+def q_image_augment(sf_dir: str):
+    """Horizontal-flip + 180°-rotate augmentation over REAL decoded pixels,
+    verified by position-weighted integer digests.
+
+    The augmentation stage a vision training pipeline runs per epoch: decode
+    → orientation transforms → re-use. Digests weight each pixel by its
+    POST-transform coordinates (x+1 resp. (x+1)(y+1)), so a wrong flip axis
+    or an off-by-one changes the value; the oracle re-derives the same sums
+    from the generator rule with mirrored weights. ``aug_ok`` binds the
+    involution contract (flip∘flip = id, rot180∘rot180 = id) in-run.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.table.images import decode_image
+
+    ds, _ = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        flip_wx, rot_w, ok = [], [], []
+        for blob in batch["bytes"]:
+            pix = decode_image(blob.as_py()).astype(np.int64)
+            h, w = pix.shape[:2]
+            flip = pix[:, ::-1, :]
+            rot = pix[::-1, ::-1, :]
+            wx = np.arange(1, w + 1, dtype=np.int64)
+            wy = np.arange(1, h + 1, dtype=np.int64)
+            flip_wx.append(int((flip.sum(axis=2) * wx[None, :]).sum()))
+            rot_w.append(int((rot.sum(axis=2) * (wy[:, None] * wx[None, :])).sum()))
+            ok.append(
+                bool(
+                    np.array_equal(flip[:, ::-1, :], pix)
+                    and np.array_equal(rot[::-1, ::-1, :], pix)
+                )
+            )
+        return pa.Table.from_pydict(
+            {
+                "i": ids,
+                "flip_wx": pa.array(flip_wx, pa.int64()),
+                "rot_w": pa.array(rot_w, pa.int64()),
+                "aug_ok": pa.array(np.asarray(ok, np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(augment, batch_format="pyarrow", batch_size=1024)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2521,6 +2822,12 @@ QUERIES = {
     "video_frames": q_video_frames,
     "geo_csv": q_geo_csv,
     "kmeans": q_kmeans,
+    "bloom_semi_join": q_bloom_semi_join,
+    "cust_order_stats": q_cust_order_stats,
+    "stratified_sample": q_stratified_sample,
+    "sales_rollup": q_sales_rollup,
+    "embed_quantize": q_embed_quantize,
+    "image_augment": q_image_augment,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -3839,5 +4146,143 @@ FROM (
         FROM p, cum, n
         WHERE cum.cum >= (p.pct * n.n + 99) // 100
         GROUP BY p.pct
+    """,
+    # bloom_semi_join: the Bloom pass is exact end-to-end (no false
+    # negatives; FPs removed by the left_semi join), so the oracle is the
+    # plain semi-join aggregate
+    "bloom_semi_join": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0
+        )
+        GROUP BY l_returnflag
+    """,
+    # cust_order_stats: LEFT OUTER join semantics — inactive customers
+    # (no orders) must survive with zero-filled measures
+    "cust_order_stats": """
+        WITH per AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_c
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(count(*) FILTER (WHERE per.o_custkey IS NULL) AS BIGINT)
+                   AS n_inactive,
+               CAST(coalesce(sum(per.n_orders), 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(per.spend_c), 0) AS BIGINT) AS spend_c
+        FROM customer LEFT JOIN per ON c_custkey = per.o_custkey
+        GROUP BY c_mktsegment
+    """,
+    # stratified_sample: the multiplicative-hash membership rule replayed
+    # verbatim (uint64 wraparound preserves the mod-2^32 value, so BIGINT
+    # arithmetic agrees with the engine's numpy uint64 at these key ranges)
+    "stratified_sample": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 4294967296 % 100
+              < CAST(substr(o_orderpriority, 1, 1) AS INTEGER) * 10
+        GROUP BY o_orderpriority
+    """,
+    # sales_rollup: ROLLUP levels with 'ALL' sentinel labels
+    "sales_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_c
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # embed_quantize: the quantization transform replayed per element
+    # (float32 -> float64 cast is exact on both sides)
+    "embed_quantize": """
+        SELECT vec_id,
+               CAST(sum(qv) AS BIGINT) AS sum_q,
+               CAST(sum(qv * qv) AS BIGINT) AS sum_q2,
+               CAST(sum(qv * i) AS BIGINT) AS wsum
+        FROM (
+            SELECT vec_id,
+                   CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT) + 128 AS qv,
+                   i
+            FROM (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+        )
+        GROUP BY vec_id
+    """,
+    # image_augment: decode replayed from the generator rule (same splitmix64
+    # CTE chain as image_features); flip/rot180 digests are the SAME pixels
+    # with mirrored position weights — a wrong flip axis or off-by-one in the
+    # engine's transform changes the sum
+    "image_augment": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT i,
+       CAST(sum((d0 + d1 + d2) * (w - x)) AS BIGINT) AS flip_wx,
+       CAST(sum((d0 + d1 + d2) * (w - x) * (h - y)) AS BIGINT) AS rot_w,
+       CAST(1 AS BIGINT) AS aug_ok
+FROM dec
+GROUP BY i
     """,
 }

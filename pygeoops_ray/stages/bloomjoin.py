@@ -1,0 +1,144 @@
+"""Bloom-filter broadcast semi-join.
+
+The 100-TB shape this implements: when a big probe table must be reduced to
+the rows whose key appears in a build table, a shuffle semi-join moves EVERY
+probe row through the exchange. A Bloom filter built over the build keys is a
+few MB regardless of probe size; broadcast once (``ray.put``), it eliminates
+the vast majority of non-matching probe rows inside ``map_batches`` BEFORE the
+exchange, so the exact semi-join that removes the filter's false positives
+shuffles only the survivors. Exactness is preserved end-to-end: the Bloom
+pass has no false negatives by construction, and the follow-up ``left_semi``
+join removes its false positives distributively.
+
+Hashing is Kirsch-Mitzenmacher double hashing over two splitmix64 streams —
+k positions derive from two 64-bit hashes, vectorized in numpy uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["BloomFilter", "build_bloom", "bloom_semi_join"]
+
+_U64 = np.uint64
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 of (x ^ salt) — public constants, vectorized uint64."""
+    with np.errstate(over="ignore"):
+        z = (x ^ _U64(salt)) + _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+class BloomFilter:
+    """m-bit filter packed into uint64 words; k double-hashed probes."""
+
+    def __init__(self, m_bits: int, k: int, words: np.ndarray | None = None):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.words = (
+            words
+            if words is not None
+            else np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        )
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions for int64/uint64 keys."""
+        x = keys.astype(np.uint64, copy=False)
+        h1 = _mix(x, 0x5BF03635)
+        h2 = _mix(x, 0xC2B2AE35) | _U64(1)  # odd stride
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) & _MASK) % _U64(self.m)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.words, pos >> _U64(6), _U64(1) << (pos & _U64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership test: True for every inserted key (no false
+        negatives); false-positive rate ~(1 - e^{-kn/m})^k."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        bits = (self.words[(pos >> _U64(6))] >> (pos & _U64(63))) & _U64(1)
+        return bits.all(axis=0)
+
+
+def build_bloom(
+    ds, key_col: str, n_keys_hint: int, bits_per_key: int = 12, k: int = 6
+) -> BloomFilter:
+    """Distributed Bloom build: each block emits its packed partial bitmap
+    (one row, m/8 bytes); the driver ORs the per-block bitmaps. The reduce
+    payload is blocks × m/8 bytes — independent of build row count — and the
+    m-bit sizing derives from the key-count hint (~12 bits/key → <1% FP)."""
+    m_bits = max(1 << 14, int(bits_per_key * max(1, n_keys_hint)))
+    # round m up to a whole word count
+    m_bits = ((m_bits + 63) // 64) * 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add(batch[key_col].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"bitmap": pa.array([bf.words.tobytes()])})
+
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["bitmap"]:
+            words |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return BloomFilter(m_bits, k, words)
+
+
+def bloom_semi_join(
+    probe_ds,
+    build_ds,
+    probe_key: str,
+    build_key: str,
+    n_build_hint: int,
+    num_partitions: int = 8,
+    exact: bool = True,
+):
+    """probe_ds rows whose probe_key appears in build_ds.build_key.
+
+    Bloom pre-filter (broadcast, no false negatives) cuts the probe stream
+    inside map_batches; with ``exact=True`` a distributed ``left_semi`` join
+    against the distinct build keys then removes the Bloom false positives,
+    so the result is EXACT while only Bloom survivors enter the shuffle.
+    """
+    import ray
+
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    bf = build_bloom(build_ds, build_key, n_build_hint)
+    # broadcast the raw word array (zero-copy shared-memory numpy on every
+    # ray.get), not the Python wrapper; m/k ride in the closure
+    words_ref = ray.put(bf.words)
+    m_bits, k = bf.m, bf.k
+
+    def probe(batch: pa.Table) -> pa.Table:
+        flt = BloomFilter(m_bits, k, ray.get(words_ref))
+        keys = batch[probe_key].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(flt.contains(keys)))
+
+    survivors = probe_ds.map_batches(probe, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    # distinct build keys (algebraic pre-combine) then exact semi join of the
+    # Bloom survivors only — the post-Bloom shuffle volume is matches + FPs.
+    distinct = grouped_count(
+        build_ds.select_columns([build_key]),
+        [build_key],
+        "_n",
+        n_rows_hint=n_build_hint,
+    ).select_columns([build_key])
+    return survivors.join(
+        distinct,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(probe_key,),
+        right_on=(build_key,),
+    )

@@ -1,0 +1,175 @@
+"""Round-2 final wave: Bloom semi-join, outer-join agg, stratified sampling,
+rollup, embedding quantization, image augmentation — brute-force checks
+against numpy/pandas/DuckDB ground truth on small corpora."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# BloomFilter kernel
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from pygeoops_ray.stages.bloomjoin import BloomFilter
+
+    keys = np.arange(0, 90_000, 3, dtype=np.int64)
+    bf = BloomFilter(12 * len(keys), 6)
+    bf.add(keys)
+    probe = np.arange(180_000, dtype=np.int64)
+    got = bf.contains(probe)
+    truth = np.zeros(len(probe), dtype=bool)
+    truth[keys] = True
+    assert got[truth].all(), "Bloom filter produced a false negative"
+    assert got[~truth].mean() < 0.02, "false-positive rate above the 12-bit/key bound"
+
+
+def test_bloom_empty_and_negative_keys():
+    from pygeoops_ray.stages.bloomjoin import BloomFilter
+
+    bf = BloomFilter(1 << 14, 6)
+    assert bf.contains(np.array([], dtype=np.int64)).shape == (0,)
+    neg = np.array([-5, -1, 7, 2**62], dtype=np.int64)
+    bf.add(neg)
+    assert bf.contains(neg).all()
+
+
+def test_bloom_semi_join_exact_vs_numpy(ray_session):
+    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    probe_keys = rng.integers(0, 5000, 20_000).astype(np.int64)
+    build_keys = np.unique(rng.integers(0, 5000, 800).astype(np.int64))
+    probe = rd.from_arrow(
+        pa.table({"k": probe_keys, "v": np.arange(len(probe_keys), dtype=np.int64)})
+    ).repartition(7)
+    build = rd.from_arrow(pa.table({"bk": build_keys})).repartition(3)
+
+    out = bloom_semi_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
+    got = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    keep = np.isin(probe_keys, build_keys)
+    want = (
+        pd.DataFrame({"k": probe_keys[keep], "v": np.arange(len(probe_keys))[keep]})
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bloom_prefilter_actually_prunes(ray_session):
+    """The inexact pass must keep all true matches and prune most non-matches
+    (that reduction is the whole point of the operator at scale)."""
+    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
+
+    probe_keys = np.arange(50_000, dtype=np.int64)
+    build_keys = np.arange(0, 50_000, 100, dtype=np.int64)  # 1% match
+    probe = rd.from_arrow(pa.table({"k": probe_keys})).repartition(5)
+    build = rd.from_arrow(pa.table({"bk": build_keys}))
+    survivors = bloom_semi_join(
+        probe, build, "k", "bk", n_build_hint=len(build_keys), exact=False
+    ).to_pandas()["k"].to_numpy()
+    assert np.isin(build_keys, survivors).all()
+    assert len(survivors) < 0.05 * len(probe_keys)
+
+
+# ---------------------------------------------------------------------------
+# driver queries vs DuckDB ground truth (sf0.001)
+# ---------------------------------------------------------------------------
+
+
+def _run(name):
+    from pygeoops_ray.pipelines.queries import QUERIES
+
+    return QUERIES[name](SF).to_pandas()
+
+
+def _sql(name):
+    import duckdb
+
+    from pygeoops_ray.pipelines.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "customer", "embeddings", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+@pytest.mark.parametrize(
+    "name,keys",
+    [
+        ("cust_order_stats", ["c_mktsegment"]),
+        ("stratified_sample", ["o_orderpriority"]),
+        ("sales_rollup", ["l_returnflag", "l_linestatus"]),
+        ("embed_quantize", ["vec_id"]),
+    ],
+)
+def test_query_matches_oracle(ray_session, name, keys):
+    got = _run(name).sort_values(keys).reset_index(drop=True)
+    want = _sql(name).sort_values(keys).reset_index(drop=True)
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Grand total must equal the sum of fine groups (internal consistency)."""
+    df = _run("sales_rollup")
+    fine = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    total = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(total) == 1
+    for c in ["n_rows", "sum_qty_c", "sum_base_c"]:
+        assert int(fine[c].sum()) == int(total[c].iloc[0])
+
+
+def test_stratified_sample_rates(ray_session):
+    """Observed per-stratum rates must sit near the configured 10%..50%."""
+    import duckdb
+
+    got = _run("stratified_sample").set_index("o_orderpriority")
+    tot = (
+        duckdb.sql(
+            f"SELECT o_orderpriority, count(*) n FROM '{SF}/orders.parquet' GROUP BY 1"
+        )
+        .df()
+        .set_index("o_orderpriority")
+    )
+    for pri, row in got.iterrows():
+        rate = int(pri[0]) * 10 / 100
+        frac = row["n_sampled"] / tot.loc[pri, "n"]
+        assert abs(frac - rate) < 0.15, (pri, frac, rate)
+
+
+# ---------------------------------------------------------------------------
+# image augmentation kernel vs direct pixel transforms
+# ---------------------------------------------------------------------------
+
+
+def test_augment_digests_match_direct_transform():
+    from pygeoops_ray.table.images import synth_pixels, _row_dims
+
+    for i in [0, 5, 17, 404]:
+        w, h = _row_dims(i, small=True)
+        pix = synth_pixels(i, w, h).astype(np.int64)
+        flip = pix[:, ::-1, :]
+        rot = pix[::-1, ::-1, :]
+        wx = np.arange(1, w + 1, dtype=np.int64)
+        wy = np.arange(1, h + 1, dtype=np.int64)
+        # mirrored-weight identity: digest of the transformed image with
+        # post-transform coordinates == original pixels with (w-x)/(h-y)
+        direct_flip = int((flip.sum(axis=2) * wx[None, :]).sum())
+        direct_rot = int((rot.sum(axis=2) * (wy[:, None] * wx[None, :])).sum())
+        xs = np.arange(w, dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        mirror_flip = int((pix.sum(axis=2) * (w - xs)[None, :]).sum())
+        mirror_rot = int(
+            (pix.sum(axis=2) * ((h - ys)[:, None] * (w - xs)[None, :])).sum()
+        )
+        assert direct_flip == mirror_flip
+        assert direct_rot == mirror_rot
