@@ -2051,14 +2051,48 @@ def q_range_join(sf_dir: str):
 
 
 def q_top_orders(sf_dir: str):
-    """Join orders ⋈ customer, top 10 orders by totalprice (sort + limit)."""
+    """Top 10 orders by totalprice with customer names — top-k pushed BELOW
+    the join.
+
+    The naive join-then-sort shape shuffles every order row twice (hash join
+    + range sort) to keep 10 of them. Here each block keeps its local top-10
+    (map_batches partial, ≤10 rows leave any block), a single tiny sort+limit
+    picks the global winners, and only the 10 winning custkeys touch the
+    customer table (vectorized isin filter — a column-pruned scan, no
+    shuffle). The final 10×10 merge is driver-side pandas, which is the
+    legitimate small-result endpoint.
+    """
     orders = _read_blocked(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy()
+        okey = batch["o_orderkey"].to_numpy()
+        # lexicographic (price DESC, orderkey ASC): primary key last in lexsort
+        order = np.lexsort((okey, -price))[:10]
+        return batch.take(pa.array(order, pa.int64()))
+
+    top = (
+        orders.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
     )
-    top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+    keys = set(top["o_custkey"].tolist())
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["c_custkey"], value_set=pa.array(sorted(keys), pa.int64()))
+        return batch.filter(mask)
+
+    cust = (
+        _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out = out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    return out[["o_orderkey", "c_name", "o_totalprice"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2761,6 +2795,52 @@ def q_image_augment(sf_dir: str):
     return ds.map_batches(augment, batch_format="pyarrow", batch_size=1024)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER assignment: connected components over the exact
+    Jaccard pair graph (stages/graph.connected_components).
+
+    Pairwise dedup is not enough for curation — similarity is not transitive
+    but removal must be (a~b, b~c ⇒ keep ONE of {a,b,c}), so the cluster id
+    is the min doc_id of each component of the pair graph. Min-label
+    propagation iterates bounded-volume shuffles (|V|+2|E| rows per round,
+    rounds = component diameter); documents in no pair come back as
+    singletons via a broadcast anti-filter. The oracle replays the closure
+    with a recursive CTE over the same all-pairs Jaccard edge set.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.graph import connected_components
+
+    docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    n_docs = _table_rows(sf_dir, "documents")
+    pairs = dedup_stages.exact_jaccard_pairs(
+        docs.map_batches(flt, batch_format="pyarrow"),
+        jaccard_threshold=0.5,
+        n_docs_hint=n_docs,
+    )
+    all_nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    cc = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        all_nodes_ds=all_nodes,
+        node_col="doc_id",
+        n_edges_hint=max(64, n_docs // 10),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["node"], "cluster_id": batch["cluster_id"]}
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2828,6 +2908,7 @@ QUERIES = {
     "sales_rollup": q_sales_rollup,
     "embed_quantize": q_embed_quantize,
     "image_augment": q_image_augment,
+    "dup_clusters": q_dup_clusters,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4284,5 +4365,43 @@ SELECT i,
        CAST(1 AS BIGINT) AS aug_ok
 FROM dec
 GROUP BY i
+    """,
+    # dup_clusters: transitive closure of the exact-Jaccard pair graph via a
+    # recursive CTE — cluster_id = min reachable doc_id; docs outside every
+    # pair are their own singleton cluster
+    "dup_clusters": """
+        WITH RECURSIVE
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        p0 AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        e1 AS (
+            SELECT doc_a, doc_b FROM p0
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM e1
+            UNION ALL
+            SELECT doc_b, doc_a FROM e1
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
     """,
 }

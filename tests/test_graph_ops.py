@@ -1,0 +1,85 @@
+"""Connected components (stages/graph.py) vs a brute-force union-find."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _union_find(n_nodes: np.ndarray, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {int(v): int(v) for v in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to component min (roots are mins because we always parent the max)
+    return {v: find(v) for v in parent}
+
+
+def _run_cc(edges, all_nodes=None, **kw):
+    from pygeoops_ray.stages.graph import connected_components
+
+    e = pa.table(
+        {
+            "src": np.array([a for a, _ in edges], np.int64),
+            "dst": np.array([b for _, b in edges], np.int64),
+        }
+    )
+    eds = rd.from_arrow(e).repartition(4)
+    nds = None
+    if all_nodes is not None:
+        nds = rd.from_arrow(pa.table({"node_id": np.asarray(all_nodes, np.int64)})).repartition(3)
+    out = connected_components(eds, "src", "dst", all_nodes_ds=nds, node_col="node_id", **kw)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def test_cc_matches_union_find_on_random_graph(ray_session):
+    rng = np.random.default_rng(11)
+    nodes = np.arange(200, dtype=np.int64)
+    # random clumps + an explicit 12-node chain (forces >10 propagation rounds)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 120, (60, 2)) if p[0] != p[1]]
+    chain = [(i, i + 1) for i in range(130, 142)]
+    edges += chain
+    got = _run_cc(edges, all_nodes=nodes)
+    want = _union_find(nodes, edges)
+    assert len(got) == len(nodes)
+    for _, row in got.iterrows():
+        assert want[int(row["node"])] == int(row["cluster_id"])
+
+
+def test_cc_empty_edges_all_singletons(ray_session):
+    nodes = np.array([3, 7, 9], np.int64)
+    got = _run_cc([], all_nodes=nodes)
+    assert got["node"].tolist() == [3, 7, 9]
+    assert (got["node"] == got["cluster_id"]).all()
+
+
+def test_cc_clique_one_round(ray_session):
+    # a clique collapses to its min in a single propagation round
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = _run_cc(edges)
+    assert (got["cluster_id"] == 0).all()
+    assert sorted(got["node"].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_dup_clusters_query_invariants(ray_session):
+    """Every jaccard pair shares a cluster; cluster_id is the cluster min."""
+    from pygeoops_ray.pipelines.queries import QUERIES
+
+    cc = QUERIES["dup_clusters"](SF).to_pandas()
+    pairs = QUERIES["jaccard_pairs"](SF).to_pandas()
+    lab = dict(zip(cc["doc_id"], cc["cluster_id"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b]
+    grp = cc.groupby("cluster_id")["doc_id"].min()
+    assert (grp.index.to_numpy() == grp.to_numpy()).all()
