@@ -2841,6 +2841,23 @@ def q_dup_clusters(sf_dir: str):
     return cc.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def q_vocab_hll(sf_dir: str):
+    """Corpus vocabulary-size HyperLogLog sketch (stages/sketch.py): the
+    constant-size distinct-count summary — per-batch partials are ≤4096
+    register rows no matter how many tokens stream by, vs one row per
+    DISTINCT value for the exact path (table_profile).
+
+    Every register is integer-exact and the oracle recomputes the whole
+    table from md5_number_lower + bit arithmetic; the float estimator rides
+    on top and is property-tested (tests/test_graph_ops.py) against the
+    exact distinct count.
+    """
+    from pygeoops_ray.stages.sketch import hll_registers
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return hll_registers(docs, "text", p=12, tokenize=True)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2909,6 +2926,7 @@ QUERIES = {
     "embed_quantize": q_embed_quantize,
     "image_augment": q_image_augment,
     "dup_clusters": q_dup_clusters,
+    "vocab_hll": q_vocab_hll,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4403,5 +4421,20 @@ GROUP BY i
         SELECT d.doc_id,
                CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    """,
+    # vocab_hll: every HLL register recomputed from scratch — hash =
+    # md5_number_lower (little-endian bytes 8:16 of md5, the Ray-side value),
+    # bucket = top 12 bits, rank = first-1-bit position of the low 52 bits
+    # via exact binary-string length (53 - bit_length, 53 when zero)
+    "vocab_hll": """
+        WITH tok AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS wd FROM documents
+        ),
+        h AS (SELECT md5_number_lower(wd) AS hw FROM tok)
+        SELECT CAST(hw >> 52 AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN (hw & 4503599627370495) = 0 THEN 53
+                        ELSE 53 - length(bin(hw & 4503599627370495)) END)
+                    AS BIGINT) AS r
+        FROM h GROUP BY bucket
     """,
 }

@@ -1,0 +1,108 @@
+"""HyperLogLog distinct-count sketch — the streaming-aggregate shape.
+
+Exact distinct (stages/profile.py) shuffles one row per DISTINCT value; at
+100-TB vocabulary scale even that exchange is large. The HLL register table
+is a CONSTANT-size summary (2^p small ints) that merges with max() — the
+per-batch partial is ≤2^p rows regardless of batch size, so the shuffle
+volume is O(blocks · 2^p), independent of the data.
+
+Everything here is integer-exact and SQL-replayable, so the driver oracle
+recomputes every register from scratch:
+
+- value hash = little-endian bytes 8:16 of md5 (DuckDB ``md5_number_lower``)
+- bucket = top ``p`` bits; remainder = low ``64-p`` bits
+- rank = position of the first 1 bit in the remainder (w - bit_length + 1),
+  ``w+1`` when the remainder is zero
+- register = max rank per bucket
+
+``p=12`` keeps the remainder below 2^52, so ``np.frexp`` on the float64 cast
+recovers bit_length EXACTLY (every value < 2^52 is representable) — no
+Python loop over bits and no float-log2 rounding hazard.
+
+The float estimator (Flajolet et al. 2007 alpha_m · m²/Σ2^-M_j with the
+small-range linear-counting correction) is provided for consumers and
+property-tested for accuracy; the driver-facing output is the integer
+register table, which is value-exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pygeoops_ray.stages.groupagg import grouped_agg
+
+__all__ = ["md5_low64", "hll_partial", "hll_registers", "hll_estimate"]
+
+
+def md5_low64(s: str) -> int:
+    """The exact integer DuckDB's md5_number_lower() returns."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:16])[0]
+
+
+def hll_partial(values: list[str], p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(buckets, max-ranks) register partial for one batch of string values.
+
+    Deduplicates first (HLL is insensitive to multiplicity), so md5 runs once
+    per distinct value per batch.
+    """
+    w = 64 - p
+    vals = set(values)
+    if not vals:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = np.fromiter((md5_low64(v) for v in vals), dtype=np.uint64, count=len(vals))
+    bucket = (h >> np.uint64(w)).astype(np.int64)
+    rem = (h & np.uint64((1 << w) - 1)).astype(np.uint64)
+    rank = np.full(len(h), w + 1, dtype=np.int64)
+    nz = rem > 0
+    # bit_length via frexp: exact because rem < 2^w <= 2^52 for p >= 12
+    _, exp = np.frexp(rem[nz].astype(np.float64))
+    rank[nz] = w - exp + 1
+    df = pd.DataFrame({"bucket": bucket, "r": rank})
+    g = df.groupby("bucket", sort=False, as_index=False)["r"].max()
+    return g["bucket"].to_numpy(), g["r"].to_numpy()
+
+
+def hll_registers(ds, col: str, p: int = 12, tokenize: bool = False):
+    """Distributed HLL register table for a string column (or its tokens).
+
+    Per-batch partial (≤2^p rows) → grouped max. ``tokenize=True`` counts
+    distinct whitespace tokens of the column instead of distinct cell values
+    (vocabulary estimation over a document corpus).
+    """
+    if p < 12:
+        raise ValueError("p >= 12 required (frexp exactness bound)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_vals = batch[col].to_pylist()
+        if tokenize:
+            vals: list[str] = []
+            for t in col_vals:
+                vals.extend(t.split(" "))
+        else:
+            vals = [str(v) for v in col_vals]
+        bucket, rank = hll_partial(vals, p)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(bucket, pa.int64()), "r": pa.array(rank, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, ["bucket"], [("r", "max", "r")], n_buckets=8)
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
+    """Flajolet 2007 estimator from a (bucket, r) register frame; buckets
+    absent from the frame are zero registers."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.int64)
+    reg[registers["bucket"].to_numpy()] = registers["r"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -83,3 +83,46 @@ def test_dup_clusters_query_invariants(ray_session):
         assert lab[a] == lab[b]
     grp = cc.groupby("cluster_id")["doc_id"].min()
     assert (grp.index.to_numpy() == grp.to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy():
+    from pygeoops_ray.stages.sketch import hll_estimate, hll_partial
+
+    vals = [f"tok_{i}" for i in range(50_000)]
+    b, r = hll_partial(vals, p=12)
+    est = hll_estimate(pd.DataFrame({"bucket": b, "r": r}), p=12)
+    # sigma = 1.04/sqrt(4096) ~ 1.6%; 4 sigma bound
+    assert abs(est - 50_000) / 50_000 < 0.065
+
+
+def test_hll_merge_associative():
+    from pygeoops_ray.stages.sketch import hll_partial
+
+    vals = [f"v{i}" for i in range(5000)] + [f"v{i}" for i in range(2500)]  # dups
+    bw, rw = hll_partial(vals, p=12)
+    whole = dict(zip(bw, rw))
+    merged: dict[int, int] = {}
+    for chunk in (vals[:1700], vals[1700:4200], vals[4200:]):
+        b, r = hll_partial(chunk, p=12)
+        for bb, rr in zip(b, r):
+            merged[bb] = max(merged.get(bb, 0), rr)
+    assert merged == whole
+
+
+def test_hll_query_registers_match_duckdb(ray_session):
+    import duckdb
+
+    from pygeoops_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = (
+        QUERIES["vocab_hll"](SF).to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["vocab_hll"]).df().sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
