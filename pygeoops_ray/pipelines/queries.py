@@ -2858,6 +2858,19 @@ def q_vocab_hll(sf_dir: str):
     return hll_registers(docs, "text", p=12, tokenize=True)
 
 
+def q_footprint_pairs(sf_dir: str):
+    """Spatial SELF-join: footprint pairs within L∞ distance 48 of each other
+    (stages/spatial.proximity_pairs) — the partition-based spatial merge with
+    reference-point dedup, so every pair is emitted exactly once with no
+    post-join dedup shuffle.
+    """
+    n_imgs = _table_rows(sf_dir, "part")
+    rects = _read_blocked(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+    return sp.proximity_pairs(rects, dist=48.0, n_rows_hint=n_imgs * 2)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2927,6 +2940,7 @@ QUERIES = {
     "image_augment": q_image_augment,
     "dup_clusters": q_dup_clusters,
     "vocab_hll": q_vocab_hll,
+    "footprint_pairs": q_footprint_pairs,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4436,5 +4450,18 @@ GROUP BY i
                         ELSE 53 - length(bin(hw & 4503599627370495)) END)
                     AS BIGINT) AS r
         FROM h GROUP BY bucket
+    """,
+    # footprint_pairs: L∞ proximity self-join — the band predicates ARE the
+    # gap-<=-48 conditions (per axis: gap <= d ⇔ each side starts before the
+    # other side's end + d)
+    "footprint_pairs": f"""
+        WITH img AS ({_IMG})
+        SELECT a.i AS img_a, b.i AS img_b,
+               CAST(greatest(b.minx - a.maxx, a.minx - b.maxx, 0) AS BIGINT) AS x_gap,
+               CAST(greatest(b.miny - a.maxy, a.miny - b.maxy, 0) AS BIGINT) AS y_gap
+        FROM img a JOIN img b
+          ON a.i < b.i
+         AND b.minx <= a.maxx + 48 AND a.minx <= b.maxx + 48
+         AND b.miny <= a.maxy + 48 AND a.miny <= b.maxy + 48
     """,
 }

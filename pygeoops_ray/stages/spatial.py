@@ -562,3 +562,93 @@ def knn_points(points_ds, q_ids, qx, qy, k: int = 5, concurrency: int = 4):
         return group[["q_id", "event_id", "rnk"]]
 
     return partials.groupby("q_id").map_groups(merge, batch_format="pandas")
+
+
+def proximity_pairs(rects_ds, dist: float, cell: float = TILE, n_rows_hint: int | None = None):
+    """Spatial SELF-join: all rect pairs (i_a < i_b) whose x-gap AND y-gap are
+    both <= ``dist`` (L∞ distance between axis-aligned footprints).
+
+    Partition-based spatial merge with REFERENCE-POINT dedup: each rect,
+    expanded by dist/2 per side (clamped at the world origin), replicates to
+    its covering cells (bounded fan-out — the expansion is small relative to
+    the cell size); candidate pairs enumerate per cell via a vectorized
+    same-cell merge; a pair is REPORTED only in the one cell containing the
+    min corner of its expanded-overlap region, which both expanded rects
+    cover by definition — exactly-once globally with no second dedup
+    shuffle. Shuffle key is the same Hilbert ``cell_id`` every other spatial
+    stage uses.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed
+
+    half = dist / 2.0
+    grid = CellGrid(cell)
+
+    def expand_to_cells(batch: pa.Table) -> pa.Table:
+        minx = batch["minx"].to_numpy()
+        miny = batch["miny"].to_numpy()
+        maxx = batch["maxx"].to_numpy()
+        maxy = batch["maxy"].to_numpy()
+        eminx = np.maximum(minx - half, 0.0)
+        eminy = np.maximum(miny - half, 0.0)
+        # CLOSED max edge (+1e-6 beats _covering_expansion's half-open -1e-9):
+        # a pair at gap == dist has touching expanded rects; if the touch
+        # point sits exactly on a cell boundary the reference point lands in
+        # the NEXT cell, so the max-side rect must replicate there too.
+        row_idx, tx, ty = _covering_expansion(
+            eminx, eminy, maxx + half + 1e-6, maxy + half + 1e-6, cell
+        )
+        cid = grid.cell_id_of_colrow(tx, ty)
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(batch["i"].to_numpy()[row_idx], pa.int64()),
+                "minx": pa.array(minx[row_idx]),
+                "miny": pa.array(miny[row_idx]),
+                "maxx": pa.array(maxx[row_idx]),
+                "maxy": pa.array(maxy[row_idx]),
+                "cell_id": pa.array(cid, pa.int64()),
+            }
+        )
+
+    cand = rects_ds.map_batches(expand_to_cells, batch_format="pyarrow")
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="cell_id", suffixes=("_a", "_b"))
+        m = m[m["i_a"] < m["i_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "img_a": pd.Series([], dtype=np.int64),
+                    "img_b": pd.Series([], dtype=np.int64),
+                    "x_gap": pd.Series([], dtype=np.int64),
+                    "y_gap": pd.Series([], dtype=np.int64),
+                }
+            )
+        x_gap = np.maximum(
+            np.maximum(m["minx_b"] - m["maxx_a"], m["minx_a"] - m["maxx_b"]), 0.0
+        ).to_numpy()
+        y_gap = np.maximum(
+            np.maximum(m["miny_b"] - m["maxy_a"], m["miny_a"] - m["maxy_b"]), 0.0
+        ).to_numpy()
+        # reference point: min corner of the expanded-overlap region
+        rx = np.maximum(
+            np.maximum(m["minx_a"], m["minx_b"]).to_numpy() - half, 0.0
+        )
+        ry = np.maximum(
+            np.maximum(m["miny_a"], m["miny_b"]).to_numpy() - half, 0.0
+        )
+        home = grid.cell_id(rx, ry)
+        keep = (x_gap <= dist) & (y_gap <= dist) & (home == m["cell_id"].to_numpy())
+        out = m.loc[keep]
+        return pd.DataFrame(
+            {
+                "img_a": out["i_a"].to_numpy(),
+                "img_b": out["i_b"].to_numpy(),
+                "x_gap": x_gap[keep].astype(np.int64),
+                "y_gap": y_gap[keep].astype(np.int64),
+            }
+        )
+
+    nb = _bucket_count(16, n_rows_hint)
+    return _bucketed(cand, ["cell_id"], pair_reduce, nb)

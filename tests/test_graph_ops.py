@@ -126,3 +126,68 @@ def test_hll_query_registers_match_duckdb(ray_session):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
     want = con.execute(ORACLE_SQL["vocab_hll"]).df().sort_values("bucket").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# proximity_pairs (stages/spatial.py) — PBSM reference-point dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(rects: pd.DataFrame, dist: float) -> set[tuple[int, int]]:
+    out = set()
+    r = rects.to_dict("records")
+    for a in r:
+        for b in r:
+            if a["i"] >= b["i"]:
+                continue
+            xg = max(b["minx"] - a["maxx"], a["minx"] - b["maxx"], 0.0)
+            yg = max(b["miny"] - a["maxy"], a["miny"] - b["maxy"], 0.0)
+            if xg <= dist and yg <= dist:
+                out.add((a["i"], b["i"]))
+    return out
+
+
+def test_proximity_pairs_vs_brute_force(ray_session):
+    from pygeoops_ray.stages.spatial import proximity_pairs
+
+    rng = np.random.default_rng(5)
+    n = 300
+    minx = rng.uniform(0, 4000, n)
+    miny = rng.uniform(0, 4000, n)
+    rects = pd.DataFrame(
+        {
+            "i": np.arange(n, dtype=np.int64),
+            "minx": minx,
+            "miny": miny,
+            "maxx": minx + rng.uniform(10, 300, n),
+            "maxy": miny + rng.uniform(10, 300, n),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(rects, preserve_index=False)).repartition(5)
+    got = proximity_pairs(ds, dist=48.0).to_pandas()
+    got_pairs = set(zip(got["img_a"], got["img_b"]))
+    assert got_pairs == _brute_pairs(rects, 48.0)
+    assert len(got) == len(got_pairs), "reference-point dedup emitted a pair twice"
+
+
+def test_proximity_pairs_boundary_exact_gap_on_cell_edge(ray_session):
+    """gap == dist with the touch point exactly on a 256-cell boundary —
+    the closed-max-edge replication case."""
+    from pygeoops_ray.stages.spatial import proximity_pairs
+
+    rects = pd.DataFrame(
+        {
+            "i": np.array([0, 1, 2, 3], np.int64),
+            # pair (0,1): a ends at 232, b starts at 280 -> gap 48, touch of
+            # expanded rects at x=256 (cell boundary). pair (2,3): gap 49.
+            "minx": [100.0, 280.0, 1000.0, 1305.0],
+            "miny": [0.0, 0.0, 0.0, 0.0],
+            "maxx": [232.0, 400.0, 1256.0, 1400.0],
+            "maxy": [50.0, 50.0, 50.0, 50.0],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(rects, preserve_index=False))
+    got = proximity_pairs(ds, dist=48.0).to_pandas()
+    pairs = set(zip(got["img_a"], got["img_b"]))
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
