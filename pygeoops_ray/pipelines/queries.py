@@ -2871,6 +2871,55 @@ def q_footprint_pairs(sf_dir: str):
     return sp.proximity_pairs(rects, dist=48.0, n_rows_hint=n_imgs * 2)
 
 
+def q_running_total(sf_dir: str):
+    """Per-user RUNNING total (cumulative window aggregate): for every event,
+    its 1-based sequence number and the cumulative cents-scaled value over
+    the user's history ordered by (ts, event_id).
+
+    The streaming-window shape sessionize uses, but emitting one row PER
+    INPUT ROW with an order-dependent accumulation — buckets partition
+    users (a user's history must be group-local), the in-group cumsum is
+    one vectorized pandas pass, and bucket count scales with input size.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def run_total(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["user_id", "ts", "event_id"]).copy()
+        group["vc"] = np.floor(group["value"].to_numpy() * 100.0).astype(np.int64)
+        g = group.groupby("user_id", sort=False)
+        group["seq"] = (g.cumcount() + 1).astype(np.int64)
+        group["run_value_c"] = g["vc"].cumsum().astype(np.int64)
+        return group[["event_id", "user_id", "seq", "run_value_c"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(run_total, batch_format="pandas")
+    )
+
+
+def q_top_tokens(sf_dir: str):
+    """EXACT corpus-wide top-20 tokens via candidate-pruned two-pass heavy
+    hitters (stages/sketch.heavy_hitters) — per-block top-C summaries bound
+    the mass any unseen term can hold, pass 2 recounts only the provable
+    candidates, and a certificate guards exactness (full-count fallback
+    otherwise). The oracle is the plain GROUP BY top-k with the same
+    (count DESC, term ASC) tie-break.
+    """
+    from pygeoops_ray.stages.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(docs, "text", k=20, capacity=256, tokenize=True)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2941,6 +2990,8 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "vocab_hll": q_vocab_hll,
     "footprint_pairs": q_footprint_pairs,
+    "running_total": q_running_total,
+    "top_tokens": q_top_tokens,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4463,5 +4514,21 @@ GROUP BY i
           ON a.i < b.i
          AND b.minx <= a.maxx + 48 AND a.minx <= b.maxx + 48
          AND b.miny <= a.maxy + 48 AND a.miny <= b.maxy + 48
+    """,
+    "running_total": """
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS run_value_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "top_tokens": """
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+        SELECT term, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+        FROM c ORDER BY n DESC, term LIMIT 20
     """,
 }

@@ -36,7 +36,13 @@ import pyarrow as pa
 
 from pygeoops_ray.stages.groupagg import grouped_agg
 
-__all__ = ["md5_low64", "hll_partial", "hll_registers", "hll_estimate"]
+__all__ = [
+    "md5_low64",
+    "hll_partial",
+    "hll_registers",
+    "hll_estimate",
+    "heavy_hitters",
+]
 
 
 def md5_low64(s: str) -> int:
@@ -106,3 +112,117 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 20,
+    capacity: int = 256,
+    tokenize: bool = False,
+):
+    """EXACT global top-k most frequent values via candidate-pruned two-pass
+    counting (SpaceSaving/Misra-Gries shape with an exactness certificate).
+
+    Pass 1: every block counts ITS OWN values exactly (vectorized
+    value_counts) and keeps only its top-``capacity`` terms plus one
+    threshold scalar t_b (the largest count it dropped). Any term absent
+    from every block summary has global count <= E = sum_b t_b, so the
+    merged candidate set provably contains every term whose global count
+    exceeds E. Pass 2 recounts ONLY the candidates exactly (broadcast
+    membership filter before the shuffle). Certificate: if the k-th largest
+    exact candidate count >= E, no non-candidate can displace the top-k and
+    the result is exact; otherwise fall back to a full exact count (correct
+    either way — the fallback only costs the full-vocabulary shuffle the
+    two-pass design avoids).
+
+    Shuffle volume: pass 1 moves <= blocks x capacity partial rows + one
+    scalar per block; pass 2 moves only candidate occurrences — at 100-TB
+    corpus scale that is the difference between shipping the whole
+    vocabulary and shipping a bounded candidate table.
+
+    Returns a pandas DataFrame (term, n, rank) — top k by (count DESC,
+    term ASC), a deterministic total order.
+    """
+    import ray
+
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    def to_terms(batch: pa.Table) -> list[str]:
+        col_vals = batch[col].to_pylist()
+        if tokenize:
+            out: list[str] = []
+            for t in col_vals:
+                out.extend(t.split(" "))
+            return out
+        return [str(v) for v in col_vals]
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(to_terms(batch)).value_counts()
+        if len(vc) > capacity:
+            # deterministic keep rule: (count DESC, term ASC)
+            order = pd.DataFrame({"t": vc.index, "n": vc.to_numpy()}).sort_values(
+                ["n", "t"], ascending=[False, True]
+            )
+            kept = order.iloc[:capacity]
+            thr = int(order.iloc[capacity]["n"])
+        else:
+            kept = pd.DataFrame({"t": vc.index, "n": vc.to_numpy()})
+            thr = 0
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(kept["t"]) + [""], pa.string()),
+                "n": pa.array(list(kept["n"].astype(np.int64)) + [0], pa.int64()),
+                "thr": pa.array([0] * len(kept) + [thr], pa.int64()),
+            }
+        )
+
+    summaries = ds.map_batches(pass1, batch_format="pyarrow").materialize()
+    slack = summaries.sum("thr")
+    cand = (
+        grouped_count(
+            summaries.filter(expr="thr == 0"), ["term"], "n_blocks", n_buckets=8
+        )
+        .select_columns(["term"])
+        .to_pandas()["term"]
+        .to_numpy()
+    )
+    cand_ref = ray.put(np.sort(cand.astype(object)))
+
+    def count_rows(batch: pa.Table, members=None) -> pa.Table:
+        terms = np.array(to_terms(batch), dtype=object)
+        if members is not None:
+            allowed = ray.get(members)
+            terms = terms[np.isin(terms, allowed)]
+        vc = pd.Series(terms).value_counts() if len(terms) else pd.Series(dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(vc.index.to_numpy().astype(str), pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from functools import partial as _partial
+
+    exact = grouped_agg(
+        ds.map_batches(_partial(count_rows, members=cand_ref), batch_format="pyarrow"),
+        ["term"],
+        [("cnt", "sum", "n")],
+        n_buckets=8,
+    ).to_pandas()
+
+    top = exact.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    if len(top) and int(top["n"].iloc[-1]) >= int(slack):
+        result = top
+    else:
+        # certificate failed (extremely flat distribution): full exact count
+        full = grouped_agg(
+            ds.map_batches(count_rows, batch_format="pyarrow"),
+            ["term"],
+            [("cnt", "sum", "n")],
+        ).to_pandas()
+        result = full.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    result = result.reset_index(drop=True)
+    result["rank"] = np.arange(1, len(result) + 1, dtype=np.int64)
+    result["n"] = result["n"].astype(np.int64)
+    return result[["term", "n", "rank"]]

@@ -191,3 +191,42 @@ def test_proximity_pairs_boundary_exact_gap_on_cell_edge(ray_session):
     pairs = set(zip(got["img_a"], got["img_b"]))
     assert (0, 1) in pairs
     assert (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_topk(terms, k):
+    from collections import Counter
+
+    c = Counter(terms)
+    order = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(t, n, i + 1) for i, (t, n) in enumerate(order)]
+
+
+def _hh(terms, k, capacity):
+    from pygeoops_ray.stages.sketch import heavy_hitters
+
+    tbl = pa.table({"v": pa.array(terms, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = heavy_hitters(ds, "v", k=k, capacity=capacity)
+    return list(zip(got["term"], got["n"], got["rank"]))
+
+
+def test_heavy_hitters_skewed_exact(ray_session):
+    rng = np.random.default_rng(3)
+    # zipf-ish: term_j appears ~ 4000/(j+1) times
+    terms = []
+    for j in range(400):
+        terms += [f"t{j:03d}"] * (4000 // (j + 1))
+    rng.shuffle(terms)
+    assert _hh(terms, 10, 64) == _brute_topk(terms, 10)
+
+
+def test_heavy_hitters_flat_falls_back_exact(ray_session):
+    # perfectly flat counts force the certificate to fail; the fallback
+    # full count must still return the exact (tie-broken) top-k
+    terms = [f"u{j:04d}" for j in range(3000)] * 2
+    assert _hh(terms, 5, 8) == _brute_topk(terms, 5)
