@@ -125,6 +125,11 @@ def run_bench() -> dict:
         "phash_near_dup",
         "image_pyramid",
         "zonal_stats",
+        "dup_clusters",
+        "vocab_hll",
+        "footprint_pairs",
+        "running_total",
+        "top_tokens",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

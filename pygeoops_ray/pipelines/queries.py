@@ -2920,6 +2920,170 @@ def q_top_tokens(sf_dir: str):
     return heavy_hitters(docs, "text", k=20, capacity=256, tokenize=True)
 
 
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis per user: first 'view', first 'click' strictly
+    AFTER it, first 'purchase' strictly after that — the product-analytics
+    sequence-match shape. Same user-bucketed partitioning as sessionize; the
+    in-group chain resolves with three vectorized filtered-min merges (no
+    per-user Python loop). Missing stages encode as -1 so the whole row is
+    integer-exact against the SQL chain-of-joins oracle.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["tsu"] = g["ts"].astype("int64")
+        users = pd.DataFrame({"user_id": np.sort(g["user_id"].unique())})
+        t1 = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t1"})
+        )
+        ck = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            ck[ck["tsu"] > ck["t1"]]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t2"})
+        )
+        pu = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = (
+            pu[pu["tsu"] > pu["t2"]]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t3"})
+        )
+        out = users.merge(t1, on="user_id", how="left")
+        out = out.merge(t2, on="user_id", how="left")
+        out = out.merge(t3, on="user_id", how="left")
+        stages = (
+            out["t1"].notna().astype(np.int64)
+            + out["t2"].notna().astype(np.int64)
+            + out["t3"].notna().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype(np.int64),
+                "view_ts": out["t1"].fillna(-1).astype(np.int64),
+                "click_ts": out["t2"].fillna(-1).astype(np.int64),
+                "purchase_ts": out["t3"].fillna(-1).astype(np.int64),
+                "stages": stages,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective filters,
+    grouped revenue, top-10 — the canonical multi-join analytics chain.
+
+    Scale plan: the BUILDING-segment customer keys reduce via a Bloom
+    broadcast semi-join (probe-side orders drop before any exchange; exact
+    left_semi removes false positives), the orders⋈lineitem leg is the one
+    real hash shuffle (both sides big), revenue pre-aggregates per block
+    before the grouped sum, and the top-10 is a per-block partial + tiny
+    global merge — no full sort anywhere.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    cutoff = np.datetime64("1998-06-01T00:00:00", "us")
+    cutoff_us = int(cutoff.astype(np.int64))
+
+    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    orders = _read_blocked(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(pc.cast(b["o_orderdate"], pa.int64()), cutoff_us)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = bloom_semi_join(
+        orders,
+        cust,
+        probe_key="o_custkey",
+        build_key="c_custkey",
+        n_build_hint=max(64, _table_rows(sf_dir, "customer") // 4),
+    )
+
+    def ord_cols(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "odate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(ord_cols, batch_format="pyarrow", batch_size=None)
+
+    def li_cols(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy()
+        keep = ship > cutoff_us
+        p = b["l_extendedprice"].to_numpy()[keep]
+        d = b["l_discount"].to_numpy()[keep]
+        rev = np.floor(p * (1 - d) * 100).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[keep], pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read_blocked(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_cols, batch_format="pyarrow", batch_size=None)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = grouped_agg(
+        joined, ["l_orderkey", "odate_us"], [("rev_c", "sum", "revenue_c")], n_buckets=8
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_c"].to_numpy()
+        okey = batch["l_orderkey"].to_numpy()
+        order = np.lexsort((okey, -rev))[:10]
+        return batch.take(pa.array(order, pa.int64()))
+
+    top = (
+        agg.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["revenue_c", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    return top[["o_orderkey", "odate_us", "revenue_c"]]
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -2992,6 +3156,8 @@ QUERIES = {
     "footprint_pairs": q_footprint_pairs,
     "running_total": q_running_total,
     "top_tokens": q_top_tokens,
+    "funnel": q_funnel,
+    "shipping_priority": q_shipping_priority,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4455,7 +4621,7 @@ GROUP BY i
     "dup_clusters": """
         WITH RECURSIVE
         tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(range(1, len(tk) - 1),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
@@ -4467,11 +4633,14 @@ GROUP BY i
                    len(a.s) AS na, len(b.s) AS nb
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         ),
-        e1 AS (
+        e1 AS MATERIALIZED (
             SELECT doc_a, doc_b FROM p0
             WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
         ),
-        edges AS (
+        -- MATERIALIZED: the recursive step scans edges once per iteration;
+        -- without the hint DuckDB inlines the CTE chain and replays the
+        -- all-pairs Jaccard join EVERY round
+        edges AS MATERIALIZED (
             SELECT doc_a AS s, doc_b AS d FROM e1
             UNION ALL
             SELECT doc_b, doc_a FROM e1
@@ -4530,5 +4699,53 @@ GROUP BY i
         SELECT term, CAST(n AS BIGINT) AS n,
                CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
         FROM c ORDER BY n DESC, term LIMIT 20
+    """,
+    "funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(coalesce(v.t1, -1) AS BIGINT) AS view_ts,
+               CAST(coalesce(c.t2, -1) AS BIGINT) AS click_ts,
+               CAST(coalesce(p.t3, -1) AS BIGINT) AS purchase_ts,
+               CAST(CASE WHEN v.t1 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages
+        FROM u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    "shipping_priority": """
+        WITH f AS (
+            SELECT l.l_orderkey AS o_orderkey,
+                   epoch_us(o.o_orderdate) AS odate_us,
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT) AS rev_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND epoch_us(o.o_orderdate) < epoch_us(TIMESTAMP '1998-06-01')
+              AND epoch_us(l.l_shipdate) > epoch_us(TIMESTAMP '1998-06-01')
+        )
+        SELECT o_orderkey, CAST(odate_us AS BIGINT) AS odate_us,
+               CAST(sum(rev_c) AS BIGINT) AS revenue_c
+        FROM f GROUP BY o_orderkey, odate_us
+        ORDER BY revenue_c DESC, o_orderkey LIMIT 10
     """,
 }
