@@ -10,15 +10,23 @@ Algorithm: iterative MIN-LABEL PROPAGATION. Every node starts labeled with
 its own id; each round every node's label becomes the min of its own and its
 neighbors' labels; at fixpoint label(v) = min node id of v's component.
 
+Execution shape: ONE coarse-bucket shuffle per round. Rows are keyed by node
+id; a round's input is the previous round's output UNION the static edge
+rows (same key space — a node's self row, its incoming messages, and its
+outgoing edges all land in the same bucket). The bucket reducer applies the
+min, emits the node's updated self row, AND immediately emits next-round
+messages along the node's outgoing edges — min-combine and forward are
+pipelined into the same exchange instead of alternating two shuffles.
+
 Why this variant at 100-TB scale: each round moves a BOUNDED volume —
-|V| label rows + 2|E| edge rows through one coarse-bucket shuffle, then
-|V| + |E| candidate rows through a second — with no intermediate growth
+|V| self rows + |E| messages + |E| edge rows — with no intermediate growth
 (hash-to-min style set-carrying variants converge in fewer rounds but their
 per-round state can blow up to the component size). Round count equals the
-graph diameter, and near-duplicate graphs are dense clumps with tiny
-diameters (a clique converges in 1 round). The label table is materialized
-once per round so lineage stays flat and the executor can free the previous
-round's blocks.
+graph diameter + 1, and near-duplicate graphs are dense clumps with tiny
+diameters (a clique converges in 2 rounds). The state is materialized once
+per round so lineage stays flat and the executor can free the previous
+round's blocks; the fixpoint test is a metadata-cheap sum over the
+``changed`` column.
 
 Determinism: min is order-independent; coarse buckets use the fixed
 ``pd.util.hash_pandas_object`` key, so results are exact and reproducible —
@@ -35,12 +43,60 @@ from pygeoops_ray.stages.groupagg import _bucket_count
 
 __all__ = ["connected_components"]
 
+# is_self row tags: 0 = message, 1 = node self row, 2 = static edge row
+_MSG, _SELF, _EDGE = 0, 1, 2
+
 
 def _empty_labels() -> pa.Table:
     return pa.Table.from_pydict(
         {
             "node": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _step(df: pd.DataFrame) -> pd.DataFrame:
+    """One pipelined round inside a bucket: min-combine + forward.
+
+    A node's label can only DECREASE and never drops below any id, so an
+    implied (key, key) candidate is always safe to add — it bootstraps the
+    first round (no self rows yet) and is a no-op afterwards.
+    """
+    is_edge = df["is_self"].to_numpy() == _EDGE
+    ed = df[is_edge]
+    ca = df[~is_edge]
+    keys_all = np.union1d(ed["key"].unique(), ca["key"].unique()).astype(np.int64)
+
+    aug = pd.DataFrame(
+        {
+            "key": np.concatenate([ca["key"].to_numpy(), keys_all]),
+            "cand": np.concatenate([ca["cand"].to_numpy(), keys_all]),
+        }
+    )
+    new = aug.groupby("key", sort=False)["cand"].min()
+    old = ca[ca["is_self"] == _SELF].set_index("key")["cand"]
+    old = old.reindex(new.index)
+    # nodes without a self row yet (bootstrap) had label == their own id
+    old = old.fillna(pd.Series(new.index.to_numpy(), index=new.index))
+    changed = (new < old).astype(np.int8)
+
+    lab = pd.DataFrame({"key": new.index.to_numpy(), "lab": new.to_numpy()})
+    m = ed[["key", "cand"]].merge(lab, on="key", how="inner")
+
+    return pd.DataFrame(
+        {
+            "key": np.concatenate([lab["key"].to_numpy(), m["cand"].to_numpy()]),
+            "cand": np.concatenate([lab["lab"].to_numpy(), m["lab"].to_numpy()]),
+            "is_self": np.concatenate(
+                [
+                    np.full(len(lab), _SELF, dtype=np.int8),
+                    np.full(len(m), _MSG, dtype=np.int8),
+                ]
+            ),
+            "changed": np.concatenate(
+                [changed.to_numpy(), np.zeros(len(m), dtype=np.int8)]
+            ),
         }
     )
 
@@ -76,11 +132,13 @@ def connected_components(
     def sym(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy().astype(np.int64)
         d = batch[dst_col].to_numpy().astype(np.int64)
+        n2 = 2 * len(s)
         return pa.Table.from_pydict(
             {
                 "key": pa.array(np.concatenate([s, d]), pa.int64()),
-                "val": pa.array(np.concatenate([d, s]), pa.int64()),
-                "kind": pa.array(np.ones(2 * len(s), dtype=np.int8), pa.int8()),
+                "cand": pa.array(np.concatenate([d, s]), pa.int64()),
+                "is_self": pa.array(np.full(n2, _EDGE, dtype=np.int8), pa.int8()),
+                "changed": pa.array(np.zeros(n2, dtype=np.int8), pa.int8()),
             }
         )
 
@@ -90,24 +148,22 @@ def connected_components(
     if n_dir_edges == 0:
         labels = rd.from_arrow(_empty_labels())
     else:
-        # -- init labels: every endpoint labeled with itself ----------------
-        def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-            u = np.unique(df["key"].to_numpy())
-            return pd.DataFrame({"node": u, "label": u, "changed": np.int8(0)})
-
-        labels = _bucketed_pd(edges, ["key"], init_labels, nb).materialize()
-
+        state = _bucketed_pd(edges, ["key"], _step, nb).materialize()
         for _ in range(max_iters):
-            labels = _cc_round(labels, edges, nb).materialize()
-            if labels.sum("changed") == 0:
+            # round 1's changed is always 0 (messages only in flight), so the
+            # bootstrap runs above and the check leads every later round
+            state = _bucketed_pd(state.union(edges), ["key"], _step, nb).materialize()
+            if state.sum("changed") == 0:
                 break
 
         def finalize(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(batch["is_self"], _SELF)
+            out = batch.filter(keep)
             return pa.Table.from_pydict(
-                {"node": batch["node"], "cluster_id": batch["label"]}
+                {"node": out["key"], "cluster_id": out["cand"]}
             )
 
-        labels = labels.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+        labels = state.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
     if all_nodes_ds is None:
         return labels
@@ -162,60 +218,3 @@ def _bucketed_pd(ds, key_cols, reducer, n_buckets: int):
         .groupby("_gb")
         .map_groups(per_bucket, batch_format="pandas")
     )
-
-
-def _cc_round(labels, edges, n_buckets: int):
-    """One propagation round: two coarse-bucket shuffles.
-
-    Shuffle 1 (by source node): co-locate each node's label row with its
-    outgoing edges; every edge forwards the source's label to its target.
-    Shuffle 2 (by target node): min over incoming candidates + own label;
-    ``changed`` records whether the min improved, so the driver can stop at
-    the fixpoint with a metadata-cheap sum instead of a diff join.
-    """
-
-    def as_kind0(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "key": batch["node"],
-                "val": batch["label"],
-                "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int8), pa.int8()),
-            }
-        )
-
-    lab_rows = labels.map_batches(as_kind0, batch_format="pyarrow", batch_size=None)
-
-    def forward(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[df["kind"] == 0][["key", "val"]].rename(columns={"val": "label"})
-        edg = df[df["kind"] == 1][["key", "val"]]
-        msgs = edg.merge(lab, on="key", how="inner")
-        return pd.DataFrame(
-            {
-                "node": np.concatenate(
-                    [lab["key"].to_numpy(), msgs["val"].to_numpy()]
-                ).astype(np.int64),
-                "cand": np.concatenate(
-                    [lab["label"].to_numpy(), msgs["label"].to_numpy()]
-                ).astype(np.int64),
-                "is_self": np.concatenate(
-                    [
-                        np.ones(len(lab), dtype=np.int8),
-                        np.zeros(len(msgs), dtype=np.int8),
-                    ]
-                ),
-            }
-        )
-
-    cands = _bucketed_pd(lab_rows.union(edges), ["key"], forward, n_buckets)
-
-    def take_min(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)
-        new = g["cand"].min()
-        old = df[df["is_self"] == 1].set_index("node")["cand"]
-        old = old.reindex(new.index)
-        changed = (new < old).astype(np.int8)
-        return pd.DataFrame(
-            {"node": new.index.to_numpy(), "label": new.to_numpy(), "changed": changed.to_numpy()}
-        )
-
-    return _bucketed_pd(cands, ["node"], take_min, n_buckets)
