@@ -106,6 +106,7 @@ def _register_builtins() -> None:
     from pygeoops_ray.stages import multimodal as mm
     from pygeoops_ray.stages import text as tx
     from pygeoops_ray.stages.dedup import minhash_signatures_batch, simhash_batch
+    from pygeoops_ray.stages.sketch import hll_tokens_batch as _hll_tokens_batch
 
     for st in (
         Stage("token_count", tx.token_count_batch, ("doc_id", "text"), ("doc_id", "n_tokens")),
@@ -125,6 +126,7 @@ def _register_builtins() -> None:
             ("doc_id", "band_id", "band_hash"),
         ),
         Stage("simhash", simhash_batch, ("doc_id", "text"), ("doc_id", "simhash")),
+        Stage("hll_partial", _hll_tokens_batch, ("text",), ("bucket", "r")),
         Stage(
             "quantized_digest",
             mm.quantized_digest_batch,

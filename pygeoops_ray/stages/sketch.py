@@ -100,6 +100,18 @@ def hll_registers(ds, col: str, p: int = 12, tokenize: bool = False):
     return grouped_agg(parts, ["bucket"], [("r", "max", "r")], n_buckets=8)
 
 
+def hll_tokens_batch(batch: pa.Table, p: int = 12) -> pa.Table:
+    """Registry-facing batch stage: per-batch HLL register partial over the
+    whitespace tokens of a ``text`` column (merge with grouped max)."""
+    vals: list[str] = []
+    for t in batch["text"].to_pylist():
+        vals.extend(t.split(" "))
+    bucket, rank = hll_partial(vals, p)
+    return pa.Table.from_pydict(
+        {"bucket": pa.array(bucket, pa.int64()), "r": pa.array(rank, pa.int64())}
+    )
+
+
 def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     """Flajolet 2007 estimator from a (bucket, r) register frame; buckets
     absent from the frame are zero registers."""

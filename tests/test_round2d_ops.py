@@ -87,7 +87,8 @@ def test_bloom_prefilter_actually_prunes(ray_session):
 def _run(name):
     from pygeoops_ray.pipelines.queries import QUERIES
 
-    return QUERIES[name](SF).to_pandas()
+    out = QUERIES[name](SF)
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
 
 
 def _sql(name):
@@ -96,7 +97,7 @@ def _sql(name):
     from pygeoops_ray.pipelines.queries import ORACLE_SQL
 
     con = duckdb.connect()
-    for t in ["orders", "lineitem", "customer", "embeddings", "part"]:
+    for t in ["orders", "lineitem", "customer", "embeddings", "part", "events"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(ORACLE_SQL[name]).df()
 
@@ -108,6 +109,10 @@ def _sql(name):
         ("stratified_sample", ["o_orderpriority"]),
         ("sales_rollup", ["l_returnflag", "l_linestatus"]),
         ("embed_quantize", ["vec_id"]),
+        ("running_total", ["user_id", "seq"]),
+        ("funnel", ["user_id"]),
+        ("footprint_pairs", ["img_a", "img_b"]),
+        ("shipping_priority", ["o_orderkey"]),
     ],
 )
 def test_query_matches_oracle(ray_session, name, keys):
