@@ -3084,6 +3084,36 @@ def q_shipping_priority(sf_dir: str):
     return top[["o_orderkey", "odate_us", "revenue_c"]]
 
 
+def q_knn_join(sf_dir: str):
+    """Exact kNN JOIN via cell neighbor-RING expansion
+    (stages/spatial.knn_join_ring): every 101st event point finds its 3
+    nearest OTHER points.
+
+    The pruned complement of the broadcast ``knn`` query: the corpus side is
+    never broadcast — points shuffle into home cells, queries replicate only
+    to Chebyshev ring-r cells per round, and a query resolves when its k-th
+    distance is provably inside the searched radius (any unsearched point is
+    at L∞ > r·cell). Squared distances over integer coordinates are
+    integer-exact, so the oracle is the plain windowed cross join.
+    """
+    n_events = _table_rows(sf_dir, "events")
+    import pandas as pd
+
+    e = np.arange(0, n_events, 101, dtype=np.int64)
+    qdf = pd.DataFrame(
+        {
+            "q_id": e,
+            "qx": (e % 1000).astype(np.float64) * 256.0 + ((e * 7) % 256).astype(np.float64),
+            "qy": ((e // 1000) % 20).astype(np.float64) * 256.0
+            + ((e * 13) % 256).astype(np.float64),
+        }
+    )
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    return sp.knn_join_ring(pts, qdf, k=3)
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3158,6 +3188,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "funnel": q_funnel,
     "shipping_priority": q_shipping_priority,
+    "knn_join": q_knn_join,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4747,5 +4778,26 @@ GROUP BY i
                CAST(sum(rev_c) AS BIGINT) AS revenue_c
         FROM f GROUP BY o_orderkey, odate_us
         ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+    """,
+    "knn_join": f"""
+        WITH pts AS ({_PTS}),
+        q AS (
+            SELECT event_id AS q_id, px AS qx, py AS qy
+            FROM pts WHERE event_id % 101 = 0
+        ),
+        d AS (
+            SELECT q.q_id, p.event_id,
+                   CAST((p.px - q.qx) * (p.px - q.qx)
+                        + (p.py - q.qy) * (p.py - q.qy) AS BIGINT) AS dist2
+            FROM q JOIN pts p ON p.event_id <> q.q_id
+        ),
+        r AS (
+            SELECT q_id, event_id, dist2,
+                   row_number() OVER (PARTITION BY q_id ORDER BY dist2, event_id)
+                       AS rnk
+            FROM d
+        )
+        SELECT q_id, event_id, CAST(rnk AS BIGINT) AS rnk, dist2
+        FROM r WHERE rnk <= 3
     """,
 }

@@ -652,3 +652,181 @@ def proximity_pairs(rects_ds, dist: float, cell: float = TILE, n_rows_hint: int 
 
     nb = _bucket_count(16, n_rows_hint)
     return _bucketed(cand, ["cell_id"], pair_reduce, nb)
+
+
+def knn_join_ring(
+    points_ds,
+    queries_df,
+    k: int = 3,
+    cell: float = TILE,
+    max_rings: int = 64,
+):
+    """Exact kNN JOIN via cell neighbor-RING expansion (north-rule shape).
+
+    ``knn_points`` broadcasts the query matrix and scans EVERY corpus point
+    against every query — right when queries are few and the corpus must be
+    streamed once anyway. This is the pruned variant for when the corpus is
+    huge: points shuffle ONCE into their home cells; each round r the still-
+    unresolved queries replicate only to the cells of Chebyshev ring r, the
+    per-cell candidate pairs are enumerated co-grouped (vectorized same-cell
+    merge), and a query RESOLVES when its k-th best distance is provably
+    inside the searched radius — any point in an unsearched cell is at
+    L∞ > r·cell from the query, so dist² > (r·cell)² certifies exactness.
+
+    ``queries_df`` is a pandas frame (q_id, qx, qy) — the query side is the
+    SMALL side by contract (its per-round ring bookkeeping is driver-side
+    control plane, like the CC fixpoint sum); the points side is never
+    materialized. Each point lives in exactly one cell and each (query,
+    cell) is searched exactly once, so candidates never duplicate across
+    rounds. Ties break on (dist², event_id); dist² over integer-valued
+    coordinates is integer-exact.
+
+    Returns (q_id, event_id, rnk, dist2) with rnk 1..k; the query's own
+    point (same event_id) is excluded.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    grid = CellGrid(cell)
+
+    pts = points_ds.map_batches(
+        lambda b: add_cell_id(b), batch_format="pyarrow"
+    ).materialize()
+
+    q = queries_df.reset_index(drop=True).copy()
+    q["cx"] = np.floor(q["qx"].to_numpy() / cell).astype(np.int64)
+    q["cy"] = np.floor(q["qy"].to_numpy() / cell).astype(np.int64)
+
+    def ring_rows(qd: pd.DataFrame, r: int) -> pd.DataFrame:
+        """Replicate each query to its ring-r cells (Chebyshev shell)."""
+        if r == 0:
+            offs = np.array([[0, 0]], dtype=np.int64)
+        else:
+            side = np.arange(-r, r + 1, dtype=np.int64)
+            top = np.stack([side, np.full_like(side, -r)], axis=1)
+            bot = np.stack([side, np.full_like(side, r)], axis=1)
+            mid = np.arange(-r + 1, r, dtype=np.int64)
+            lef = np.stack([np.full_like(mid, -r), mid], axis=1)
+            rig = np.stack([np.full_like(mid, r), mid], axis=1)
+            offs = np.concatenate([top, bot, lef, rig])
+        nq, no = len(qd), len(offs)
+        cx = np.repeat(qd["cx"].to_numpy(), no) + np.tile(offs[:, 0], nq)
+        cy = np.repeat(qd["cy"].to_numpy(), no) + np.tile(offs[:, 1], nq)
+        keep = (cx >= 0) & (cy >= 0)
+        out = pd.DataFrame(
+            {
+                "cell_id": grid.cell_id_of_colrow(cx[keep], cy[keep]),
+                "q_id": np.repeat(qd["q_id"].to_numpy(), no)[keep],
+                "qx": np.repeat(qd["qx"].to_numpy(), no)[keep],
+                "qy": np.repeat(qd["qy"].to_numpy(), no)[keep],
+            }
+        )
+        return out
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qd = df[df["kind"] == 1]
+        pdf = df[df["kind"] == 0]
+        if not len(qd) or not len(pdf):
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series([], dtype=np.int64),
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "dist2": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = qd[["cell_id", "q_id", "x", "y"]].merge(
+            pdf[["cell_id", "event_id", "x", "y"]].rename(
+                columns={"x": "px", "y": "py"}
+            ),
+            on="cell_id",
+        )
+        m = m[m["event_id"] != m["q_id"]]
+        dx = m["px"].to_numpy() - m["x"].to_numpy()
+        dy = m["py"].to_numpy() - m["y"].to_numpy()
+        d2 = (dx * dx + dy * dy).astype(np.int64)
+        out = pd.DataFrame(
+            {"q_id": m["q_id"].to_numpy(), "event_id": m["event_id"].to_numpy(), "dist2": d2}
+        )
+        # per-(bucket, query) partial top-k before anything moves again
+        out = out.sort_values(["q_id", "dist2", "event_id"]).groupby("q_id").head(k)
+        return out
+
+    def pts_tagged(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "cell_id": batch["cell_id"],
+                "q_id": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "event_id": batch["event_id"],
+                "x": batch["px"],
+                "y": batch["py"],
+                "kind": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    pts_t = pts.map_batches(pts_tagged, batch_format="pyarrow", batch_size=None)
+
+    acc: pd.DataFrame | None = None
+    unresolved = q
+    for r in range(max_rings):
+        if not len(unresolved):
+            break
+        rr = ring_rows(unresolved, r)
+        if len(rr):
+            qt = pa.Table.from_pydict(
+                {
+                    "cell_id": pa.array(rr["cell_id"].to_numpy(), pa.int64()),
+                    "q_id": pa.array(rr["q_id"].to_numpy(), pa.int64()),
+                    "event_id": pa.array(np.full(len(rr), -1, np.int64), pa.int64()),
+                    "x": pa.array(rr["qx"].to_numpy()),
+                    "y": pa.array(rr["qy"].to_numpy()),
+                    "kind": pa.array(np.ones(len(rr), np.int8), pa.int8()),
+                }
+            )
+            # only cells this ring touches shuffle; at real scale the point
+            # side comes from a cell-partitioned sink (state/manifest
+            # read_pruned), so the per-round scan prunes to whole partition
+            # files instead of this in-stream filter
+            import ray as _ray
+
+            touched_ref = _ray.put(np.unique(rr["cell_id"].to_numpy()))
+
+            def cell_filter(batch: pa.Table) -> pa.Table:
+                cells = _ray.get(touched_ref)
+                keep = np.isin(batch["cell_id"].to_numpy(), cells)
+                return batch.filter(pa.array(keep))
+
+            pts_r = pts_t.map_batches(cell_filter, batch_format="pyarrow", batch_size=None)
+            part = (
+                _bucketed(
+                    pts_r.union(rd.from_arrow(qt)),
+                    ["cell_id"],
+                    pair_partial,
+                    16,
+                )
+                .to_pandas()
+            )
+            acc = part if acc is None else pd.concat([acc, part], ignore_index=True)
+            if acc is not None and len(acc):
+                acc = (
+                    acc.sort_values(["q_id", "dist2", "event_id"])
+                    .groupby("q_id")
+                    .head(k)
+                    .reset_index(drop=True)
+                )
+        # resolution: k-th best within the certified radius (r*cell)
+        bound = float(r * cell) ** 2
+        if acc is not None and len(acc):
+            nth = acc.groupby("q_id")["dist2"].agg(["count", "max"])
+            done_ids = nth[(nth["count"] >= k) & (nth["max"] <= bound)].index
+            unresolved = unresolved[~unresolved["q_id"].isin(done_ids)]
+        # else: nothing found yet, every query continues
+    if len(unresolved):
+        raise RuntimeError(f"knn_join_ring: {len(unresolved)} queries unresolved after {max_rings} rings")
+
+    acc = acc.sort_values(["q_id", "dist2", "event_id"]).reset_index(drop=True)
+    acc["rnk"] = acc.groupby("q_id").cumcount() + 1
+    out = acc[acc["rnk"] <= k][["q_id", "event_id", "rnk", "dist2"]]
+    return out.reset_index(drop=True)

@@ -230,3 +230,63 @@ def test_heavy_hitters_flat_falls_back_exact(ray_session):
     # full count must still return the exact (tie-broken) top-k
     terms = [f"u{j:04d}" for j in range(3000)] * 2
     assert _hh(terms, 5, 8) == _brute_topk(terms, 5)
+
+
+# ---------------------------------------------------------------------------
+# knn_join_ring (stages/spatial.py) — neighbor-ring expansion
+# ---------------------------------------------------------------------------
+
+
+def _brute_knn(qdf, pts, k):
+    out = []
+    for _, qr in qdf.iterrows():
+        d2 = ((pts["px"] - qr["qx"]) ** 2 + (pts["py"] - qr["qy"]) ** 2).astype(np.int64)
+        cand = pd.DataFrame(
+            {"event_id": pts["event_id"], "dist2": d2}
+        )
+        cand = cand[cand["event_id"] != qr["q_id"]]
+        cand = cand.sort_values(["dist2", "event_id"]).head(k)
+        for rnk, (_, row) in enumerate(cand.iterrows(), 1):
+            out.append((int(qr["q_id"]), int(row["event_id"]), rnk, int(row["dist2"])))
+    return out
+
+
+def test_knn_join_ring_sparse_needs_multiple_rings(ray_session):
+    """Points far apart: a query's 3rd neighbor lives 3+ cells away, so the
+    resolution certificate must keep expanding rings before committing."""
+    from pygeoops_ray.stages.spatial import knn_join_ring
+
+    rng = np.random.default_rng(9)
+    n = 40
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "px": np.floor(rng.uniform(0, 6000, n)),
+            "py": np.floor(rng.uniform(0, 6000, n)),
+        }
+    )
+    qdf = pd.DataFrame(
+        {"q_id": pts["event_id"][:8], "qx": pts["px"][:8], "qy": pts["py"][:8]}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(pts, preserve_index=False)).repartition(4)
+    got = knn_join_ring(ds, qdf, k=3)
+    got_t = list(zip(got["q_id"], got["event_id"], got["rnk"], got["dist2"]))
+    assert [tuple(map(int, t)) for t in got_t] == _brute_knn(qdf, pts, 3)
+
+
+def test_knn_join_ring_exact_ties(ray_session):
+    """Four equidistant neighbors: rank order must follow (dist2, event_id)."""
+    from pygeoops_ray.stages.spatial import knn_join_ring
+
+    pts = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2, 3, 4], np.int64),
+            "px": np.array([500.0, 400.0, 600.0, 500.0, 500.0]),
+            "py": np.array([500.0, 500.0, 500.0, 400.0, 600.0]),
+        }
+    )
+    qdf = pd.DataFrame({"q_id": [0], "qx": [500.0], "qy": [500.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(pts, preserve_index=False))
+    got = knn_join_ring(ds, qdf, k=3)
+    assert got["event_id"].tolist() == [1, 2, 3]
+    assert got["dist2"].tolist() == [10000, 10000, 10000]
