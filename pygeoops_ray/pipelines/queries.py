@@ -3114,6 +3114,58 @@ def q_knn_join(sf_dir: str):
     return sp.knn_join_ring(pts, qdf, k=3)
 
 
+def q_dissolve(sf_dir: str):
+    """Distributed DISSOLVE: per nation, the boolean union of each
+    supplier's footprint rect, with the union's exact area — the grouped
+    GEOMETRY aggregate (GIS dissolve / reference ``collect``+``union_all``),
+    running the Martinez n-ary coverage-depth union inside ``map_groups``.
+
+    Each supplier contributes rect [x0, 0, x0+10, 5] with x0 = (s_suppkey %
+    7) * 8 — neighbors overlap (10 > 8), so the union is a genuine interval
+    merge the oracle replays with a window-lag sum. Areas are exact
+    multiples of 5, emitted cents-scaled as integers.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.geo import boolean
+    from pygeoops_ray.geo.geom import box
+
+    ds = _read_blocked(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def rects(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "n_nationkey": batch["s_nationkey"],
+                "x0": pa.array(((sk % 7) * 8).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dissolve(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for nk, g_ in group.groupby("n_nationkey", sort=False):
+            slots = np.unique(g_["x0"].to_numpy())
+            geoms = [box(float(x), 0.0, float(x) + 10.0, 5.0) for x in slots]
+            u = boolean.union_all(geoms)
+            out.append(
+                (
+                    int(nk),
+                    int(np.floor(u.area * 100.0)),
+                    len(slots),
+                )
+            )
+        return pd.DataFrame(out, columns=["n_nationkey", "area_c", "n_slots"]).astype(
+            {"n_nationkey": np.int64, "area_c": np.int64, "n_slots": np.int64}
+        )
+
+    # 25 nations: Ray's native groupby is fine at this key cardinality
+    return (
+        ds.map_batches(rects, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .map_groups(dissolve, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3189,6 +3241,7 @@ QUERIES = {
     "funnel": q_funnel,
     "shipping_priority": q_shipping_priority,
     "knn_join": q_knn_join,
+    "dissolve": q_dissolve,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4799,5 +4852,28 @@ GROUP BY i
         )
         SELECT q_id, event_id, CAST(rnk AS BIGINT) AS rnk, dist2
         FROM r WHERE rnk <= 3
+    """,
+    # dissolve: the union of overlapping [x0, x0+10]×[0,5] rects per nation
+    # is an interval merge — lead() gives each slot's newly-covered length
+    "dissolve": """
+        WITH s AS (
+            SELECT DISTINCT s_nationkey AS nk, (s_suppkey % 7) * 8 AS x0
+            FROM supplier
+        ),
+        w AS (
+            SELECT nk, x0, lead(x0) OVER (PARTITION BY nk ORDER BY x0) AS nxt
+            FROM s
+        ),
+        seg AS (
+            SELECT nk,
+                   CASE WHEN nxt IS NULL THEN 10
+                        WHEN nxt - x0 < 10 THEN nxt - x0
+                        ELSE 10 END AS len
+            FROM w
+        )
+        SELECT CAST(nk AS BIGINT) AS n_nationkey,
+               CAST(sum(len) * 5 * 100 AS BIGINT) AS area_c,
+               CAST(count(*) AS BIGINT) AS n_slots
+        FROM seg GROUP BY nk
     """,
 }
