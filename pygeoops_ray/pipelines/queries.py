@@ -3166,6 +3166,78 @@ def q_dissolve(sf_dir: str):
     )
 
 
+def q_image_curation(sf_dir: str):
+    """End-to-end IMAGE curation, composed and oracle-exact — the
+    image-payload sibling of ``curation_pipeline``: size gate (w·h ≥ 1200)
+    → exact dedup on the codec-invariant (phash_q, qdigest) key (argmin
+    ordinal keeps the whole row) → near-duplicate removal (banded hamming ≤
+    3 over the integer block-mean hash, guaranteed recall ⇒ deterministic
+    drop-i_b rule) → multiplicative-hash train/val split → per-split counts
+    + pixel sums + id checksums.
+
+    ONE decode per image feeds all stages (multimodal.curate_digest_batch);
+    the near-dup removal set is the pair output (bounded by duplicate
+    density) broadcast via ray.put. The oracle replays the full chain —
+    generator-rule dims, the ordinal duplicate rule, the HUGEINT ihash
+    re-derivation, all-pairs hamming, and the split hash — in one SQL.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from pygeoops_ray.stages.groupagg import _bucketed, grouped_agg
+    from pygeoops_ray.stages.multimodal import curate_digest_batch
+
+    ds, n = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(curate_digest_batch, batch_format="pyarrow", batch_size=1024)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        batch = batch.drop_columns(["image_id"]).append_column("i", i)
+        px = pc.multiply(batch["w"], batch["h"])
+        return batch.filter(pc.greater_equal(px, 1200))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    # exact dedup keeping the min-ordinal ROW (its own ihash rides along)
+    def argmin_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("i").drop_duplicates(["phash_q", "qdigest"], keep="first")
+
+    deduped = _bucketed(
+        gated, ["phash_q", "qdigest"], argmin_rows, n_buckets=8, pre=argmin_rows
+    ).materialize()
+
+    pairs = dedup_stages.hamming_pairs(
+        deduped, id_col="i", hash_col="ihash", max_hamming=3,
+        n_rows_hint=n, out_a="i_a", out_b="i_b",
+    )
+    drop = np.unique(pairs.select_columns(["i_b"]).to_pandas()["i_b"].to_numpy())
+    dref = ray.put(drop.astype(np.int64))
+
+    def split_rows(b: pa.Table) -> pa.Table:
+        ids = b["i"].to_numpy()
+        keep = ~np.isin(ids, ray.get(dref))
+        ids = ids[keep]
+        px = (b["w"].to_numpy() * b["h"].to_numpy())[keep]
+        bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        split = np.where(bucket % np.uint64(10) == 9, "val", "train")
+        return pa.Table.from_pydict(
+            {
+                "split": pa.array(split),
+                "i": pa.array(ids, pa.int64()),
+                "px": pa.array(px.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        deduped.map_batches(split_rows, batch_format="pyarrow"),
+        ["split"],
+        [("i", "size", "n_images"), ("px", "sum", "sum_px"), ("i", "sum", "id_sum")],
+        n_buckets=2,
+    )
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3242,6 +3314,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "knn_join": q_knn_join,
     "dissolve": q_dissolve,
+    "image_curation": q_image_curation,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -3269,6 +3342,89 @@ _PTS = """
            CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS DOUBLE) AS py
     FROM events
 """
+
+# CTE chain deriving every image's integer block-mean hash from the
+# generator rule (splitmix64 seeds, gradient pixels, raw0/qz1 dequantize,
+# HUGEINT hash assembly): shared by phash_near_dup and image_curation
+_IMG_IHASH_CTES = r'''n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+),
+-- gray block sums over the floor-start 8x8 partition: pixel y is in block
+-- row (8y+7)//h (identity for starts floor(r*h/8)); same for columns
+bsum AS (
+    SELECT i, h, w,
+           (8 * y + 7) // h AS br,
+           (8 * x + 7) // w AS bc,
+           sum(d0 + d1 + d2) AS s
+    FROM dec
+    GROUP BY i, h, w, br, bc
+),
+tot AS (SELECT i, sum(s) AS t FROM bsum GROUP BY i),
+hashes AS (
+    SELECT b.i,
+           sum(CASE WHEN b.s * (b.h * b.w)
+                        > tot.t * ((((b.br + 1) * b.h) // 8 - (b.br * b.h) // 8)
+                                   * (((b.bc + 1) * b.w) // 8 - (b.bc * b.w) // 8))
+                    THEN (CAST(1 AS HUGEINT) << CAST(63 - (b.br * 8 + b.bc) AS INTEGER))
+                    ELSE 0 END) AS v
+    FROM bsum b JOIN tot ON b.i = tot.i
+    GROUP BY b.i
+),
+signed AS (
+    SELECT i,
+           CAST(CASE WHEN v >= 9223372036854775808
+                     THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS ihash
+    FROM hashes
+)'''
+
 
 ORACLE_SQL = {
     "tile_assignment": f"""
@@ -3829,85 +3985,8 @@ ORACLE_SQL = {
     # generator rule (same splitmix64/gradient/quantize replay as
     # image_features), assemble the 64-bit hash in HUGEINT, then the exact
     # all-pairs hamming check — bit-for-bit the kernel's arithmetic.
-    "phash_near_dup": """
-WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
-ords AS (
-    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
-),
-imgs AS (
-    SELECT i,
-           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
-           (i % 3 = 0) AS is_qz
-    FROM ords
-),
-s0 AS (
-    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
-),
-s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
-s1 AS (
-    SELECT *,
-           ((a0 % 4294967296) * 13787848793156543929
-            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
-              * 4294967296) % 18446744073709551616 AS z1
-    FROM s0x
-),
-s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
-s2 AS (
-    SELECT *,
-           ((a1 % 4294967296) * 10723151780598845931
-            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
-              * 4294967296) % 18446744073709551616 AS z2
-    FROM s1x
-),
-seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
-meta AS (
-    SELECT CAST(i AS BIGINT) AS i, is_qz,
-           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
-           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
-           CAST(seed % 256 AS BIGINT) AS o0,
-           CAST((seed // 256) % 256 AS BIGINT) AS o1,
-           CAST((seed // 65536) % 256 AS BIGINT) AS o2
-    FROM seeds
-),
-dec AS (
-    SELECT m.i, m.h, m.w, ys.y, xs.x,
-           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
-           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
-           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
-    FROM meta m,
-         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
-         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
-         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
-                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
-                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
-),
--- gray block sums over the floor-start 8x8 partition: pixel y is in block
--- row (8y+7)//h (identity for starts floor(r*h/8)); same for columns
-bsum AS (
-    SELECT i, h, w,
-           (8 * y + 7) // h AS br,
-           (8 * x + 7) // w AS bc,
-           sum(d0 + d1 + d2) AS s
-    FROM dec
-    GROUP BY i, h, w, br, bc
-),
-tot AS (SELECT i, sum(s) AS t FROM bsum GROUP BY i),
-hashes AS (
-    SELECT b.i,
-           sum(CASE WHEN b.s * (b.h * b.w)
-                        > tot.t * ((((b.br + 1) * b.h) // 8 - (b.br * b.h) // 8)
-                                   * (((b.bc + 1) * b.w) // 8 - (b.bc * b.w) // 8))
-                    THEN (CAST(1 AS HUGEINT) << CAST(63 - (b.br * 8 + b.bc) AS INTEGER))
-                    ELSE 0 END) AS v
-    FROM bsum b JOIN tot ON b.i = tot.i
-    GROUP BY b.i
-),
-signed AS (
-    SELECT i,
-           CAST(CASE WHEN v >= 9223372036854775808
-                     THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS ihash
-    FROM hashes
-)
+    "phash_near_dup": f"""
+WITH {_IMG_IHASH_CTES}
 SELECT CAST(a.i AS BIGINT) AS i_a, CAST(b.i AS BIGINT) AS i_b,
        CAST(bit_count(xor(a.ihash, b.ihash)) AS BIGINT) AS hamming
 FROM signed a JOIN signed b ON a.i < b.i
@@ -4875,5 +4954,29 @@ GROUP BY i
                CAST(sum(len) * 5 * 100 AS BIGINT) AS area_c,
                CAST(count(*) AS BIGINT) AS n_slots
         FROM seg GROUP BY nk
+    """,
+    # image_curation: the full composed chain replayed — generator dims, the
+    # ordinal duplicate rule, the HUGEINT ihash derivation, all-pairs
+    # hamming restricted to the gated+deduped survivors, and the split hash
+    "image_curation": f"""
+WITH {_IMG_IHASH_CTES},
+gate AS (SELECT m.i, m.w, m.h FROM meta m WHERE m.w * m.h >= 1200),
+ded AS (SELECT g.i, g.w, g.h FROM gate g WHERE NOT (g.i % 101 = 0 AND g.i > 0)),
+prs AS (
+    SELECT DISTINCT b.i AS ib
+    FROM signed a JOIN signed b ON a.i < b.i
+    WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
+      AND a.i IN (SELECT i FROM ded) AND b.i IN (SELECT i FROM ded)
+),
+kept AS (SELECT d.* FROM ded d WHERE d.i NOT IN (SELECT ib FROM prs)),
+fin AS (
+    SELECT CASE WHEN (i * 2654435761) % 4294967296 % 10 = 9
+                THEN 'val' ELSE 'train' END AS split,
+           i, w * h AS px
+    FROM kept
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(i) AS BIGINT) AS id_sum
+FROM fin GROUP BY split
     """,
 }

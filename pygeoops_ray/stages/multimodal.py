@@ -89,6 +89,45 @@ def int_hash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def curate_digest_batch(batch: pa.Table) -> pa.Table:
+    """(image_id, bytes, fmt) → (image_id, w, h, qdigest, phash_q, ihash):
+    ONE decode per image feeding the whole image-curation chain — the exact
+    dedup key (quantized digest + codec-invariant perceptual hash), the
+    integer block-mean hash for hamming near-dup, and the dims for the size
+    gate. Composing quantized_digest_batch + int_hash_batch would decode
+    every image twice; at 100-TB the decode IS the cost.
+    """
+    import hashlib
+
+    from pygeoops_ray.table.images import int_mean_hash, mean_phash
+
+    n = len(batch)
+    ws = np.empty(n, dtype=np.int64)
+    hs = np.empty(n, dtype=np.int64)
+    ih = np.empty(n, dtype=np.int64)
+    digs, phq = [], []
+    for j, (data, fmt) in enumerate(
+        zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+    ):
+        pix = decode_any(data, fmt)
+        h, w, _ = pix.shape
+        ws[j], hs[j] = w, h
+        q = (pix >> 2).astype(np.uint8)
+        digs.append(hashlib.md5(q.tobytes() + struct.pack("<HH", w, h)).hexdigest())
+        phq.append(mean_phash((q << np.uint8(2)) + np.uint8(2)))
+        ih[j] = int_mean_hash(pix)
+    return pa.Table.from_pydict(
+        {
+            "image_id": batch["image_id"],
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "qdigest": pa.array(digs, pa.string()),
+            "phash_q": pa.array(np.array(phq, dtype=np.uint64)),
+            "ihash": pa.array(ih, pa.int64()),
+        }
+    )
+
+
 def pyramid_batch(batch: pa.Table, levels: int = 2) -> pa.Table:
     """Raster tile pyramid: iterated 2x2 integer box-mean downsampling.
 
