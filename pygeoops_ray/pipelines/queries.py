@@ -3238,6 +3238,59 @@ def q_image_curation(sf_dir: str):
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """APPEND-MODE dedup: dedup a new increment (the upper half of the image
+    corpus by ordinal) against already-ingested history (the lower half) —
+    the shape a 100-TB corpus actually grows in. History keys compress to a
+    broadcast Bloom filter, so bloom-NEGATIVE increment rows (almost
+    everything, in the append case) flow through with NO exchange; only
+    bloom-positives enter the exact ``left_anti`` join on the content
+    digest. A final in-increment argmin dedup catches duplicates that
+    arrived within the same increment. Exact: the generator's ordinal
+    duplicate rule (i%101==0 duplicates i-1) means cross-boundary dups die
+    in the anti join and same-increment dups in the argmin — the oracle is
+    pure ordinal arithmetic.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
+    from pygeoops_ray.stages.dedup import hash_str64
+    from pygeoops_ray.stages.multimodal import quantized_digest_batch
+
+    ds, n = _image_ds(sf_dir)
+    # boundary ON a duplicate ordinal: i = half is a dup of half-1, which
+    # lives in history — the cross-boundary case the anti join exists for
+    half = (n // 2) // 101 * 101
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(quantized_digest_batch, batch_format="pyarrow", batch_size=1024)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        qd = batch["qdigest"].to_pylist()
+        hkey = np.fromiter(
+            (hash_str64(s) for s in qd), dtype=np.uint64, count=len(qd)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"i": i, "qdigest": batch["qdigest"], "hkey": pa.array(hkey, pa.int64())}
+        )
+
+    kd = ds.map_batches(keys, batch_format="pyarrow").materialize()
+    hist = kd.filter(expr=f"i < {half}")
+    inc = kd.filter(expr=f"i >= {half}")
+    new = bloom_anti_join(
+        inc,
+        hist,
+        probe_key="qdigest",
+        build_key="qdigest",
+        n_build_hint=half,
+        bloom_probe_key="hkey",
+        bloom_build_key="hkey",
+    )
+    return dedup_stages.exact_dedup_min(
+        new, ["qdigest"], "i", n_rows_hint=n
+    ).select_columns(["i"])
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3315,6 +3368,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "dissolve": q_dissolve,
     "image_curation": q_image_curation,
+    "incremental_dedup": q_incremental_dedup,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -4978,5 +5032,15 @@ fin AS (
 SELECT split, CAST(count(*) AS BIGINT) AS n_images,
        CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(i) AS BIGINT) AS id_sum
 FROM fin GROUP BY split
+    """,
+    # incremental_dedup: cross-boundary dups (i%101==0 with i-1 in history)
+    # die in the anti join; same-increment dups in the argmin — both reduce
+    # to dropping every dup ordinal in the increment
+    "incremental_dedup": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part)
+        SELECT CAST(u.i AS BIGINT) AS i
+        FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
+        WHERE u.i >= ((SELECT cnt FROM n) // 2) // 101 * 101
+          AND u.i % 101 <> 0
     """,
 }

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["BloomFilter", "build_bloom", "bloom_semi_join"]
+__all__ = ["BloomFilter", "build_bloom", "bloom_semi_join", "bloom_anti_join"]
 
 _U64 = np.uint64
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -142,3 +142,86 @@ def bloom_semi_join(
         on=(probe_key,),
         right_on=(build_key,),
     )
+
+
+def bloom_anti_join(
+    probe_ds,
+    build_ds,
+    probe_key: str,
+    build_key: str,
+    n_build_hint: int,
+    num_partitions: int = 8,
+    bloom_probe_key: str | None = None,
+    bloom_build_key: str | None = None,
+):
+    """probe_ds rows whose probe_key does NOT appear in build_ds.build_key.
+
+    The Bloom filter's one-sided error works FOR the anti-join: a
+    bloom-NEGATIVE row is definitely absent from the build side and flows
+    straight through with no exchange at all; only bloom-POSITIVE rows
+    (true members + the ~1% false positives) enter the exact ``left_anti``
+    join that decides them. When most probe rows are new — the append-mode
+    dedup case — almost nothing shuffles. Exact end-to-end.
+
+    ``bloom_probe_key``/``bloom_build_key`` (default: the join keys) name an
+    int64 DERIVED key for the filter when the exact join key is not numeric
+    (e.g. a digest string): the derived key must be a pure function of the
+    join key, which preserves no-false-negatives; the exact join still runs
+    on the real key, so derived-key collisions cannot drop rows.
+
+    probe_ds is traversed twice (negative and positive passes); pass a
+    materialized dataset when upstream recompute is expensive.
+    """
+    import ray
+
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    bpk = bloom_probe_key or probe_key
+    bbk = bloom_build_key or build_key
+    bf = build_bloom(build_ds, bbk, n_build_hint)
+    words_ref = ray.put(bf.words)
+    m_bits, k = bf.m, bf.k
+
+    def split(batch: pa.Table, keep_members: bool) -> pa.Table:
+        flt = BloomFilter(m_bits, k, ray.get(words_ref))
+        keys = batch[bpk].to_numpy(zero_copy_only=False)
+        mask = flt.contains(keys)
+        return batch.filter(pa.array(mask if keep_members else ~mask))
+
+    import functools
+
+    negatives = probe_ds.map_batches(
+        functools.partial(split, keep_members=False), batch_format="pyarrow"
+    )
+    maybe = probe_ds.map_batches(
+        functools.partial(split, keep_members=True), batch_format="pyarrow"
+    ).materialize()
+    # Ray's hash join breaks when a partition receives ZERO left rows (the
+    # aggregator finalizes a schema-less empty table and the key FieldRef
+    # fails); the bloom-positive side is small by design, so clamp the
+    # partition count to keep every partition populated.
+    n_maybe = maybe.count()
+    if n_maybe == 0:
+        # nothing to decide — and Ray's hash join cannot take a fully empty
+        # left dataset (schema-less finalize)
+        return negatives
+    num_partitions = max(1, min(num_partitions, n_maybe // 4096 + 1))
+    distinct = grouped_count(
+        build_ds.select_columns([build_key]),
+        [build_key],
+        "_n",
+        n_rows_hint=n_build_hint,
+    ).select_columns([build_key])
+    join_build_key = build_key
+    if build_key == probe_key:
+        # Arrow's hash join can't disambiguate same-named key fields
+        join_build_key = f"_{build_key}_build"
+        distinct = distinct.rename_columns({build_key: join_build_key})
+    anti = maybe.join(
+        distinct,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(probe_key,),
+        right_on=(join_build_key,),
+    )
+    return negatives.union(anti)

@@ -178,3 +178,41 @@ def test_augment_digests_match_direct_transform():
         )
         assert direct_flip == mirror_flip
         assert direct_rot == mirror_rot
+
+
+def test_bloom_anti_join_exact_complement(ray_session):
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join, bloom_semi_join
+
+    rng = np.random.default_rng(13)
+    probe_keys = rng.integers(0, 3000, 10_000).astype(np.int64)
+    build_keys = np.unique(rng.integers(0, 3000, 500).astype(np.int64))
+    probe = rd.from_arrow(
+        pa.table({"k": probe_keys, "v": np.arange(len(probe_keys), dtype=np.int64)})
+    ).repartition(6)
+    build = rd.from_arrow(pa.table({"bk": build_keys})).repartition(3)
+
+    anti = bloom_anti_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
+    got = anti.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    keep = ~np.isin(probe_keys, build_keys)
+    want = (
+        pd.DataFrame({"k": probe_keys[keep], "v": np.arange(len(probe_keys))[keep]})
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # anti + semi must partition the probe exactly
+    semi = bloom_semi_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
+    assert semi.count() + anti.count() == len(probe_keys)
+
+
+def test_bloom_anti_join_no_positives_and_same_name(ray_session):
+    """Disjoint key spaces (zero bloom positives → join skipped) and the
+    same-named-key rename path."""
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
+
+    probe = rd.from_arrow(
+        pa.table({"k": np.arange(1000, 1100, dtype=np.int64)})
+    ).repartition(4)
+    build = rd.from_arrow(pa.table({"k": np.arange(0, 50, dtype=np.int64)}))
+    out = bloom_anti_join(probe, build, "k", "k", n_build_hint=50)
+    assert sorted(out.to_pandas()["k"]) == list(range(1000, 1100))
