@@ -130,6 +130,12 @@ def run_bench() -> dict:
         "footprint_pairs",
         "running_total",
         "top_tokens",
+        "funnel",
+        "shipping_priority",
+        "knn_join",
+        "dissolve",
+        "image_curation",
+        "incremental_dedup",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
@@ -334,6 +340,45 @@ def append_csv(result: dict, path: str = "bench_results.csv"):
             w.writerow([now, "pygeoops_ray", "0.1.0", name, sec, ""])
 
 
+def plot_csv(path: str = "bench_results.csv", out: str = "bench_results.svg"):
+    """Regenerate the results chart from the CSV — the reference harness
+    redraws its plots after every run (benchmark/benchmarker.py:143-145).
+    No matplotlib in this environment, so the bar chart is hand-rolled SVG:
+    one bar per operation, latest secs_taken, labeled."""
+    import csv
+
+    latest: dict[str, float] = {}
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            try:
+                latest[row["operation"]] = float(row["secs_taken"])
+            except (ValueError, KeyError):
+                continue
+    if not latest:
+        return
+    ops = sorted(latest.items(), key=lambda kv: -kv[1])
+    bar_h, gap, left, top = 18, 6, 220, 30
+    width = 760
+    vmax = max(v for _, v in ops) or 1.0
+    h = top + len(ops) * (bar_h + gap) + 20
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{h}" '
+        f'font-family="monospace" font-size="12">',
+        f'<text x="{left}" y="18" font-size="14">bench_results.csv — latest secs per operation</text>',
+    ]
+    for j, (name, v) in enumerate(ops):
+        y = top + j * (bar_h + gap)
+        w = max(2, int((width - left - 80) * v / vmax))
+        parts.append(f'<text x="4" y="{y + 13}">{name[:30]}</text>')
+        parts.append(
+            f'<rect x="{left}" y="{y}" width="{w}" height="{bar_h}" fill="#4878a8"/>'
+        )
+        parts.append(f'<text x="{left + w + 6}" y="{y + 13}">{v:.3f}s</text>')
+    parts.append("</svg>")
+    with open(out, "w") as f:
+        f.write("\n".join(parts))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -341,4 +386,5 @@ if __name__ == "__main__":
         res = run_bench()
         if "--csv" in sys.argv:
             append_csv(res)
+            plot_csv()
         print(json.dumps(res))

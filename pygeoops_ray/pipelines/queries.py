@@ -2991,44 +2991,38 @@ def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective filters,
     grouped revenue, top-10 — the canonical multi-join analytics chain.
 
-    Scale plan: the BUILDING-segment customer keys reduce via a Bloom
-    broadcast semi-join (probe-side orders drop before any exchange; exact
-    left_semi removes false positives), the orders⋈lineitem leg is the one
-    real hash shuffle (both sides big), revenue pre-aggregates per block
-    before the grouped sum, and the top-10 is a per-block partial + tiny
-    global merge — no full sort anywhere.
+    Scale plan: the BUILDING-segment customer keys are an exact broadcast
+    semi-filter (one in-task ``np.isin`` before any exchange — the side is
+    ~1/5 of the customer KEY column; swap in ``bloom_semi_join`` when even
+    the key set outgrows a broadcast), the orders⋈lineitem leg is the one
+    real shuffle with the JOIN AND the revenue aggregate fused into a
+    single coarse-bucket exchange, and the top-10 is a per-block partial +
+    tiny global merge — no full sort anywhere.
     """
     import pyarrow.compute as pc
-
-    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
-    from pygeoops_ray.stages.groupagg import grouped_agg
+    import ray
 
     cutoff = np.datetime64("1998-06-01T00:00:00", "us")
     cutoff_us = int(cutoff.astype(np.int64))
 
-    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    @ray.remote(num_cpus=1)
+    def _building_keys(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["c_custkey", "c_mktsegment"])
+        keys = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]
+        return np.sort(keys.to_numpy())
+
+    keys_ref = _building_keys.remote(f"{sf_dir}/customer.parquet")
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(pc.cast(b["o_orderdate"], pa.int64()), cutoff_us))
+        keep = np.isin(b["o_custkey"].to_numpy(), ray.get(keys_ref))
+        return b.filter(pa.array(keep))
 
     orders = _read_blocked(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(
-        lambda b: b.filter(
-            pc.less(pc.cast(b["o_orderdate"], pa.int64()), cutoff_us)
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    orders = bloom_semi_join(
-        orders,
-        cust,
-        probe_key="o_custkey",
-        build_key="c_custkey",
-        n_build_hint=max(64, _table_rows(sf_dir, "customer") // 4),
-    )
+    ).map_batches(ord_filter, batch_format="pyarrow", batch_size=None)
 
     def ord_cols(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -3057,16 +3051,49 @@ def q_shipping_priority(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
     ).map_batches(li_cols, batch_format="pyarrow", batch_size=None)
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # join + aggregate FUSED into one coarse-bucket shuffle: both sides key
+    # on orderkey, the bucket reducer pre-sums lineitem revenue per key and
+    # inner-merges the (one-per-key) order row — no second exchange, and no
+    # Dataset.join hash-shuffle actor pool (its first spin-up costs ~10 s of
+    # session fixed cost; the sort-based groupby pool is already warm)
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["l_orderkey"],
+                "val": b["rev_c"],
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def tag_ord(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["o_orderkey"],
+                "val": b["odate_us"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(tag_ord, batch_format="pyarrow", batch_size=None)
     )
-    agg = grouped_agg(
-        joined, ["l_orderkey", "odate_us"], [("rev_c", "sum", "revenue_c")], n_buckets=8
-    )
+
+    def join_agg(df: pd.DataFrame) -> pd.DataFrame:
+        ords_part = df[df["kind"] == 1][["key", "val"]].rename(columns={"val": "odate_us"})
+        li_part = df[df["kind"] == 0]
+        sums = li_part.groupby("key", as_index=False)["val"].sum().rename(
+            columns={"val": "revenue_c"}
+        )
+        out = sums.merge(ords_part, on="key", how="inner")
+        return out.rename(columns={"key": "l_orderkey"})[
+            ["l_orderkey", "odate_us", "revenue_c"]
+        ]
+
+    agg = _bucketed(both, ["key"], join_agg, n_buckets=8)
 
     def partial_top(batch: pa.Table) -> pa.Table:
         rev = batch["revenue_c"].to_numpy()
