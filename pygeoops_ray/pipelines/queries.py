@@ -3318,6 +3318,65 @@ def q_incremental_dedup(sf_dir: str):
     ).select_columns(["i"])
 
 
+def q_sales_cube(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus) — all four grouping sets
+    from ONE scan: the per-block combiner ships ≤6 fine-group partial rows,
+    and the single group-cardinality-bounded reduce folds them into the
+    fine, per-flag, per-status, and grand-total levels ('ALL' sentinels).
+    Completes the rollup's grouping-sets family.
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        out = g.agg(sum_qty_c=("sum_qty_c", "sum"), sum_base_c=("sum_base_c", "sum"))
+        out["n_rows"] = g.size()["size"].to_numpy()
+        return out
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        def agg(d, keys):
+            g = d.groupby(keys, as_index=False, sort=False)
+            return g.agg(
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                n_rows=("n_rows", "sum"),
+            )
+
+        fine = agg(df, ["l_returnflag", "l_linestatus"])
+        per_flag = agg(fine, ["l_returnflag"]).assign(l_linestatus="ALL")
+        per_status = agg(fine, ["l_linestatus"]).assign(l_returnflag="ALL")
+        total = (
+            fine[["sum_qty_c", "sum_base_c", "n_rows"]]
+            .sum()
+            .to_frame()
+            .T.assign(l_returnflag="ALL", l_linestatus="ALL")
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_c", "sum_base_c"]
+        out = pd.concat([fine, per_flag, per_status, total], ignore_index=True)[cols]
+        return out.astype({"n_rows": np.int64, "sum_qty_c": np.int64, "sum_base_c": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1, shuffle=False).map_batches(
+        cube, batch_format="pandas", batch_size=None
+    )
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3396,6 +3455,7 @@ QUERIES = {
     "dissolve": q_dissolve,
     "image_curation": q_image_curation,
     "incremental_dedup": q_incremental_dedup,
+    "sales_cube": q_sales_cube,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -5069,5 +5129,16 @@ FROM fin GROUP BY split
         FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
         WHERE u.i >= ((SELECT cnt FROM n) // 2) // 101 * 101
           AND u.i % 101 <> 0
+    """,
+    "sales_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_c
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
 }
