@@ -3377,6 +3377,73 @@ def q_sales_cube(sf_dir: str):
     )
 
 
+def q_user_mode(sf_dir: str):
+    """MODE per group: each user's most frequent event_type (ties break
+    lexicographically) plus its count — the argmax-aggregate shape. The
+    per-batch combiner pre-counts (user, type) pairs so only bounded
+    partials shuffle; the argmax itself runs group-local in the bucketed
+    reducer. Window row_number oracle with the same tie-break.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.groupby(["user_id", "event_type"], as_index=False, sort=False)["n"].sum()
+        full = full.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        )
+        top = full.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "mode_type": top["event_type"].to_numpy(),
+                "n": top["n"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return _bucketed(ds, ["user_id"], reducer, n_buckets=8, pre=pre)
+
+
+def q_dup_triangles(sf_dir: str):
+    """Triangle count of the near-duplicate pair graph
+    (stages/graph.triangle_count) — the clustering-density metric of the
+    dup graph (how clique-like are the duplicate clumps): degree-oriented
+    wedge counting, each triangle counted once at its smallest-(degree, id)
+    vertex, wedge⋈edge decided in one tagged coarse-bucket cogroup. Oracle
+    is the literal 3-way self-join over the same Jaccard edge set.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.graph import triangle_count
+
+    docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    n_docs = _table_rows(sf_dir, "documents")
+    pairs = dedup_stages.exact_jaccard_pairs(
+        docs.map_batches(flt, batch_format="pyarrow"),
+        jaccard_threshold=0.5,
+        n_docs_hint=n_docs,
+    )
+    n = triangle_count(pairs, "doc_a", "doc_b", n_edges_hint=n_docs // 10)
+    return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
+
+
 QUERIES = {
     "tile_assignment": q_tile_assignment,
     "pip_join": q_pip_join,
@@ -3456,6 +3523,8 @@ QUERIES = {
     "image_curation": q_image_curation,
     "incremental_dedup": q_incremental_dedup,
     "sales_cube": q_sales_cube,
+    "user_mode": q_user_mode,
+    "dup_triangles": q_dup_triangles,
     "topn_per_key": q_topn_per_key,
     "top_terms": q_top_terms,
     "global_rank": q_global_rank,
@@ -5140,5 +5209,41 @@ FROM fin GROUP BY split
                    AS sum_base_c
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "user_mode": """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        r AS (
+            SELECT user_id, event_type, n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type) AS rk
+            FROM c
+        )
+        SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+        FROM r WHERE rk = 1
+    """,
+    "dup_triangles": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        p0 AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        e AS MATERIALIZED (
+            SELECT da AS a, db AS b FROM p0
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
 }

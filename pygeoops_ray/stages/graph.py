@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from pygeoops_ray.stages.groupagg import _bucket_count
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "triangle_count"]
 
 # is_self row tags: 0 = message, 1 = node self row, 2 = static edge row
 _MSG, _SELF, _EDGE = 0, 1, 2
@@ -218,3 +218,106 @@ def _bucketed_pd(ds, key_cols, reducer, n_buckets: int):
         .groupby("_gb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def triangle_count(edges_ds, src_col: str, dst_col: str, n_edges_hint: int | None = None):
+    """EXACT triangle count of the undirected graph (node-iterator / wedge
+    counting with DEGREE orientation).
+
+    Every edge is oriented from its (degree, id)-smaller endpoint to the
+    larger; each triangle then has exactly one PIVOT (its smallest vertex
+    in that order) and is counted once: the pivot emits the wedge {x, y}
+    over its out-neighbors, and the wedge is a triangle iff the oriented
+    edge (x, y) exists. Degree orientation bounds every node's out-degree
+    by O(sqrt(|E|)) — the wedge volume is O(|E|^1.5) worst case instead of
+    the star-explosion an id-only orientation allows.
+
+    Shapes: degrees are one grouped count; the degree map broadcasts (the
+    endpoint set of a near-dup pair graph is bounded by duplicate density,
+    same contract as connected_components' singleton pass); wedge
+    generation groups by pivot; the wedge⋈edge semi-count is one tagged
+    coarse-bucket cogroup keyed by the wedge pair. Returns the integer
+    count.
+    """
+    import ray
+
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return 0
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        d = batch[dst_col].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {"node": pa.array(np.concatenate([s, d]), pa.int64())}
+        )
+
+    deg = grouped_count(
+        edges.map_batches(sym, batch_format="pyarrow"), ["node"], "deg", n_buckets=8
+    ).to_pandas()
+    ids = deg["node"].to_numpy()
+    order = np.argsort(ids)
+    deg_ref = ray.put((ids[order], deg["deg"].to_numpy()[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ids_s, degs = ray.get(deg_ref)
+        a = batch[src_col].to_numpy().astype(np.int64)
+        b = batch[dst_col].to_numpy().astype(np.int64)
+        da = degs[np.searchsorted(ids_s, a)]
+        db = degs[np.searchsorted(ids_s, b)]
+        # a before b in the (degree, id) total order?
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.Table.from_pydict(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g_ in df.groupby("src", sort=False):
+            d = np.sort(g_["dst"].to_numpy())
+            k = len(d)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            outs.append(np.stack([d[iu[0]], d[iu[1]]], axis=1))
+        if not outs:
+            return pd.DataFrame({"x": pd.Series([], dtype=np.int64),
+                                 "y": pd.Series([], dtype=np.int64),
+                                 "kind": pd.Series([], dtype=np.int8)})
+        w = np.concatenate(outs)
+        # canonical pair key by id (the edge side uses the same key rule)
+        x = np.minimum(w[:, 0], w[:, 1])
+        y = np.maximum(w[:, 0], w[:, 1])
+        return pd.DataFrame({"x": x, "y": y, "kind": np.int8(0)})
+
+    wedge_ds = _bucketed_pd(oriented, ["src"], wedges, 16)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "x": pa.array(np.minimum(s, d), pa.int64()),
+                "y": pa.array(np.maximum(s, d), pa.int64()),
+                "kind": pa.array(np.ones(len(s), np.int8), pa.int8()),
+            }
+        )
+
+    tagged = wedge_ds.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def count_matches(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["x", "y"], sort=False)["kind"]
+        # per pair: wedge occurrences x edge presence (edges are unique pairs)
+        stats = g.agg([("n_wedge", lambda s: int((s == 0).sum())),
+                       ("has_edge", lambda s: int((s == 1).any()))])
+        n = int((stats["n_wedge"] * stats["has_edge"]).sum())
+        return pd.DataFrame({"partial": [n]})
+
+    parts = _bucketed_pd(tagged, ["x", "y"], count_matches, 16)
+    return int(parts.sum("partial") or 0)

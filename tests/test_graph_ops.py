@@ -290,3 +290,51 @@ def test_knn_join_ring_exact_ties(ray_session):
     got = knn_join_ring(ds, qdf, k=3)
     assert got["event_id"].tolist() == [1, 2, 3]
     assert got["dist2"].tolist() == [10000, 10000, 10000]
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (stages/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> int:
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({v for e in es for v in e})
+    cnt = 0
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in es:
+                continue
+            for z in nodes:
+                if z > y and (x, z) in es and (y, z) in es:
+                    cnt += 1
+    return cnt
+
+
+def test_triangle_count_vs_brute_force(ray_session):
+    from pygeoops_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(21)
+    edges = list({tuple(sorted(p)) for p in rng.integers(0, 40, (160, 2)) if p[0] != p[1]})
+    e = pa.table(
+        {
+            "a": np.array([x for x, _ in edges], np.int64),
+            "b": np.array([y for _, y in edges], np.int64),
+        }
+    )
+    ds = rd.from_arrow(e).repartition(5)
+    assert triangle_count(ds, "a", "b") == _brute_triangles(edges)
+
+
+def test_triangle_count_degenerate(ray_session):
+    from pygeoops_ray.stages.graph import triangle_count
+
+    # single triangle + a pendant edge + a disconnected edge
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (10, 11)]
+    e = pa.table(
+        {
+            "a": np.array([x for x, _ in edges], np.int64),
+            "b": np.array([y for _, y in edges], np.int64),
+        }
+    )
+    assert triangle_count(rd.from_arrow(e), "a", "b") == 1
