@@ -136,6 +136,9 @@ def run_bench() -> dict:
         "dissolve",
         "image_curation",
         "incremental_dedup",
+        "sales_cube",
+        "user_mode",
+        "dup_triangles",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
