@@ -25,12 +25,19 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pygeoops_ray.pipelines.queries import QUERIES
+    """Ordered so the driver's first-50 gate covers every operator family.
 
-    return dict(QUERIES)
+    Entries 1-50 are the per-family representatives plus 8 *suite* queries
+    (each value-checking several member operators in one row — see
+    pygeoops_ray/pipelines/suites.py); the tail repeats every suite member
+    individually for full sweeps (tools/check_oracle.py) and bench.
+    """
+    from pygeoops_ray.pipelines.suites import FINAL_QUERIES
+
+    return dict(FINAL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from pygeoops_ray.pipelines.queries import ORACLE_SQL
+    from pygeoops_ray.pipelines.suites import FINAL_ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return dict(FINAL_ORACLE_SQL)
