@@ -453,12 +453,13 @@ def q_curation_pipeline(sf_dir: str):
     Scale notes: the dedup output is materialized once because two
     consumers read it (the pair finder and the final filter) — at real
     scale that's a write_partitioned checkpoint instead. The near-dup
-    removal set is the PAIR OUTPUT (bounded by duplicate density, not
-    corpus size) and is broadcast via ray.put; a duplicate-saturated corpus
-    would switch to a hashed anti-join.
+    removal runs as a distributed Bloom ANTI-JOIN against the pair output
+    (stages/bloomjoin.py): non-duplicate docs — the vast majority — are
+    bloom-negative and flow through with no exchange; only bloom-positives
+    enter the exact left_anti join, so nothing about the drop set ever
+    lands on the driver even on a duplicate-saturated corpus.
     """
     import pyarrow.compute as pc
-    import ray
 
     ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -485,17 +486,27 @@ def q_curation_pipeline(sf_dir: str):
         filtered, ["text"], "doc_id", n_rows_hint=n_docs
     ).materialize()
 
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
+
     pairs = dedup_stages.exact_jaccard_pairs(
         deduped, jaccard_threshold=0.5, n_docs_hint=n_docs
     )
-    drop = np.unique(pairs.select_columns(["doc_b"]).to_pandas()["doc_b"].to_numpy())
-    dref = ray.put(drop.astype(np.int64))
+    # drop every doc_b of a near-dup pair, distributively: n_build_hint is an
+    # upper bound (pair count <= corpus), which only oversizes the filter
+    # the anti-join consumes the build side twice (bloom build + distinct);
+    # materialize the one-column pair projection (bounded by dup density) so
+    # the jaccard pipeline runs once — in the object store, not the driver
+    kept = bloom_anti_join(
+        deduped,
+        pairs.select_columns(["doc_b"]).materialize(),
+        probe_key="doc_id",
+        build_key="doc_b",
+        n_build_hint=n_docs,
+    )
 
     def split_and_count(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
-        keep = ~np.isin(ids, ray.get(dref))
-        ids = ids[keep]
-        toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()[keep]
+        toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()
         bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
         split = np.where(bucket % np.uint64(10) == 9, "val", "train")
         return pa.Table.from_pydict(
@@ -509,7 +520,7 @@ def q_curation_pipeline(sf_dir: str):
     from pygeoops_ray.stages.groupagg import grouped_agg
 
     return grouped_agg(
-        deduped.map_batches(split_and_count, batch_format="pyarrow"),
+        kept.map_batches(split_and_count, batch_format="pyarrow"),
         ["split"],
         [
             ("doc_id", "size", "n_docs"),
@@ -3203,15 +3214,18 @@ def q_image_curation(sf_dir: str):
     + pixel sums + id checksums.
 
     ONE decode per image feeds all stages (multimodal.curate_digest_batch);
-    the near-dup removal set is the pair output (bounded by duplicate
-    density) broadcast via ray.put. The oracle replays the full chain —
-    generator-rule dims, the ordinal duplicate rule, the HUGEINT ihash
-    re-derivation, all-pairs hamming, and the split hash — in one SQL.
+    the near-dup removal runs as a distributed Bloom ANTI-JOIN against the
+    pair output (stages/bloomjoin.py) — bloom-negative images bypass the
+    exchange entirely, bloom-positives decide in an exact left_anti join,
+    so the drop set never materializes on the driver. The oracle replays
+    the full chain — generator-rule dims, the ordinal duplicate rule, the
+    HUGEINT ihash re-derivation, all-pairs hamming, and the split hash —
+    in one SQL.
     """
     import pandas as pd
     import pyarrow.compute as pc
-    import ray
 
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
     from pygeoops_ray.stages.groupagg import _bucketed, grouped_agg
     from pygeoops_ray.stages.multimodal import curate_digest_batch
 
@@ -3239,14 +3253,15 @@ def q_image_curation(sf_dir: str):
         deduped, id_col="i", hash_col="ihash", max_hamming=3,
         n_rows_hint=n, out_a="i_a", out_b="i_b",
     )
-    drop = np.unique(pairs.select_columns(["i_b"]).to_pandas()["i_b"].to_numpy())
-    dref = ray.put(drop.astype(np.int64))
+    # one-column pair projection materialized once (build side is read twice)
+    kept = bloom_anti_join(
+        deduped, pairs.select_columns(["i_b"]).materialize(),
+        probe_key="i", build_key="i_b", n_build_hint=n,
+    )
 
     def split_rows(b: pa.Table) -> pa.Table:
         ids = b["i"].to_numpy()
-        keep = ~np.isin(ids, ray.get(dref))
-        ids = ids[keep]
-        px = (b["w"].to_numpy() * b["h"].to_numpy())[keep]
+        px = b["w"].to_numpy() * b["h"].to_numpy()
         bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
         split = np.where(bucket % np.uint64(10) == 9, "val", "train")
         return pa.Table.from_pydict(
@@ -3258,7 +3273,7 @@ def q_image_curation(sf_dir: str):
         )
 
     return grouped_agg(
-        deduped.map_batches(split_rows, batch_format="pyarrow"),
+        kept.map_batches(split_rows, batch_format="pyarrow"),
         ["split"],
         [("i", "size", "n_images"), ("px", "sum", "sum_px"), ("i", "sum", "id_sum")],
         n_buckets=2,
