@@ -1130,6 +1130,82 @@ def q_difference_rects(sf_dir: str):
     )
 
 
+def q_difference_tiled(sf_dir: str):
+    """difference_all_tiled THROUGH the Ray stage (verdict r2 item 3):
+    subjects explode via ``subdivide`` into grid parts, an ACTOR-POOL stage
+    subtracts the shared broadcast subtrahend set (deserialized once per
+    actor), and per-subject parts re-merge via groupby(id).map_groups union
+    — no driver-side materialization (stages/geo_batch.py:
+    distributed_difference_table; reference _difference.py:74-110).
+
+    Corpus: per supplier k a boundary-densified 20 x (10 + k%4) rect (≈61-67
+    coords, subdivide_coords=24 → ≥3 tiles each) minus four unit squares at
+    (2i+1,1)-(2i+2,2), strictly interior to every subject → exactly one
+    merged polygon, 4 holes, area 20h - 4.
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as geo_wkb
+    from pygeoops_ray.stages.geo_batch import distributed_difference_table
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs = []
+        for k in keys:
+            h = float(10 + int(k) % 4)
+            bot = [(float(x), 0.0) for x in range(0, 20)]
+            right = [(20.0, float(y)) for y in range(0, int(h))]
+            top = [(float(x), h) for x in range(20, 0, -1)]
+            left = [(0.0, float(y)) for y in range(int(h), 0, -1)]
+            ring = bot + right + top + left + [(0.0, 0.0)]
+            wkbs.append(geo_wkb.dumps(g.Polygon(ring)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+            }
+        )
+
+    subs = [
+        g.Polygon(
+            [
+                (2 * i + 1, 1),
+                (2 * i + 2, 1),
+                (2 * i + 2, 2),
+                (2 * i + 1, 2),
+                (2 * i + 1, 1),
+            ]
+        )
+        for i in range(4)
+    ]
+    subjects = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    merged = distributed_difference_table(
+        subjects, subs, subdivide_coords=24, id_col="s_suppkey",
+        concurrency=(1, 4),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        npoly, nhole, area_c = [], [], []
+        for b in batch["diff_wkb"].to_pylist():
+            d = geo_wkb.loads(b)
+            polys = d.geoms if d.geom_type == "MultiPolygon" else [d]
+            npoly.append(len(polys))
+            nhole.append(sum(len(p.holes) for p in polys))
+            area_c.append(int(round(sum(p.area for p in polys) * 100)))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array([int(k) for k in keys], pa.int64()),
+                "n_polys": pa.array(npoly, pa.int64()),
+                "n_holes": pa.array(nhole, pa.int64()),
+                "area_c": pa.array(area_c, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_inner_rings(sf_dir: str):
     """remove_inner_rings over a two-hole corpus, closed-form oracle.
 
@@ -3488,6 +3564,7 @@ QUERIES = {
     "extend_line": q_extend_line,
     "collect_explode": q_collect_explode,
     "difference_rects": q_difference_rects,
+    "difference_tiled": q_difference_tiled,
     "split_tiles": q_split_tiles,
     "inner_rings": q_inner_rings,
     "geom_zoo": q_geom_zoo,
@@ -4100,6 +4177,16 @@ ORACLE_SQL = {
                CAST(1 AS BIGINT) AS n_polys,
                CAST(1 + s_suppkey % 4 AS BIGINT) AS n_holes,
                CAST((200 - (1 + s_suppkey % 4)) * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # q_difference_tiled: 20 x (10 + k%4) subject minus 4 interior unit
+    # squares, tiled through the Ray stage → 1 merged polygon, 4 holes,
+    # area 20h - 4
+    "difference_tiled": """
+        SELECT s_suppkey,
+               CAST(1 AS BIGINT) AS n_polys,
+               CAST(4 AS BIGINT) AS n_holes,
+               CAST((20 * (10 + s_suppkey % 4) - 4) * 100 AS BIGINT) AS area_c
         FROM supplier
     """,
     # corpus rule (q_split_tiles): one (0,0,W,H) tile toward wanted = 2+k%7

@@ -161,6 +161,8 @@ HEAD: tuple[str, ...] = (
     "buffer_by_m",
     "view_angles",
     "topo_simplify",
+    # round-3 operators
+    "difference_tiled",
     # suites (46 member operators in 8 slots)
     "geo_suite",
     "text_suite",

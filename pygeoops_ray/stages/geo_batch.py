@@ -23,6 +23,8 @@ __all__ = [
     "view_angles_stage",
     "topo_simplify_grouped",
     "distributed_difference",
+    "distributed_difference_table",
+    "DifferenceStage",
 ]
 
 
@@ -171,42 +173,118 @@ def topo_simplify_grouped(ds, tolerance: float, algorithm: str = "lang", group_c
     return ds.groupby(group_col).map_groups(per_cell, batch_format="pandas")
 
 
-def distributed_difference(geometry: g.Geometry, subtrahends: list, subdivide_coords: int = 1000):
-    """difference_all_tiled as a Ray pipeline: flat(subdivide) → broadcast
-    subtrahends → per-part difference tasks → union merge.
+class DifferenceStage:
+    """Actor-pool per-part difference: the broadcast subtrahend list is
+    WKB-deserialized ONCE per actor (``__init__``), not per batch — the
+    stateful-stage pattern from stages/text.py. Each batch row is one
+    subject part; the subtrahend set is shared across all rows (the
+    "subtract these lakes from every parcel" shape)."""
 
-    The reference's ThreadPoolExecutor(4) mini-MapReduce (_difference.py:74-91)
-    in its distributed shape. Returns the final geometry (small result).
+    def __init__(self, sub_ref):
+        import ray
+
+        self.subs = [wkb.loads(b) for b in ray.get(sub_ref)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pygeoops_ray.geo.difference import difference_all
+
+        out = []
+        for b in batch["part_wkb"].to_pylist():
+            part = wkb.loads(b)
+            d = difference_all(part, self.subs, check_intersects=True)
+            out.append(wkb.dumps(d) if d is not None else None)
+        t = batch.drop_columns(["part_wkb"])
+        return t.append_column("diff_wkb", pa.array(out, pa.binary()))
+
+
+def distributed_difference_table(
+    ds,
+    subtrahends: list,
+    subdivide_coords: int = 1000,
+    id_col: str = "source_id",
+    geom_col: str = "geom_wkb",
+    concurrency=(1, 8),
+):
+    """difference_all_tiled over a TABLE of subjects, fully in-stream:
+    flat(subdivide) → actor-pool per-part difference (shared subtrahends
+    broadcast once, deserialized once per actor) → groupby(id).map_groups
+    union merge. One output row (id, diff_wkb) per subject; no driver-side
+    materialization anywhere (SURVEY §3.3 / reference _difference.py:74-110
+    re-expressed Ray-Data-first).
     """
+    import pandas as pd
     import ray
+
+    from pygeoops_ray.geo import boolean
+    from pygeoops_ray.geo.general import subdivide
+
+    sub_ref = ray.put([wkb.dumps(s) for s in subtrahends])
+
+    def explode_parts(batch: pa.Table) -> pa.Table:
+        ids, parts = [], []
+        src_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for k, b in enumerate(batch[geom_col].to_pylist()):
+            for p in subdivide(wkb.loads(b), subdivide_coords):
+                ids.append(src_ids[k])
+                parts.append(wkb.dumps(p))
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "part_wkb": pa.array(parts, pa.binary()),
+            }
+        )
+
+    def merge_source(group: pd.DataFrame) -> pd.DataFrame:
+        pieces = [
+            wkb.loads(b) for b in group["diff_wkb"] if b is not None
+        ]
+        pieces = [p for p in pieces if not p.is_empty]
+        if len(pieces) == 0:
+            merged_wkb = None
+        elif len(pieces) == 1:
+            merged_wkb = wkb.dumps(pieces[0])
+        else:
+            merged_wkb = wkb.dumps(boolean.union_all(pieces))
+        return pd.DataFrame(
+            {id_col: group[id_col].iloc[:1], "diff_wkb": [merged_wkb]}
+        )
+
+    parts = ds.map_batches(explode_parts, batch_format="pyarrow")
+    diffed = parts.map_batches(
+        DifferenceStage,
+        fn_constructor_args=(sub_ref,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+    return diffed.groupby(id_col).map_groups(merge_source, batch_format="pandas")
+
+
+def distributed_difference(geometry: g.Geometry, subtrahends: list, subdivide_coords: int = 1000):
+    """Single-subject difference_all_tiled through the Ray stage: thin
+    wrapper over :func:`distributed_difference_table` (one input row); the
+    only materialization is the single merged output geometry."""
     import ray.data as rd
 
     from pygeoops_ray.geo.difference import difference_all
     from pygeoops_ray.geo.general import subdivide
-    from pygeoops_ray.geo import boolean
 
-    parts = subdivide(geometry, subdivide_coords)
-    if len(parts) == 1:
-        return difference_all(parts[0], subtrahends, check_intersects=True)
-    sub_ref = ray.put([wkb.dumps(s) for s in subtrahends])
-
-    def diff_batch(batch: pa.Table) -> pa.Table:
-        subs = [wkb.loads(b) for b in ray.get(sub_ref)]
-        out = []
-        for b in batch["part_wkb"].to_pylist():
-            part = wkb.loads(b)
-            d = difference_all(part, subs, check_intersects=True)
-            out.append(wkb.dumps(d) if d is not None else None)
-        return pa.Table.from_pydict({"diff_wkb": pa.array(out, pa.binary())})
-
+    if len(subdivide(geometry, subdivide_coords)) == 1:
+        return difference_all(geometry, subtrahends, check_intersects=True)
     ds = rd.from_arrow(
-        pa.Table.from_pydict({"part_wkb": pa.array([wkb.dumps(p) for p in parts], pa.binary())})
+        pa.Table.from_pydict(
+            {
+                "source_id": pa.array([0], pa.int64()),
+                "geom_wkb": pa.array([wkb.dumps(geometry)], pa.binary()),
+            }
+        )
     )
-    results = ds.map_batches(diff_batch, batch_format="pyarrow", batch_size=4).take_all()
-    pieces = [wkb.loads(r["diff_wkb"]) for r in results if r["diff_wkb"] is not None]
-    pieces = [p for p in pieces if not p.is_empty]
-    if not pieces:
+    out = distributed_difference_table(
+        ds, subtrahends, subdivide_coords, concurrency=(1, 4)
+    ).take_all()
+    blob = out[0]["diff_wkb"]
+    if blob is None:
         from pygeoops_ray.geo.general import empty
 
         return empty(g.get_type_id(geometry))
-    return boolean.union_all(pieces)
+    return wkb.loads(blob)

@@ -500,6 +500,52 @@ def test_distributed_difference(rd):
     assert dist.area == pytest.approx(dense.area - sum(s.area for s in subs), rel=1e-9)
 
 
+def test_distributed_difference_table_multi_source(rd):
+    """Table form: many subjects, shared subtrahends, grouped union merge —
+    one output row per subject, each equal to the local difference_all."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb
+    from pygeoops_ray.geo.difference import difference_all
+    from pygeoops_ray.stages.geo_batch import distributed_difference_table
+
+    def dense_rect(w, h):
+        ring = [(float(x), 0.0) for x in range(w)]
+        ring += [(float(w), float(y)) for y in range(h)]
+        ring += [(float(x), float(h)) for x in range(w, 0, -1)]
+        ring += [(0.0, float(y)) for y in range(h, 0, -1)]
+        ring.append((0.0, 0.0))
+        return g.Polygon(np.array(ring))
+
+    subjects = {k: dense_rect(30, 10 + k) for k in range(6)}
+    subs = [g.box(3 * i + 1, 1, 3 * i + 2, 3) for i in range(5)]
+    tab = pa.Table.from_pydict(
+        {
+            "source_id": pa.array(list(subjects), pa.int64()),
+            "geom_wkb": pa.array([wkb.dumps(p) for p in subjects.values()], pa.binary()),
+        }
+    )
+    out = (
+        distributed_difference_table(
+            rd.from_arrow(tab), subs, subdivide_coords=30, concurrency=(1, 2)
+        )
+        .to_pandas()
+        .set_index("source_id")
+    )
+    assert len(out) == len(subjects)
+    for k, subj in subjects.items():
+        got = wkb.loads(out.loc[k, "diff_wkb"])
+        want = difference_all(subj, subs)
+        assert got.area == pytest.approx(want.area, rel=1e-9)
+        polys = got.geoms if got.geom_type == "MultiPolygon" else [got]
+        want_polys = want.geoms if want.geom_type == "MultiPolygon" else [want]
+        assert sum(len(p.holes) for p in polys) == sum(
+            len(p.holes) for p in want_polys
+        )
+
+
 def test_lang_id_classifier():
     import pyarrow as pa2
 
