@@ -14,6 +14,8 @@ no post-dedup pass needed.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -660,65 +662,153 @@ def knn_join_ring(
     k: int = 3,
     cell: float = TILE,
     max_rings: int = 64,
+    sink_dir: str | None = None,
+    part_side: int = 8,
+    ring_stats: list | None = None,
 ):
     """Exact kNN JOIN via cell neighbor-RING expansion (north-rule shape).
 
     ``knn_points`` broadcasts the query matrix and scans EVERY corpus point
     against every query — right when queries are few and the corpus must be
     streamed once anyway. This is the pruned variant for when the corpus is
-    huge: points shuffle ONCE into their home cells; each round r the still-
-    unresolved queries replicate only to the cells of Chebyshev ring r, the
-    per-cell candidate pairs are enumerated co-grouped (vectorized same-cell
-    merge), and a query RESOLVES when its k-th best distance is provably
-    inside the searched radius — any point in an unsearched cell is at
-    L∞ > r·cell from the query, so dist² > (r·cell)² certifies exactness.
+    huge: the points shuffle ONCE into a manifest-partitioned parquet sink
+    keyed by spatial block (``part_side`` × ``part_side`` cells per file;
+    ``state/manifest.write_partitioned``). Each round r the still-unresolved
+    queries replicate only to the cells of Chebyshev ring r, and the point
+    side of that round is a PRUNED READ: only the partition files whose
+    block the ring touches are opened (``manifest.read_partitions``), with
+    the exact touched-cell set pushed into their row groups as a pyarrow
+    ``isin`` filter. A query RESOLVES when its k-th best distance is
+    provably inside the searched radius — any point in an unsearched cell
+    is at L∞ > r·cell from the query, so dist² > (r·cell)² certifies
+    exactness.
 
     ``queries_df`` is a pandas frame (q_id, qx, qy) — the query side is the
     SMALL side by contract (its per-round ring bookkeeping is driver-side
-    control plane, like the CC fixpoint sum); the points side is never
-    materialized. Each point lives in exactly one cell and each (query,
-    cell) is searched exactly once, so candidates never duplicate across
-    rounds. Ties break on (dist², event_id); dist² over integer-valued
-    coordinates is integer-exact.
+    control plane, like the CC fixpoint sum). The running top-k accumulator
+    stays a DATASET: each round unions the new co-grouped partials and
+    reduces grouped-by-q_id top-k in the shuffle; the driver pulls only the
+    per-query resolution certificate (count + k-th distance, ≤ one row per
+    query). Each point lives in exactly one cell and each (query, cell) is
+    searched exactly once, so candidates never duplicate across rounds.
+    Ties break on (dist², event_id); dist² over integer-valued coordinates
+    is integer-exact.
+
+    ``sink_dir`` selects the point-side strategy. ``None`` (default): the
+    points materialize once in the OBJECT STORE and each ring filters them
+    in-stream with a broadcast touched-cell ``isin`` — no I/O, right when
+    the join is a one-shot over an in-flight stream. A path: the points live
+    in / are written to a manifest-partitioned sink there and each ring is a
+    pruned FILE read — right when the corpus is at rest (a prior ingest
+    wrote it) or too big for the object store; an existing sink (manifest
+    present) is reused without rewriting. ``ring_stats``, if given, receives
+    one dict per ring: {"ring": r, "files_read": n, "files_total": m}
+    (sink mode only).
 
     Returns (q_id, event_id, rnk, dist2) with rnk 1..k; the query's own
     point (same event_id) is excluded.
     """
     import pandas as pd
 
+    import ray
+    import ray.data as rd
+
+    from pygeoops_ray.state import manifest as mf
+    from pyarrow.dataset import field as _field
+
+    grid = CellGrid(cell)
+    part_mult = np.int64(1) << np.int64(21)
+
+    def block_of(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        return (cx // part_side) * part_mult + (cy // part_side)
+
+    def add_cells_and_block(batch: pa.Table) -> pa.Table:
+        batch = add_cell_id(batch)
+        cx = np.floor(batch["px"].to_numpy() / cell).astype(np.int64)
+        cy = np.floor(batch["py"].to_numpy() / cell).astype(np.int64)
+        return batch.append_column(
+            "part_id", pa.array(block_of(cx, cy), pa.int64())
+        )
+
+    if sink_dir is None:
+        pts = points_ds.map_batches(
+            lambda b: add_cell_id(b), batch_format="pyarrow"
+        ).materialize()
+
+        def pts_for_ring(touched_cells, touched_parts, r):
+            touched_ref = ray.put(touched_cells)
+
+            def cell_filter(batch: pa.Table) -> pa.Table:
+                keep = np.isin(batch["cell_id"].to_numpy(), ray.get(touched_ref))
+                return batch.filter(pa.array(keep))
+
+            return pts.map_batches(
+                cell_filter, batch_format="pyarrow", batch_size=None
+            )
+
+    else:
+        if not os.path.exists(os.path.join(sink_dir, "_manifest_main.jsonl")):
+            mf.write_partitioned(
+                points_ds.map_batches(add_cells_and_block, batch_format="pyarrow"),
+                sink_dir,
+                partition_col="part_id",
+                stage="main",
+            )
+
+        def pts_for_ring(touched_cells, touched_parts, r):
+            ds, n_read, n_total = mf.read_partitions(
+                sink_dir,
+                touched_parts,
+                filter=_field("cell_id").isin(pa.array(touched_cells, pa.int64())),
+            )
+            if ring_stats is not None:
+                ring_stats.append(
+                    {"ring": r, "files_read": n_read, "files_total": n_total}
+                )
+            return ds
+
+    return _knn_ring_rounds(
+        pts_for_ring, queries_df, k, cell, max_rings, grid, block_of
+    )
+
+
+def _knn_ring_rounds(pts_for_ring, queries_df, k, cell, max_rings, grid, block_of):
+    import pandas as pd
+
     import ray.data as rd
 
     from pygeoops_ray.stages.groupagg import _bucketed
-
-    grid = CellGrid(cell)
-
-    pts = points_ds.map_batches(
-        lambda b: add_cell_id(b), batch_format="pyarrow"
-    ).materialize()
 
     q = queries_df.reset_index(drop=True).copy()
     q["cx"] = np.floor(q["qx"].to_numpy() / cell).astype(np.int64)
     q["cy"] = np.floor(q["qy"].to_numpy() / cell).astype(np.int64)
 
-    def ring_rows(qd: pd.DataFrame, r: int) -> pd.DataFrame:
-        """Replicate each query to its ring-r cells (Chebyshev shell)."""
+    def _shell_offsets(r: int) -> np.ndarray:
         if r == 0:
-            offs = np.array([[0, 0]], dtype=np.int64)
-        else:
-            side = np.arange(-r, r + 1, dtype=np.int64)
-            top = np.stack([side, np.full_like(side, -r)], axis=1)
-            bot = np.stack([side, np.full_like(side, r)], axis=1)
-            mid = np.arange(-r + 1, r, dtype=np.int64)
-            lef = np.stack([np.full_like(mid, -r), mid], axis=1)
-            rig = np.stack([np.full_like(mid, r), mid], axis=1)
-            offs = np.concatenate([top, bot, lef, rig])
+            return np.array([[0, 0]], dtype=np.int64)
+        side = np.arange(-r, r + 1, dtype=np.int64)
+        top = np.stack([side, np.full_like(side, -r)], axis=1)
+        bot = np.stack([side, np.full_like(side, r)], axis=1)
+        mid = np.arange(-r + 1, r, dtype=np.int64)
+        lef = np.stack([np.full_like(mid, -r), mid], axis=1)
+        rig = np.stack([np.full_like(mid, r), mid], axis=1)
+        return np.concatenate([top, bot, lef, rig])
+
+    def ring_rows(qd: pd.DataFrame, rings: list) -> pd.DataFrame:
+        """Replicate each query to the cells of the given Chebyshev shells
+        (a ROUND may search several consecutive rings in one exchange —
+        fewer fixed-cost rounds; the certificate bound uses the round's
+        max ring, and shells are disjoint so no (query, cell) repeats)."""
+        offs = np.concatenate([_shell_offsets(r) for r in rings])
         nq, no = len(qd), len(offs)
         cx = np.repeat(qd["cx"].to_numpy(), no) + np.tile(offs[:, 0], nq)
         cy = np.repeat(qd["cy"].to_numpy(), no) + np.tile(offs[:, 1], nq)
         keep = (cx >= 0) & (cy >= 0)
+        cx, cy = cx[keep], cy[keep]
         out = pd.DataFrame(
             {
-                "cell_id": grid.cell_id_of_colrow(cx[keep], cy[keep]),
+                "cell_id": grid.cell_id_of_colrow(cx, cy),
+                "part_id": block_of(cx, cy),
                 "q_id": np.repeat(qd["q_id"].to_numpy(), no)[keep],
                 "qx": np.repeat(qd["qx"].to_numpy(), no)[keep],
                 "qy": np.repeat(qd["qy"].to_numpy(), no)[keep],
@@ -766,66 +856,76 @@ def knn_join_ring(
             }
         )
 
-    pts_t = pts.map_batches(pts_tagged, batch_format="pyarrow", batch_size=None)
+    def topk_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["q_id", "dist2", "event_id"])
+            .groupby("q_id")
+            .head(k)
+            .reset_index(drop=True)
+        )
 
-    acc: pd.DataFrame | None = None
+    acc_ds = None  # running top-k accumulator, ≤ k rows per query, STAYS a Dataset
+    acc_df = None  # driver-side view of the SAME bounded accumulator (certs)
     unresolved = q
-    for r in range(max_rings):
+    # ring schedule: rings 0+1 together (ring 0 alone certifies nothing —
+    # bound 0), singles through 3, then geometric batches; fewer rounds =
+    # fewer fixed-cost exchanges, same exactness (bound = round's max ring)
+    schedule: list[list[int]] = [[0, 1], [2], [3]]
+    nxt = 4
+    while nxt < max_rings:
+        width = max(1, nxt // 4)
+        schedule.append(list(range(nxt, min(nxt + width, max_rings))))
+        nxt += width
+    for rings in schedule:
         if not len(unresolved):
             break
-        rr = ring_rows(unresolved, r)
+        r = rings[-1]  # certificate ring: everything ≤ r is searched
+        rr = ring_rows(unresolved, rings)
         if len(rr):
-            qt = pa.Table.from_pydict(
-                {
-                    "cell_id": pa.array(rr["cell_id"].to_numpy(), pa.int64()),
-                    "q_id": pa.array(rr["q_id"].to_numpy(), pa.int64()),
-                    "event_id": pa.array(np.full(len(rr), -1, np.int64), pa.int64()),
-                    "x": pa.array(rr["qx"].to_numpy()),
-                    "y": pa.array(rr["qy"].to_numpy()),
-                    "kind": pa.array(np.ones(len(rr), np.int8), pa.int8()),
-                }
-            )
-            # only cells this ring touches shuffle; at real scale the point
-            # side comes from a cell-partitioned sink (state/manifest
-            # read_pruned), so the per-round scan prunes to whole partition
-            # files instead of this in-stream filter
-            import ray as _ray
-
-            touched_ref = _ray.put(np.unique(rr["cell_id"].to_numpy()))
-
-            def cell_filter(batch: pa.Table) -> pa.Table:
-                cells = _ray.get(touched_ref)
-                keep = np.isin(batch["cell_id"].to_numpy(), cells)
-                return batch.filter(pa.array(keep))
-
-            pts_r = pts_t.map_batches(cell_filter, batch_format="pyarrow", batch_size=None)
-            part = (
-                _bucketed(
-                    pts_r.union(rd.from_arrow(qt)),
+            touched_cells = np.unique(rr["cell_id"].to_numpy())
+            touched_parts = np.unique(rr["part_id"].to_numpy())
+            # point side for this ring: in-stream cell filter or pruned
+            # partition-file read, per the sink strategy
+            pts_r = pts_for_ring(touched_cells, touched_parts, r)
+            if pts_r is not None:
+                qt = pa.Table.from_pydict(
+                    {
+                        "cell_id": pa.array(rr["cell_id"].to_numpy(), pa.int64()),
+                        "q_id": pa.array(rr["q_id"].to_numpy(), pa.int64()),
+                        "event_id": pa.array(np.full(len(rr), -1, np.int64), pa.int64()),
+                        "x": pa.array(rr["qx"].to_numpy()),
+                        "y": pa.array(rr["qy"].to_numpy()),
+                        "kind": pa.array(np.ones(len(rr), np.int8), pa.int8()),
+                    }
+                )
+                part = _bucketed(
+                    pts_r.map_batches(
+                        pts_tagged, batch_format="pyarrow", batch_size=None
+                    ).union(rd.from_arrow(qt)),
                     ["cell_id"],
                     pair_partial,
                     16,
                 )
-                .to_pandas()
-            )
-            acc = part if acc is None else pd.concat([acc, part], ignore_index=True)
-            if acc is not None and len(acc):
-                acc = (
-                    acc.sort_values(["q_id", "dist2", "event_id"])
-                    .groupby("q_id")
-                    .head(k)
-                    .reset_index(drop=True)
-                )
+                # fold the round's partials into the running top-k IN the
+                # shuffle (grouped by q_id) — one chained execution per
+                # round (cell cogroup → q_id top-k reduce), never a driver
+                # concat of raw partials; materialize keeps lineage flat
+                merged = part if acc_ds is None else part.union(acc_ds)
+                acc_ds = _bucketed(merged, ["q_id"], topk_reduce, 8).materialize()
+                # the certificate view IS the accumulator — already reduced
+                # to ≤ k rows per query (control-plane sized) in the shuffle
+                acc_df = acc_ds.to_pandas()
         # resolution: k-th best within the certified radius (r*cell)
         bound = float(r * cell) ** 2
-        if acc is not None and len(acc):
-            nth = acc.groupby("q_id")["dist2"].agg(["count", "max"])
+        if acc_df is not None and len(acc_df):
+            nth = acc_df.groupby("q_id")["dist2"].agg(["count", "max"])
             done_ids = nth[(nth["count"] >= k) & (nth["max"] <= bound)].index
             unresolved = unresolved[~unresolved["q_id"].isin(done_ids)]
         # else: nothing found yet, every query continues
     if len(unresolved):
         raise RuntimeError(f"knn_join_ring: {len(unresolved)} queries unresolved after {max_rings} rings")
 
+    acc = acc_df  # ≤ k rows per query by construction
     acc = acc.sort_values(["q_id", "dist2", "event_id"]).reset_index(drop=True)
     acc["rnk"] = acc.groupby("q_id").cumcount() + 1
     out = acc[acc["rnk"] <= k][["q_id", "event_id", "rnk", "dist2"]]

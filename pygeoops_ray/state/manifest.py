@@ -18,7 +18,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["CheckpointManifest", "write_partitioned", "read_output", "read_pruned"]
+__all__ = [
+    "CheckpointManifest",
+    "write_partitioned",
+    "read_output",
+    "read_pruned",
+    "read_partitions",
+]
 
 
 def _row_checksum(df: pd.DataFrame) -> int:
@@ -160,6 +166,30 @@ def read_output(out_dir: str):
 
     files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     return rd.read_parquet(files)
+
+
+def read_partitions(out_dir: str, pids, stage: str = "main", filter=None):
+    """Read an explicit SET of partitions from a ``write_partitioned`` sink.
+
+    The set-shaped sibling of :func:`read_pruned` for predicates that are
+    not intervals — e.g. the Chebyshev ring of a kNN join touches a shell of
+    spatial blocks, never a box. Partition ids absent from the manifest are
+    simply not read (an empty touched set returns ``None``: the caller skips
+    the round). ``filter`` is a pyarrow dataset expression pushed into the
+    surviving files' row groups. Returns ``(dataset_or_None, n_files_read,
+    n_files_total)`` so callers can assert/report the pruning ratio.
+    """
+    import ray.data as rd
+
+    done = CheckpointManifest(out_dir, stage).completed()
+    files = []
+    for pid in sorted(str(p) for p in pids):
+        rec = done.get(pid)
+        if rec is not None and os.path.exists(rec["output_file"]):
+            files.append(rec["output_file"])
+    if not files:
+        return None, 0, len(done)
+    return rd.read_parquet(files, filter=filter), len(files), len(done)
 
 
 def read_pruned(out_dir: str, ranges: dict[str, tuple], stage: str = "main"):

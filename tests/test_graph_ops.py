@@ -274,6 +274,52 @@ def test_knn_join_ring_sparse_needs_multiple_rings(ray_session):
     assert [tuple(map(int, t)) for t in got_t] == _brute_knn(qdf, pts, 3)
 
 
+def test_knn_join_ring_prunes_sink_files(ray_session, tmp_path):
+    """The point side of each ring is a manifest-pruned read: with points
+    spread over many spatial blocks and queries clustered in one corner,
+    every ring must open only a small fraction of the sink's partition
+    files — and a reused sink must not be rewritten."""
+    import os
+
+    from pygeoops_ray.stages.spatial import knn_join_ring
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    # points spread over a 40x40-cell area (cell=256) → many 8x8 blocks
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "px": np.floor(rng.uniform(0, 40 * 256, n)),
+            "py": np.floor(rng.uniform(0, 40 * 256, n)),
+        }
+    )
+    # queries clustered in the low corner
+    qdf = pd.DataFrame(
+        {
+            "q_id": np.arange(5, dtype=np.int64) + 100000,
+            "qx": np.array([10.0, 80.0, 300.0, 150.0, 40.0]),
+            "qy": np.array([25.0, 60.0, 200.0, 90.0, 10.0]),
+        }
+    )
+    sink = str(tmp_path / "pts_sink")
+    ds = rd.from_arrow(pa.Table.from_pandas(pts, preserve_index=False)).repartition(4)
+    stats: list = []
+    got = knn_join_ring(ds, qdf, k=3, sink_dir=sink, ring_stats=stats)
+    got_t = list(zip(got["q_id"], got["event_id"], got["rnk"], got["dist2"]))
+    assert [tuple(map(int, t)) for t in got_t] == _brute_knn(qdf, pts, 3)
+    # pruning really happened: each ring read a strict subset of the files
+    assert stats, "no ring stats recorded"
+    assert all(s["files_total"] >= 4 for s in stats)
+    assert all(s["files_read"] < s["files_total"] for s in stats)
+    assert min(s["files_read"] for s in stats) <= 2  # corner queries → 1-2 blocks
+    # the sink persists and a second call REUSES it (no rewrite): mtimes fixed
+    manifest = os.path.join(sink, "_manifest_main.jsonl")
+    mtime = os.path.getmtime(manifest)
+    got2 = knn_join_ring(ds, qdf, k=3, sink_dir=sink)
+    assert os.path.getmtime(manifest) == mtime
+    assert got2.equals(got)
+
+
 def test_knn_join_ring_exact_ties(ray_session):
     """Four equidistant neighbors: rank order must follow (dist2, event_id)."""
     from pygeoops_ray.stages.spatial import knn_join_ring
