@@ -109,6 +109,7 @@ def connected_components(
     node_col: str | None = None,
     n_edges_hint: int | None = None,
     max_iters: int = 64,
+    broadcast_threshold: int = 1_000_000,
 ):
     """Connected components of the undirected graph given by ``edges_ds``.
 
@@ -116,12 +117,12 @@ def connected_components(
     ``cluster_id`` is the smallest node id in the node's component.
 
     ``all_nodes_ds`` (optional, with ``node_col``) adds nodes that touch no
-    edge as singleton components (cluster_id = node). The singleton pass
-    broadcasts the edge-endpoint id set and anti-filters the node stream
-    inside ``map_batches`` — valid while the ENDPOINT set is small relative
-    to the corpus (duplicate density is low in practice); if the dup graph
-    ever approaches corpus scale, swap this for the hash anti-join shape
-    (see stages/spatial.pip_join_rects_points join_type="anti").
+    edge as singleton components (cluster_id = node). While the edge-ENDPOINT
+    set is small (duplicate density is low in practice) it broadcasts as a
+    sorted id array and anti-filters the node stream inside ``map_batches``;
+    past ``broadcast_threshold`` endpoints the pass switches to a
+    distributed anti-COGROUP (labels ∪ nodes keyed by id, one coarse-bucket
+    exchange) so no O(|V|) array ever lands on the driver.
     """
     import ray
     import ray.data as rd
@@ -181,22 +182,120 @@ def connected_components(
 
         return all_nodes_ds.map_batches(all_single, batch_format="pyarrow")
 
-    endpoints = labels.select_columns(["node"]).to_pandas()["node"].to_numpy()
-    ep_ref = ray.put(np.sort(endpoints))
+    labels = labels.materialize()
+    n_endpoints = labels.count()
+    if n_endpoints <= broadcast_threshold:
+        endpoints = labels.select_columns(["node"]).to_pandas()["node"].to_numpy()
+        ep_ref = ray.put(np.sort(endpoints))
 
-    def singletons(batch: pa.Table) -> pa.Table:
+        def singletons(batch: pa.Table) -> pa.Table:
+            nodes = batch[node_col].to_numpy().astype(np.int64)
+            ep = ray.get(ep_ref)
+            keep = nodes[~np.isin(nodes, ep)]
+            return pa.Table.from_pydict(
+                {
+                    "node": pa.array(keep, pa.int64()),
+                    "cluster_id": pa.array(keep, pa.int64()),
+                }
+            )
+
+        lone = all_nodes_ds.map_batches(singletons, batch_format="pyarrow")
+        return labels.union(lone)
+
+    # endpoint set too big to broadcast: distributed anti-cogroup — labeled
+    # rows and candidate nodes land in the same bucket; a node with no label
+    # row is a singleton. One exchange, no driver array.
+    def node_rows(batch: pa.Table) -> pa.Table:
         nodes = batch[node_col].to_numpy().astype(np.int64)
-        ep = ray.get(ep_ref)
-        keep = nodes[~np.isin(nodes, ep)]
         return pa.Table.from_pydict(
             {
-                "node": pa.array(keep, pa.int64()),
-                "cluster_id": pa.array(keep, pa.int64()),
+                "node": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array(np.full(len(nodes), -1, np.int64), pa.int64()),
             }
         )
 
-    lone = all_nodes_ds.map_batches(singletons, batch_format="pyarrow")
-    return labels.union(lone)
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        labeled = df.loc[df["cluster_id"] >= 0]
+        cand = df.loc[df["cluster_id"] < 0, "node"].to_numpy()
+        lone_ids = cand[~np.isin(cand, labeled["node"].to_numpy())]
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([labeled["node"].to_numpy(), lone_ids]),
+                "cluster_id": np.concatenate(
+                    [labeled["cluster_id"].to_numpy(), lone_ids]
+                ),
+            }
+        )
+
+    cand = all_nodes_ds.map_batches(node_rows, batch_format="pyarrow")
+    nb2 = _bucket_count(16, n_endpoints * 2)
+    return _bucketed_pd(labels.union(cand), ["node"], anti, nb2)
+
+
+def _orient_by_join(edges, deg_ds, src_col: str, dst_col: str, n_nodes: int):
+    """Degree-orient edges WITHOUT a driver broadcast: attach each
+    endpoint's degree through a coarse-bucket cogroup (edge rows and degree
+    rows keyed by the same node id land in the same bucket), one exchange
+    per endpoint, then orient locally. Volume per exchange = |E| + |V|."""
+    nb = _bucket_count(16, n_nodes * 2)
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch["node"],
+                "other": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "val": pa.array(
+                    batch["deg"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "kind": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def edge_rows1(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].to_numpy().astype(np.int64)
+        b = batch[dst_col].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(a, pa.int64()),
+                "other": pa.array(b, pa.int64()),
+                "val": pa.array(np.full(len(a), -1, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(a), np.int8), pa.int8()),
+            }
+        )
+
+    def attach_first(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["kind"] == 1].set_index("node")["val"]
+        e = df.loc[df["kind"] == 0]
+        # re-key by the SECOND endpoint for pass 2; carry deg(first) in val
+        return pd.DataFrame(
+            {
+                "node": e["other"].to_numpy(),
+                "other": e["node"].to_numpy(),
+                "val": dmap.reindex(e["node"]).to_numpy(dtype=np.int64),
+                "kind": np.zeros(len(e), np.int8),
+            }
+        )
+
+    def attach_second(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["kind"] == 1].set_index("node")["val"]
+        e = df.loc[df["kind"] == 0]
+        b = e["node"].to_numpy()
+        a = e["other"].to_numpy()
+        da = e["val"].to_numpy()
+        db = dmap.reindex(e["node"]).to_numpy(dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {"src": np.where(a_first, a, b), "dst": np.where(a_first, b, a)}
+        )
+
+    degs = deg_ds.map_batches(deg_rows, batch_format="pyarrow")
+    pass1 = _bucketed_pd(
+        edges.map_batches(edge_rows1, batch_format="pyarrow").union(degs),
+        ["node"],
+        attach_first,
+        nb,
+    )
+    return _bucketed_pd(pass1.union(degs), ["node"], attach_second, nb)
 
 
 def _bucketed_pd(ds, key_cols, reducer, n_buckets: int):
@@ -220,7 +319,13 @@ def _bucketed_pd(ds, key_cols, reducer, n_buckets: int):
     )
 
 
-def triangle_count(edges_ds, src_col: str, dst_col: str, n_edges_hint: int | None = None):
+def triangle_count(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    n_edges_hint: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+):
     """EXACT triangle count of the undirected graph (node-iterator / wedge
     counting with DEGREE orientation).
 
@@ -232,12 +337,14 @@ def triangle_count(edges_ds, src_col: str, dst_col: str, n_edges_hint: int | Non
     by O(sqrt(|E|)) — the wedge volume is O(|E|^1.5) worst case instead of
     the star-explosion an id-only orientation allows.
 
-    Shapes: degrees are one grouped count; the degree map broadcasts (the
-    endpoint set of a near-dup pair graph is bounded by duplicate density,
-    same contract as connected_components' singleton pass); wedge
-    generation groups by pivot; the wedge⋈edge semi-count is one tagged
-    coarse-bucket cogroup keyed by the wedge pair. Returns the integer
-    count.
+    Shapes: degrees are one grouped count. While the node set is small
+    (≤ ``broadcast_threshold`` — the dup-graph case, endpoints bounded by
+    duplicate density) the degree map broadcasts via ``ray.put``; past it,
+    degrees attach to edges through TWO coarse-bucket cogroups (one per
+    endpoint), so a general corpus-scale graph never lands a node array on
+    the driver. Wedge generation groups by pivot; the wedge⋈edge
+    semi-count is one tagged coarse-bucket cogroup keyed by the wedge
+    pair. Returns the integer count.
     """
     import ray
 
@@ -254,28 +361,34 @@ def triangle_count(edges_ds, src_col: str, dst_col: str, n_edges_hint: int | Non
             {"node": pa.array(np.concatenate([s, d]), pa.int64())}
         )
 
-    deg = grouped_count(
+    deg_ds = grouped_count(
         edges.map_batches(sym, batch_format="pyarrow"), ["node"], "deg", n_buckets=8
-    ).to_pandas()
-    ids = deg["node"].to_numpy()
-    order = np.argsort(ids)
-    deg_ref = ray.put((ids[order], deg["deg"].to_numpy()[order]))
+    ).materialize()
+    n_nodes = deg_ds.count()
 
-    def orient(batch: pa.Table) -> pa.Table:
-        ids_s, degs = ray.get(deg_ref)
-        a = batch[src_col].to_numpy().astype(np.int64)
-        b = batch[dst_col].to_numpy().astype(np.int64)
-        da = degs[np.searchsorted(ids_s, a)]
-        db = degs[np.searchsorted(ids_s, b)]
-        # a before b in the (degree, id) total order?
-        a_first = (da < db) | ((da == db) & (a < b))
-        src = np.where(a_first, a, b)
-        dst = np.where(a_first, b, a)
-        return pa.Table.from_pydict(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
-        )
+    if n_nodes <= broadcast_threshold:
+        deg = deg_ds.to_pandas()
+        ids = deg["node"].to_numpy()
+        order = np.argsort(ids)
+        deg_ref = ray.put((ids[order], deg["deg"].to_numpy()[order]))
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
+        def orient(batch: pa.Table) -> pa.Table:
+            ids_s, degs = ray.get(deg_ref)
+            a = batch[src_col].to_numpy().astype(np.int64)
+            b = batch[dst_col].to_numpy().astype(np.int64)
+            da = degs[np.searchsorted(ids_s, a)]
+            db = degs[np.searchsorted(ids_s, b)]
+            # a before b in the (degree, id) total order?
+            a_first = (da < db) | ((da == db) & (a < b))
+            src = np.where(a_first, a, b)
+            dst = np.where(a_first, b, a)
+            return pa.Table.from_pydict(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
+    else:
+        oriented = _orient_by_join(edges, deg_ds, src_col, dst_col, n_nodes)
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         outs = []

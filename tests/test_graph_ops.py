@@ -372,6 +372,45 @@ def test_triangle_count_vs_brute_force(ray_session):
     assert triangle_count(ds, "a", "b") == _brute_triangles(edges)
 
 
+def test_triangle_count_join_path_high_v(ray_session):
+    """broadcast_threshold=0 forces the degree shuffle-join path (the
+    general-graph shape where |V| ~ corpus and the degree map must never
+    land on the driver); counts must match the broadcast path and brute
+    force, including on a skew graph with one hub."""
+    from pygeoops_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(33)
+    edges = list({tuple(sorted(p)) for p in rng.integers(0, 60, (240, 2)) if p[0] != p[1]})
+    # skew: a hub node connected to everyone (degree orientation must still
+    # bound its out-degree)
+    edges += [(100, i) for i in range(0, 60, 2)]
+    edges = list(set(edges))
+    e = pa.table(
+        {
+            "a": np.array([x for x, _ in edges], np.int64),
+            "b": np.array([y for _, y in edges], np.int64),
+        }
+    )
+    ds = rd.from_arrow(e).repartition(5)
+    want = _brute_triangles(edges)
+    assert triangle_count(ds, "a", "b", broadcast_threshold=0) == want
+    assert triangle_count(ds, "a", "b") == want
+
+
+def test_cc_singletons_anti_cogroup_path(ray_session):
+    """broadcast_threshold=0 forces the distributed anti-cogroup singleton
+    pass; the full label set must match union-find + lone nodes."""
+    rng = np.random.default_rng(7)
+    nodes = np.arange(150, dtype=np.int64)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 90, (50, 2)) if p[0] != p[1]]
+    got = _run_cc(edges, all_nodes=nodes, broadcast_threshold=0)
+    want = _union_find(nodes, edges)
+    assert len(got) == len(nodes)
+    assert not got["node"].duplicated().any()
+    for _, row in got.iterrows():
+        assert want[int(row["node"])] == int(row["cluster_id"])
+
+
 def test_triangle_count_degenerate(ray_session):
     from pygeoops_ray.stages.graph import triangle_count
 
