@@ -1,0 +1,1742 @@
+"""DuckDB oracle SQL for every driver query (single artifact).
+
+Split from pipelines/queries.py; entries stay one dict so the SQL corpus
+reads as a whole and queries.py re-exports it unchanged.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ORACLE_SQL"]
+
+
+# SQL uses only pre-registered views (part, events, nation, ...). Column names
+# must match the Ray outputs exactly.
+
+
+_IMG = """
+    SELECT 'img_' || p_partkey AS image_id,
+           p_partkey AS i,
+           CAST(64 + (p_partkey * 37) % 193 AS DOUBLE) AS w,
+           CAST(64 + (p_partkey * 53) % 151 AS DOUBLE) AS h,
+           CAST((p_partkey % 1000) * 256 AS DOUBLE) AS minx,
+           CAST((p_partkey // 1000) * 256 AS DOUBLE) AS miny,
+           CAST((p_partkey % 1000) * 256 + 64 + (p_partkey * 37) % 193 AS DOUBLE) AS maxx,
+           CAST((p_partkey // 1000) * 256 + 64 + (p_partkey * 53) % 151 AS DOUBLE) AS maxy
+    FROM part
+"""
+
+
+_PTS = """
+    SELECT event_id,
+           CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS DOUBLE) AS px,
+           CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS DOUBLE) AS py
+    FROM events
+"""
+
+
+# CTE chain deriving every image's integer block-mean hash from the
+# generator rule (splitmix64 seeds, gradient pixels, raw0/qz1 dequantize,
+# HUGEINT hash assembly): shared by phash_near_dup and image_curation
+
+
+_IMG_IHASH_CTES = r'''n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+),
+-- gray block sums over the floor-start 8x8 partition: pixel y is in block
+-- row (8y+7)//h (identity for starts floor(r*h/8)); same for columns
+bsum AS (
+    SELECT i, h, w,
+           (8 * y + 7) // h AS br,
+           (8 * x + 7) // w AS bc,
+           sum(d0 + d1 + d2) AS s
+    FROM dec
+    GROUP BY i, h, w, br, bc
+),
+tot AS (SELECT i, sum(s) AS t FROM bsum GROUP BY i),
+hashes AS (
+    SELECT b.i,
+           sum(CASE WHEN b.s * (b.h * b.w)
+                        > tot.t * ((((b.br + 1) * b.h) // 8 - (b.br * b.h) // 8)
+                                   * (((b.bc + 1) * b.w) // 8 - (b.bc * b.w) // 8))
+                    THEN (CAST(1 AS HUGEINT) << CAST(63 - (b.br * 8 + b.bc) AS INTEGER))
+                    ELSE 0 END) AS v
+    FROM bsum b JOIN tot ON b.i = tot.i
+    GROUP BY b.i
+),
+signed AS (
+    SELECT i,
+           CAST(CASE WHEN v >= 9223372036854775808
+                     THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS ihash
+    FROM hashes
+)'''
+
+
+ORACLE_SQL = {
+    "tile_assignment": f"""
+        WITH img AS ({_IMG})
+        SELECT image_id,
+               CAST(floor(minx / 256) + dx.x AS BIGINT) AS tile_x,
+               CAST(floor(miny / 256) + dy.y AS BIGINT) AS tile_y
+        FROM img
+        CROSS JOIN (SELECT unnest([0, 1]) AS x) dx
+        CROSS JOIN (SELECT unnest([0, 1]) AS y) dy
+        WHERE floor(minx / 256) + dx.x <= floor((maxx - 1e-9) / 256)
+          AND floor(miny / 256) + dy.y <= floor((maxy - 1e-9) / 256)
+    """,
+    "pip_join": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT img.image_id, img.i, pts.event_id
+        FROM img JOIN pts
+          ON pts.px >= img.minx AND pts.px < img.maxx
+         AND pts.py >= img.miny AND pts.py < img.maxy
+    """,
+    "pip_anti_join": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT pts.event_id
+        FROM pts
+        WHERE NOT EXISTS (
+            SELECT 1 FROM img
+            WHERE pts.px >= img.minx AND pts.px < img.maxx
+              AND pts.py >= img.miny AND pts.py < img.maxy
+        )
+    """,
+    "geo_pruned_read": f"""
+        WITH img AS ({_IMG})
+        SELECT image_id, minx, miny, maxx, maxy
+        FROM img
+        WHERE minx < 46600 AND maxx >= 25600 AND miny < 4096 AND maxy >= 0
+    """,
+    "spatial_pruned_read": f"""
+        WITH pts AS ({_PTS})
+        SELECT CAST(px AS BIGINT) // 2048 + 1024 * (CAST(py AS BIGINT) // 2048)
+                   AS gcell,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(event_id) AS BIGINT) AS min_eid,
+               CAST(sum(event_id) AS BIGINT) AS sum_eid
+        FROM pts
+        WHERE px >= 131072 AND px < 197608 AND py >= 0 AND py < 4096
+        GROUP BY 1
+    """,
+    "pip_join_agg": f"""
+        WITH img AS ({_IMG}), pts AS ({_PTS})
+        SELECT img.image_id, count(*) AS n_points
+        FROM img JOIN pts
+          ON pts.px >= img.minx AND pts.px < img.maxx
+         AND pts.py >= img.miny AND pts.py < img.maxy
+        GROUP BY img.image_id
+    """,
+    "clip_join": f"""
+        WITH img AS ({_IMG}),
+        tiles AS (
+            SELECT *,
+                   CAST(floor(minx / 256) + dx.x AS BIGINT) AS tile_x,
+                   CAST(floor(miny / 256) + dy.y AS BIGINT) AS tile_y
+            FROM img
+            CROSS JOIN (SELECT unnest([0, 1]) AS x) dx
+            CROSS JOIN (SELECT unnest([0, 1]) AS y) dy
+            WHERE floor(minx / 256) + dx.x <= floor((maxx - 1e-9) / 256)
+              AND floor(miny / 256) + dy.y <= floor((maxy - 1e-9) / 256)
+        )
+        SELECT image_id, tile_x, tile_y,
+               greatest(least(maxx, (tile_x + 1) * 256) - greatest(minx, tile_x * 256), 0)
+             * greatest(least(maxy, (tile_y + 1) * 256) - greatest(miny, tile_y * 256), 0)
+               AS clip_area
+        FROM tiles
+    """,
+    "knn": f"""
+        WITH pts AS ({_PTS}),
+        q AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS q_id,
+                   CAST(n_nationkey * 256 + 128 AS DOUBLE) AS qx,
+                   CAST((n_nationkey % 5) * 256 + 128 AS DOUBLE) AS qy
+            FROM nation
+        )
+        SELECT q_id, event_id,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), event_id
+               ) AS rnk
+        FROM q CROSS JOIN pts
+        QUALIFY rnk <= 5
+    """,
+    "dedup_events": """
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+    "dedup_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "token_count": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    # same RE2 pattern the Ray stage compiles (stages/text.py
+    # BPE_PRETOKEN_PATTERN) — leftmost-first alternation matches Python re
+    "bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+'
+               )) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    # curation_pipeline: quality rules, dedup, the prefix-filter-exact
+    # jaccard pair rule and the multiplicative-hash split are ALL pure
+    # functions of the text/ids, so the whole composed chain re-derives in
+    # one CTE chain
+    "curation_pipeline": """
+        WITH q AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(length(text) - (length(text) - length(replace(text, ' ', '')))
+                        AS DOUBLE) / len(string_split(text, ' ')) AS atl
+            FROM documents
+        ),
+        f AS (SELECT doc_id, text FROM q
+              WHERE n_tokens >= 5 AND atl >= 3 AND atl <= 12),
+        d AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        dup AS (
+            SELECT DISTINCT b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ),
+        keep AS (SELECT d.doc_id, d.text FROM d
+                 WHERE d.doc_id NOT IN (SELECT doc_b FROM dup)),
+        s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 = 9
+                        THEN 'val' ELSE 'train' END AS split
+            FROM keep
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM s GROUP BY split
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+            ORDER BY vec_id LIMIT 8
+        )
+        SELECT q_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id
+               ) AS rnk
+        FROM q CROSS JOIN embeddings e
+        QUALIFY rnk <= 10
+    """,
+    # NOTE: DuckDB sum(BIGINT) returns HUGEINT (int128) which the driver's
+    # hash path widens to float64 — CAST every aggregate back to BIGINT so the
+    # oracle dtype matches the Ray int64 outputs exactly.
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_rev_u,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "events_window": """
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY 1, 2
+    """,
+    # hopping window = UNION ALL of the two hop offsets (size/hop = 2)
+    "hopping_window": """
+        WITH assigned AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 1800000000) * 1800000000 AS BIGINT)
+                       AS wnd_start_us,
+                   CAST(floor(value * 100) AS BIGINT) AS value_c
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 1800000000) * 1800000000
+                        - 1800000000 AS BIGINT) AS wnd_start_us,
+                   CAST(floor(value * 100) AS BIGINT) AS value_c
+            FROM events
+        )
+        SELECT event_type, wnd_start_us,
+               count(*) AS n,
+               CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        FROM assigned GROUP BY 1, 2
+    """,
+    "top_orders": """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    # no-prior-click is encoded as -1 (not NULL) on BOTH sides: a nullable
+    # BIGINT degrades to float64-NaN through pandas, which breaks the driver's
+    # dtype-sensitive value hash even when values agree.
+    "range_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 6 HOUR
+    """,
+    "asof_join": """
+        SELECT p.event_id AS purchase_id,
+               CAST(coalesce(c.event_id, -1) AS BIGINT) AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                        OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events, min(event_id) AS first_event
+        FROM sessions GROUP BY user_id, session_seq
+    """,
+    "fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    # winnowing (Schleimer 2003) replayed in exact integer SQL: k=8-gram
+    # polynomial hash over codepoints mod 1021 (base 131, exact in BIGINT),
+    # fp key = (h % 2147483647) * 2^21 - pos (min key == min hash with the
+    # RIGHTMOST position), one window-min per start, distinct selections.
+    # Window starts are rows 1 .. npos-3 (or just row 1 when a doc has fewer
+    # than 4 k-gram positions — the frame clips to all of them).
+    "winnow_fp": """
+        WITH idx AS (
+            SELECT doc_id, text, length(text) - 7 AS npos,
+                   unnest(range(1, greatest(length(text) - 6, 1))) AS i
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS i, npos,
+                   CAST(unicode(substr(text, CAST(i AS INT), 1)) % 1021 AS BIGINT) * 662062621900811
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) % 1021 AS BIGINT) * 5053913144281
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 2, 1)) % 1021 AS BIGINT) * 38579489651
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 3, 1)) % 1021 AS BIGINT) * 294499921
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 4, 1)) % 1021 AS BIGINT) * 2248091
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 5, 1)) % 1021 AS BIGINT) * 17161
+                 + CAST(unicode(substr(text, CAST(i AS INT) + 6, 1)) % 1021 AS BIGINT) * 131
+                 + (unicode(substr(text, CAST(i AS INT) + 7, 1)) % 1021)
+                   AS h
+            FROM idx
+        ),
+        keyed AS (
+            SELECT doc_id, i, npos,
+                   (h % 2147483647) * 2097152 - i AS key
+            FROM pos
+        ),
+        wins AS (
+            SELECT doc_id, i, npos,
+                   min(key) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS fp_key
+            FROM keyed
+        )
+        SELECT DISTINCT doc_id, fp_key
+        FROM wins
+        WHERE i <= greatest(npos - 3, 1)
+    """,
+    # the LangId heuristic verbatim (stages/text.py): CJK codepoint in the
+    # first 200 chars -> zh; else argmax of stopword counts with ties going
+    # to the earlier language in (en, de, fr, es) profile order
+    "lang_id": """
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_matches(left(text, 200), '[\\x{4e00}-\\x{9fff}]') AS cjk,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['the','and','of','a','to','in','is','it','for'], w))) AS en_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], w))) AS de_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['le','la','les','et','est','une','pour','dans'], w))) AS fr_c,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> list_contains(['el','la','los','y','es','una','para','en','que'], w))) AS es_c
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN es_c > greatest(en_c, de_c, fr_c) THEN 'es'
+                    WHEN fr_c > greatest(en_c, de_c) THEN 'fr'
+                    WHEN de_c > en_c THEN 'de'
+                    ELSE 'en' END AS lang_pred
+        FROM c
+    """,
+    # corpus rule (q_buffer_by_m): segment (0,0)->(L,0) with constant M=m,
+    # L = 10+k%7, m = 1+k%4; buffer = Minkowski sum of segment and 32-gon:
+    # area = 16 m^2 sin(pi/16) + 2 m L (digest: floor(area*100))
+    "buffer_by_m": """
+        WITH p AS (
+            SELECT s_suppkey,
+                   CAST(1 + s_suppkey % 4 AS DOUBLE) AS m,
+                   CAST(10 + s_suppkey % 7 AS DOUBLE) AS L
+            FROM supplier
+        )
+        SELECT s_suppkey,
+               CAST(floor((16 * m * m * sin(pi() / 16) + 2 * m * L) * 100) AS BIGINT)
+                   AS buffer_area_c
+        FROM p
+    """,
+    # corpus rule (q_overlay_nary): three overlapping axis-aligned integer
+    # rectangles per key; union / difference / intersection areas recomputed
+    # by inclusion-exclusion over the bounds — exact integer arithmetic, so
+    # the sweep's float areas must round to the same scaled digests
+    "overlay_nary": """
+        WITH r AS (
+            SELECT s_suppkey,
+                   0 AS ax1, 0 AS ay1,
+                   10 + s_suppkey % 5 AS ax2, 8 + s_suppkey % 3 AS ay2,
+                   4 + s_suppkey % 3 AS bx1, 2 + s_suppkey % 2 AS by1,
+                   13 + s_suppkey % 3 + s_suppkey % 4 AS bx2,
+                   9 + 2 * (s_suppkey % 2) AS by2,
+                   2 + s_suppkey % 2 AS cx1, 5 + s_suppkey % 3 AS cy1,
+                   10 + s_suppkey % 2 + s_suppkey % 5 AS cx2,
+                   11 + s_suppkey % 3 + s_suppkey % 4 AS cy2
+            FROM supplier
+        ),
+        i AS (
+            SELECT s_suppkey,
+                   (ax2 - ax1) * (ay2 - ay1) AS a_a,
+                   (bx2 - bx1) * (by2 - by1) AS a_b,
+                   (cx2 - cx1) * (cy2 - cy1) AS a_c,
+                   greatest(least(ax2, bx2) - greatest(ax1, bx1), 0)
+                 * greatest(least(ay2, by2) - greatest(ay1, by1), 0) AS i_ab,
+                   greatest(least(ax2, cx2) - greatest(ax1, cx1), 0)
+                 * greatest(least(ay2, cy2) - greatest(ay1, cy1), 0) AS i_ac,
+                   greatest(least(bx2, cx2) - greatest(bx1, cx1), 0)
+                 * greatest(least(by2, cy2) - greatest(by1, cy1), 0) AS i_bc,
+                   greatest(least(ax2, bx2, cx2) - greatest(ax1, bx1, cx1), 0)
+                 * greatest(least(ay2, by2, cy2) - greatest(ay1, by1, cy1), 0)
+                   AS i_abc
+            FROM r
+        )
+        SELECT s_suppkey,
+               CAST((a_a + a_b + a_c - i_ab - i_ac - i_bc + i_abc) * 100
+                    AS BIGINT) AS union_area_c,
+               CAST((a_a - i_ab - i_ac + i_abc) * 100 AS BIGINT) AS diff_area_c,
+               CAST((i_ab + i_ac - i_abc) * 100 AS BIGINT) AS isect_area_c
+        FROM i
+    """,
+    # corpus rule (q_squarish_grid): replay squarish_grid_dims in SQL.
+    # Python round() is round-half-even; DuckDB round() is half-away-from-
+    # zero, so halves (which occur: n/rows = 4.5) are emulated explicitly:
+    # rhe(x) = floor(x)+floor(x)%2 when frac is exactly 0.5, else floor(x+.5).
+    # Division order matches the Python solver (n / (W/H)) for IEEE identity.
+    "squarish_grid": """
+        WITH p AS (
+            SELECT s_suppkey,
+                   CAST(40 + s_suppkey % 7 * 10 AS DOUBLE) AS W,
+                   CAST(30 + s_suppkey % 5 * 10 AS DOUBLE) AS H,
+                   CAST(4 + s_suppkey % 13 AS BIGINT) AS n
+            FROM supplier
+        ),
+        r AS (
+            SELECT s_suppkey, n, sqrt(n / (W / H)) AS x
+            FROM p
+        ),
+        rows_solved AS (
+            SELECT s_suppkey, n,
+                   least(greatest(
+                       CASE WHEN x - floor(x) = 0.5
+                            THEN CAST(floor(x) AS BIGINT)
+                               + CAST(floor(x) AS BIGINT) % 2
+                            ELSE CAST(floor(x + 0.5) AS BIGINT) END,
+                       1), n) AS nb_rows
+            FROM r
+        ),
+        cols_solved AS (
+            SELECT s_suppkey, nb_rows,
+                   CAST(n AS DOUBLE) / nb_rows AS y
+            FROM rows_solved
+        )
+        SELECT s_suppkey,
+               greatest(
+                   CASE WHEN y - floor(y) = 0.5
+                        THEN CAST(floor(y) AS BIGINT)
+                           + CAST(floor(y) AS BIGINT) % 2
+                        ELSE CAST(floor(y + 0.5) AS BIGINT) END,
+                   1) AS nb_columns,
+               nb_rows,
+               greatest(
+                   CASE WHEN y - floor(y) = 0.5
+                        THEN CAST(floor(y) AS BIGINT)
+                           + CAST(floor(y) AS BIGINT) % 2
+                        ELSE CAST(floor(y + 0.5) AS BIGINT) END,
+                   1) * nb_rows AS n_tiles
+        FROM cols_solved
+    """,
+    # corpus rule (q_make_valid_area): bowtie (0,0)->(L,H)->(L,0)->(0,H)
+    # self-crosses at the center; repair = two point-touching triangles
+    # (valid MultiPolygon), total area exactly L*H/2
+    "make_valid_area": """
+        SELECT s_suppkey,
+               CAST(2 AS BIGINT) AS n_parts,
+               CAST(0 AS BIGINT) AS valid_in,
+               CAST(1 AS BIGINT) AS valid_out,
+               CAST((4 + s_suppkey % 9) * (2 + s_suppkey % 5) * 50 AS BIGINT)
+                   AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_difference_rects): 20x10 subject minus m = 1+k%4
+    # strictly-interior disjoint unit squares -> one polygon, m holes,
+    # area 200-m
+    "difference_rects": """
+        SELECT s_suppkey,
+               CAST(1 AS BIGINT) AS n_polys,
+               CAST(1 + s_suppkey % 4 AS BIGINT) AS n_holes,
+               CAST((200 - (1 + s_suppkey % 4)) * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # q_difference_tiled: 20 x (10 + k%4) subject minus 4 interior unit
+    # squares, tiled through the Ray stage → 1 merged polygon, 4 holes,
+    # area 20h - 4
+    "difference_tiled": """
+        SELECT s_suppkey,
+               CAST(1 AS BIGINT) AS n_polys,
+               CAST(4 AS BIGINT) AS n_holes,
+               CAST((20 * (10 + s_suppkey % 4) - 4) * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_split_tiles): one (0,0,W,H) tile toward wanted = 2+k%7
+    # parts; the halve/third ratio loop gives counts {2:2,3:3,4:4,5:8,6:6,
+    # 7:8,8:8}; split bounds telescope so the area sum is exactly W*H
+    "split_tiles": """
+        SELECT s_suppkey,
+               CAST(CASE 2 + s_suppkey % 7
+                    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 4
+                    WHEN 5 THEN 8 WHEN 6 THEN 6 ELSE 8 END AS BIGINT)
+                   AS n_tiles,
+               CAST((40 + s_suppkey % 4 * 10) * (30 + s_suppkey % 3 * 10)
+                    * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_inner_rings): 30x30 square, holes a = 1+k%9 and
+    # b = 5+k%13; keep a hole iff area > 8 (min_area_to_keep = 8)
+    "inner_rings": """
+        SELECT s_suppkey,
+               CAST((CASE WHEN 1 + s_suppkey % 9 > 8 THEN 1 ELSE 0 END)
+                  + (CASE WHEN 5 + s_suppkey % 13 > 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_holes_kept,
+               CAST((900
+                  - (CASE WHEN 1 + s_suppkey % 9 > 8
+                          THEN 1 + s_suppkey % 9 ELSE 0 END)
+                  - (CASE WHEN 5 + s_suppkey % 13 > 8
+                          THEN 5 + s_suppkey % 13 ELSE 0 END)) * 100
+                  AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_geom_zoo): p = 1+k%3 points, l = k%2 lines, q = 1+k%2
+    # unit squares in a GeometryCollection; extract(polygon) keeps the q
+    # squares, primitive ids: collection 0, polygon 3
+    "geom_zoo": """
+        SELECT s_suppkey,
+               CAST((1 + s_suppkey % 3) + s_suppkey % 2 + (1 + s_suppkey % 2)
+                   AS BIGINT) AS n_parts,
+               CAST(1 + s_suppkey % 2 AS BIGINT) AS n_polys,
+               CAST(0 AS BIGINT) AS ptype_coll,
+               CAST(3 AS BIGINT) AS ptype_poly,
+               CAST((1 + s_suppkey % 2) * 100 AS BIGINT) AS poly_area_c
+        FROM supplier
+    """,
+    # corpus rule (q_subdivide_rect): 161-coord densified 12x8 rect with
+    # num_coords_max = 40+(k%3)*10 -> ceil(161/ncm) in {5,4,3} squarish
+    # tiles -> create_grid2 gives {4,4,3} non-empty parts; grid lines land
+    # on exact binary fractions so the area sum is exactly 96
+    "subdivide_rect": """
+        SELECT s_suppkey,
+               CAST(CASE s_suppkey % 3 WHEN 2 THEN 3 ELSE 4 END AS BIGINT)
+                   AS n_parts,
+               CAST(9600 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_extend_line): L-bend (0,0)->(L,0)->(L,L), first segment
+    # points -x from the start and last +y from the end, so the extension is
+    # pure integer arithmetic: length 2L+s+e, start x = -s, end y = L+e
+    "extend_line": """
+        SELECT s_suppkey,
+               CAST((2 * (5 + s_suppkey % 6)
+                     + (1 + s_suppkey % 3)
+                     + (1 + s_suppkey % 4)) * 100 AS BIGINT) AS length_c,
+               CAST(-(1 + s_suppkey % 3) * 100 AS BIGINT) AS start_x_c,
+               CAST(((5 + s_suppkey % 6) + (1 + s_suppkey % 4)) * 100
+                   AS BIGINT) AS end_y_c
+        FROM supplier
+    """,
+    # corpus rule (q_collect_explode): collect->explode is a lossless
+    # roundtrip over distinct points (custkey is unique), so part count and
+    # min/max part x reduce to plain per-nation aggregates
+    "collect_explode": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(min(c_custkey) * 100 AS BIGINT) AS min_x_c,
+               CAST(max(c_custkey) * 100 AS BIGINT) AS max_x_c
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    # corpus rule (q_view_angles): segment (1+k%7, 1+k%5) -> (+2, +3) seen
+    # from the origin; both endpoints strictly in quadrant I so the interval
+    # is the endpoint-angle min/max — no 0-deg-ray disambiguation needed
+    "view_angles": """
+        WITH a AS (
+            SELECT s_suppkey,
+                   degrees(atan2(CAST(1 + s_suppkey % 5 AS DOUBLE),
+                                 CAST(1 + s_suppkey % 7 AS DOUBLE))) AS a1,
+                   degrees(atan2(CAST(4 + s_suppkey % 5 AS DOUBLE),
+                                 CAST(3 + s_suppkey % 7 AS DOUBLE))) AS a2
+            FROM supplier
+        )
+        SELECT s_suppkey,
+               CAST(floor(least(a1, a2) * 10000000) AS BIGINT) AS start_c,
+               CAST(floor(greatest(a1, a2) * 10000000) AS BIGINT) AS end_c
+        FROM a
+    """,
+    # the image table has max(count(part), 1000) rows over ordinals 0..n-1;
+    # the generator injects exactly one duplicate class per i%101==0 (i>0):
+    # that ordinal reuses i-1's pixels (table/images.py:189). The engine
+    # derives keepers from the image CONTENT (phash bucket + exact
+    # quantized-pixel digest); the oracle re-derives them from the rule.
+    "phash_dedup": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part)
+        SELECT CAST(u.i AS BIGINT) AS i
+        FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
+        WHERE NOT (u.i % 101 = 0 AND u.i > 0)
+    """,
+    # phash_near_dup: re-derive every image's integer block-mean hash from the
+    # generator rule (same splitmix64/gradient/quantize replay as
+    # image_features), assemble the 64-bit hash in HUGEINT, then the exact
+    # all-pairs hamming check — bit-for-bit the kernel's arithmetic.
+    "phash_near_dup": f"""
+WITH {_IMG_IHASH_CTES}
+SELECT CAST(a.i AS BIGINT) AS i_a, CAST(b.i AS BIGINT) AS i_b,
+       CAST(bit_count(xor(a.ihash, b.ihash)) AS BIGINT) AS hamming
+FROM signed a JOIN signed b ON a.i < b.i
+WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
+    """,
+    # zonal_stats: replay decode, then assign every pixel its 100-unit world
+    # zone from the georeference rule and aggregate — pure integer SQL.
+    "zonal_stats": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT ((i % 1000) * 256 + x) // 100 AS zone_x,
+       ((i // 1000) * 256 + y) // 100 AS zone_y,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_gray,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM dec
+GROUP BY 1, 2
+    """,
+    # image_pyramid: replay decode, then BOTH 2x2 floor-mean levels — floor
+    # division at each level, exactly the kernel's arithmetic.
+    "image_pyramid": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+),
+lvl1 AS (
+    SELECT i, h, w, y // 2 AS yb, x // 2 AS xb,
+           sum(d0) // 4 AS e0, sum(d1) // 4 AS e1, sum(d2) // 4 AS e2
+    FROM dec
+    WHERE y < 2 * (h // 2) AND x < 2 * (w // 2)
+    GROUP BY i, h, w, y // 2, x // 2
+),
+lvl2 AS (
+    SELECT i, h, w, yb // 2 AS yb2, xb // 2 AS xb2,
+           sum(e0) // 4 AS f0, sum(e1) // 4 AS f1, sum(e2) // 4 AS f2
+    FROM lvl1
+    WHERE yb < 2 * ((h // 2) // 2) AND xb < 2 * ((w // 2) // 2)
+    GROUP BY i, h, w, yb // 2, xb // 2
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(1 AS BIGINT) AS level,
+       CAST(w // 2 AS BIGINT) AS w, CAST(h // 2 AS BIGINT) AS h,
+       CAST(sum(e0 + e1 + e2) AS BIGINT) AS sum_rgb,
+       CAST(sum(e0 * e0 + e1 * e1 + e2 * e2) AS BIGINT) AS sum_sq,
+       CAST(1 AS BIGINT) AS pyramid_ok
+FROM lvl1 GROUP BY i, h, w
+UNION ALL
+SELECT CAST(i AS BIGINT) AS i, CAST(2 AS BIGINT) AS level,
+       CAST((w // 2) // 2 AS BIGINT) AS w, CAST((h // 2) // 2 AS BIGINT) AS h,
+       CAST(sum(f0 + f1 + f2) AS BIGINT) AS sum_rgb,
+       CAST(sum(f0 * f0 + f1 * f1 + f2 * f2) AS BIGINT) AS sum_sq,
+       CAST(1 AS BIGINT) AS pyramid_ok
+FROM lvl2 GROUP BY i, h, w
+    """,
+    # corpus rule (q_simplify_geo): W x H rectangle densified to unit spacing
+    # (W = 16 + k%5*8, H = 8 + k%3*4); RDP at tol 0.5 keeps exactly the 4
+    # corners (+ ring closure) and preserves the area
+    "simplify_geo": """
+        SELECT s_suppkey,
+               CAST(2 * ((16 + s_suppkey % 5 * 8) + (8 + s_suppkey % 3 * 4)) + 1
+                    AS BIGINT) AS n_pts_in,
+               CAST(5 AS BIGINT) AS n_pts_out,
+               CAST((16 + s_suppkey % 5 * 8) * (8 + s_suppkey % 3 * 4) * 100
+                    AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # corpus rule (q_centerline): the reference golden 10x2 rectangle
+    # (medial axis LINESTRING (1 1, 9 1), length 8) scaled by s = 1 + k%4
+    # and translated — similarity transforms commute with the medial axis,
+    # so length = 8s exactly
+    "centerline": """
+        SELECT s_suppkey,
+               CAST(800 * (1 + s_suppkey % 4) AS BIGINT) AS centerline_len_c
+        FROM supplier
+    """,
+    # exact word-3-gram Jaccard all-pairs: the Ray side's prefix filter has
+    # guaranteed recall, so the literal O(n^2) recomputation is an exact
+    # oracle. DuckDB integer division of the same ints is IEEE-identical to
+    # the Ray side's inter/union.
+    "jaccard_pairs": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+    """,
+    # 64-bit SimHash recomputed bit-by-bit: token hash = md5_number_lower
+    # (the Ray side uses the little-endian low 8 bytes of hashlib.md5 — the
+    # identical value), votes +1/-1 per token occurrence, bit set iff vote>0
+    "simhash": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM tok),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+                    AS UBIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "simhash_pairs": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM tok),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+                        AS UBIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # exact cosine pairs: threshold 0.45 sits >=1e-4 away from every pair's
+    # similarity at sf0.001/0.01/0.1 (measured), far above float64-vs-DOUBLE[]
+    # rounding (~1e-15), so the numpy and DuckDB pair sets are identical
+    "cosine_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    # corpus rule (q_topo_simplify): rows of 8 adjacent W x 8 rectangles per
+    # topology group; shared-arc RDP keeps exactly the ring corners
+    "topo_simplify": """
+        SELECT s_suppkey,
+               CAST(5 AS BIGINT) AS n_pts_out,
+               CAST((16 + (s_suppkey // 8) % 5 * 8) * 8 * 100 AS BIGINT) AS area_c
+        FROM supplier
+    """,
+    # MinHash-LSH near-dup: recall is probabilistic in general, but on this
+    # corpus every qualifying pair has J >= 0.8 (16 bands x 4 rows -> miss
+    # probability ~2e-4/pair) and the seeded pipeline is deterministic; the
+    # output was verified EQUAL to this exact all-pairs recomputation at
+    # sf0.001 and sf0.01. The guaranteed-recall variant is jaccard_pairs.
+    "near_dup_pairs": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM pairs WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+    """,
+    # ann_lsh / ann_ivf weak oracle: the query itself measures recall@10 of
+    # the approximate index against the exact top-10 (same table, same run)
+    # and emits recall_ok — the oracle asserts the contract (1), so a recall
+    # regression turns the driver hash red. n_queries mirrors the query's
+    # first-8-vec_id selection rule in SQL.
+    "ann_lsh": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings
+    """,
+    "ann_ivf": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings
+    """,
+    "table_profile": """
+        SELECT col AS "column", n, n_null, min_v, max_v, n_distinct FROM (
+          SELECT 'l_orderkey' AS col,
+                 CAST(count(l_orderkey) AS BIGINT) AS n,
+                 CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+                 CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+                 CAST(max(l_orderkey) AS DOUBLE) AS max_v,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+                 CAST(count(*) - count(l_quantity) AS BIGINT),
+                 CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+                 CAST(count(DISTINCT l_quantity) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+                 CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                 CAST(min(l_extendedprice) AS DOUBLE),
+                 CAST(max(l_extendedprice) AS DOUBLE),
+                 CAST(count(DISTINCT l_extendedprice) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+                 CAST(count(*) - count(l_discount) AS BIGINT),
+                 CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+                 CAST(count(DISTINCT l_discount) AS BIGINT)
+          FROM lineitem
+        ) ORDER BY "column"
+    """,
+    # quarantine_decode: the corruption rule (i % 97 == 0 → truncated bytes)
+    # is pure arithmetic, so BOTH paths — surviving-stream count and the
+    # dead-letter sink contents — re-derive exactly in SQL
+    "quarantine_decode": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+        s AS (SELECT unnest(generate_series(0,
+                   CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i)
+        SELECT CAST((SELECT cnt FROM n) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE i % 97 <> 0) AS BIGINT) AS n_ok,
+               CAST(count(*) FILTER (WHERE i % 97 = 0) AS BIGINT) AS n_quarantined,
+               CAST(coalesce(sum(i) FILTER (WHERE i % 97 = 0), 0) AS BIGINT)
+                   AS sum_quarantined
+        FROM s
+    """,
+    # ann_ivf_disk: recall contract plus the I/O-pruning contract — the query
+    # reads only probed partitions of the persisted index; pruned_ok asserts
+    # files_read < files_total actually held
+    "ann_ivf_disk": """
+        SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+               CAST(10 AS BIGINT) AS k,
+               CAST(1 AS BIGINT) AS recall_ok,
+               CAST(1 AS BIGINT) AS pruned_ok
+        FROM embeddings
+    """,
+    # image_features: the generator (splitmix64 offsets + per-axis gradient
+    # mod 256 + raw0/qz1 decode) is re-derived entirely in SQL — integer pixel
+    # digests are exact, so the oracle value-checks decode end-to-end;
+    # features_ok binds the float feature vector in-run (_FeatureDigestStage).
+    "image_features": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+-- splitmix64(src): mod-2^64 arithmetic in HUGEINT (mulmod via 32-bit split)
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_rgb,
+       CAST(sum(d0 * d0 + d1 * d1 + d2 * d2) AS BIGINT) AS sum_sq,
+       CAST(sum((((4 * y + 3) // h) * 4 + ((4 * x + 3) // w) + 1) * (d0 + d1 + d2))
+            AS BIGINT) AS cell_wsum,
+       CAST(1 AS BIGINT) AS features_ok
+FROM dec
+GROUP BY i
+    """,
+    # audio_features: every int8 sample re-derived from the generator rule
+    # (table/audio.py) — exact integer features check decode + kernel e2e
+    "audio_features": """
+WITH n AS (SELECT greatest(count(*), 500) AS cnt FROM documents),
+clips AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+meta AS (
+    SELECT i, 4000 + (i * 13) % 1000 AS ns,
+           1 + (i * 7919) % 17 AS a, (i * 104729) % 256 AS b
+    FROM clips
+),
+smp AS (
+    SELECT m.i, t.t, ((m.a * t.t + m.b) % 256) - 128 AS s
+    FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.ns - 1)) AS t) t
+),
+feat AS (
+    SELECT i,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY i
+),
+zc AS (
+    SELECT i, CAST(count(*) FILTER (WHERE s * s_next < 0) AS BIGINT) AS zero_crossings
+    FROM (SELECT i, s, lead(s) OVER (PARTITION BY i ORDER BY t) AS s_next FROM smp)
+    GROUP BY i
+)
+SELECT 'clip_' || lpad(CAST(f.i AS VARCHAR), 10, '0') AS clip_id,
+       f.n_samples, f.sum_abs, f.energy, f.max_abs, z.zero_crossings
+FROM feat f JOIN zc z USING (i)
+    """,
+    # audio_resample: nearest-sample resample to 4 kHz — output sample k maps
+    # to input index (k*rate)//4000, n_out = ceil(ns*4000/rate), all integer
+    "audio_resample": """
+WITH n AS (SELECT greatest(count(*), 500) AS cnt FROM documents),
+clips AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+meta AS (
+    SELECT i, 4000 + (i * 13) % 1000 AS ns,
+           1 + (i * 7919) % 17 AS a, (i * 104729) % 256 AS b,
+           8000 + 1000 * (i % 3) AS rate
+    FROM clips
+),
+rs AS (SELECT *, (ns * 4000 + rate - 1) // rate AS n_out FROM meta),
+smp AS (
+    SELECT m.i, k.k,
+           ((m.a * ((k.k * m.rate) // 4000) + m.b) % 256) - 128 AS s
+    FROM rs m, LATERAL (SELECT unnest(generate_series(0, m.n_out - 1)) AS k) k
+),
+feat AS (
+    SELECT i,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY i
+),
+zc AS (
+    SELECT i, CAST(count(*) FILTER (WHERE s * s_next < 0) AS BIGINT) AS zero_crossings
+    FROM (SELECT i, s, lead(s) OVER (PARTITION BY i ORDER BY k) AS s_next FROM smp)
+    GROUP BY i
+)
+SELECT 'clip_' || lpad(CAST(f.i AS VARCHAR), 10, '0') AS clip_id,
+       f.n_samples, f.sum_abs, f.energy, f.max_abs, z.zero_crossings
+FROM feat f JOIN zc z USING (i)
+    """,
+    # video_frames: sampled-frame pixel digests re-derived from the vz1 frame
+    # generator rule (table/video.py) + qz1 requantization, all integer
+    "video_frames": """
+WITH n AS (SELECT greatest(2 * count(*), 200) AS cnt FROM supplier),
+vids AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS v
+),
+meta AS (
+    SELECT v, 16 + (v * 7) % 17 AS nf,
+           16 + (v * 37) % 33 AS w, 16 + (v * 53) % 29 AS h
+    FROM vids
+),
+fr AS (
+    SELECT m.v, m.w, m.h, j.j
+    FROM meta m, LATERAL (SELECT unnest(generate_series(0, m.nf - 1)) AS j) j
+    WHERE j.j % 5 = 0
+),
+dec AS (
+    SELECT f.v, f.j,
+           p0 - (p0 % 4) + 2 AS d0,
+           p1 - (p1 % 4) + 2 AS d1,
+           p2 - (p2 % 4) + 2 AS d2
+    FROM fr f,
+         LATERAL (SELECT unnest(generate_series(0, f.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + (f.v * 11 + f.j * 17) % 256) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + (f.v * 23 + f.j * 29) % 256) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + (f.v * 31 + f.j * 41) % 256) % 256 AS p2) p
+)
+SELECT 'vid_' || lpad(CAST(v AS VARCHAR), 10, '0') AS video_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       CAST(sum(d0 + d1 + d2) AS BIGINT) AS sum_rgb
+FROM dec
+GROUP BY v, j
+    """,
+    # geo_csv: the synthesized rect rule is plain arithmetic on the ordinal
+    # (CSV keys are 0..n-1 where n = supplier row count)
+    "geo_csv": """
+WITH n AS (SELECT count(*) AS cnt FROM supplier),
+ks AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS k
+)
+SELECT CAST(k AS BIGINT) AS s_suppkey,
+       CAST((1 + k % 5) * (1 + k % 7) AS BIGINT) AS area_i,
+       CAST(2 * ((1 + k % 5) + (1 + k % 7)) AS BIGINT) AS perim_i,
+       CAST(k % 100 AS BIGINT) AS minx_i,
+       CAST(k // 100 + 1 + k % 7 AS BIGINT) AS maxy_i
+FROM ks
+    """,
+    # kmeans: the integer Lloyd's algorithm replayed verbatim — quantize
+    # floor(x*100)+128 (shift keeps // floor/trunc-agnostic), centroids S//n,
+    # ties to smallest cluster, emptied cluster keeps its previous centroid
+    "kmeans": """
+WITH qv AS (
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT) + 128 AS q
+    FROM embeddings
+),
+c0ids AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cent0 AS (SELECT i.j, qv.idx, qv.q AS c FROM c0ids i JOIN qv USING (vec_id)),
+d1 AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent0 c USING (idx) GROUP BY qv.vec_id, c.j
+),
+a1 AS (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+s1 AS (
+    SELECT a1.j, qv.idx, sum(qv.q) AS sq, count(*) AS n
+    FROM a1 JOIN qv USING (vec_id) GROUP BY a1.j, qv.idx
+),
+cent1 AS (
+    SELECT c0.j, c0.idx, COALESCE(CAST(s1.sq // s1.n AS BIGINT), c0.c) AS c
+    FROM cent0 c0 LEFT JOIN s1 ON s1.j = c0.j AND s1.idx = c0.idx
+),
+d2_ AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent1 c USING (idx) GROUP BY qv.vec_id, c.j
+),
+a2 AS (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+        FROM d2_
+    ) WHERE rn = 1
+),
+s2 AS (
+    SELECT a2.j, qv.idx, sum(qv.q) AS sq, count(*) AS n
+    FROM a2 JOIN qv USING (vec_id) GROUP BY a2.j, qv.idx
+),
+cent2 AS (
+    SELECT c1.j, c1.idx, COALESCE(CAST(s2.sq // s2.n AS BIGINT), c1.c) AS c
+    FROM cent1 c1 LEFT JOIN s2 ON s2.j = c1.j AND s2.idx = c1.idx
+),
+df AS (
+    SELECT qv.vec_id, c.j, sum((qv.q - c.c) * (qv.q - c.c)) AS d2
+    FROM qv JOIN cent2 c USING (idx) GROUP BY qv.vec_id, c.j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (
+    SELECT vec_id, j, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM df
+) WHERE rn = 1
+    """,
+    "topn_per_key": """
+        SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk
+        FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        ranked AS (
+            SELECT doc_id, term, tf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, term
+                   ) AS rnk
+            FROM tf
+        )
+        SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
+               CAST(r.rnk AS BIGINT) AS rnk, CAST(d.df AS BIGINT) AS df
+        FROM ranked r JOIN dfq d USING (term)
+        WHERE r.rnk <= 3
+    """,
+    "global_rank": """
+        SELECT event_id,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rnk
+        FROM events
+    """,
+    "group_median": """
+        WITH h AS (
+            SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT user_id, v,
+                   sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum
+            FROM h
+        ),
+        n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        SELECT n.user_id, CAST(min(cum.v) AS BIGINT) AS median_c,
+               CAST(n.n AS BIGINT) AS n
+        FROM n JOIN cum ON n.user_id = cum.user_id
+        WHERE cum.cum >= (50 * n.n + 99) // 100
+        GROUP BY n.user_id, n.n
+    """,
+    # quantiles: smallest v with cumulative count >= ceil(p*n/100), exact
+    "quantiles": """
+        WITH h AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS c
+            FROM events GROUP BY 1
+        ),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        n AS (SELECT count(*) AS n FROM events),
+        p AS (SELECT unnest([25, 50, 75, 99]) AS pct)
+        SELECT CAST(p.pct AS BIGINT) AS pct, CAST(min(cum.v) AS BIGINT) AS value_c
+        FROM p, cum, n
+        WHERE cum.cum >= (p.pct * n.n + 99) // 100
+        GROUP BY p.pct
+    """,
+    # bloom_semi_join: the Bloom pass is exact end-to-end (no false
+    # negatives; FPs removed by the left_semi join), so the oracle is the
+    # plain semi-join aggregate
+    "bloom_semi_join": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0
+        )
+        GROUP BY l_returnflag
+    """,
+    # cust_order_stats: LEFT OUTER join semantics — inactive customers
+    # (no orders) must survive with zero-filled measures
+    "cust_order_stats": """
+        WITH per AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_c
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(count(*) FILTER (WHERE per.o_custkey IS NULL) AS BIGINT)
+                   AS n_inactive,
+               CAST(coalesce(sum(per.n_orders), 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(per.spend_c), 0) AS BIGINT) AS spend_c
+        FROM customer LEFT JOIN per ON c_custkey = per.o_custkey
+        GROUP BY c_mktsegment
+    """,
+    # stratified_sample: the multiplicative-hash membership rule replayed
+    # verbatim (uint64 wraparound preserves the mod-2^32 value, so BIGINT
+    # arithmetic agrees with the engine's numpy uint64 at these key ranges)
+    "stratified_sample": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 4294967296 % 100
+              < CAST(substr(o_orderpriority, 1, 1) AS INTEGER) * 10
+        GROUP BY o_orderpriority
+    """,
+    # sales_rollup: ROLLUP levels with 'ALL' sentinel labels
+    "sales_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_c
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # embed_quantize: the quantization transform replayed per element
+    # (float32 -> float64 cast is exact on both sides)
+    "embed_quantize": """
+        SELECT vec_id,
+               CAST(sum(qv) AS BIGINT) AS sum_q,
+               CAST(sum(qv * qv) AS BIGINT) AS sum_q2,
+               CAST(sum(qv * i) AS BIGINT) AS wsum
+        FROM (
+            SELECT vec_id,
+                   CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT) + 128 AS qv,
+                   i
+            FROM (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+        )
+        GROUP BY vec_id
+    """,
+    # image_augment: decode replayed from the generator rule (same splitmix64
+    # CTE chain as image_features); flip/rot180 digests are the SAME pixels
+    # with mirrored position weights — a wrong flip axis or off-by-one in the
+    # engine's transform changes the sum
+    "image_augment": """
+WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part),
+ords AS (
+    SELECT unnest(generate_series(0, CAST((SELECT cnt FROM n) AS BIGINT) - 1)) AS i
+),
+imgs AS (
+    SELECT i,
+           CAST(CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END AS HUGEINT) AS src,
+           (i % 3 = 0) AS is_qz
+    FROM ords
+),
+s0 AS (
+    SELECT *, (src + 11400714819323198485) % 18446744073709551616 AS z0 FROM imgs
+),
+s0x AS (SELECT *, xor(z0, z0 // 1073741824) AS a0 FROM s0),
+s1 AS (
+    SELECT *,
+           ((a0 % 4294967296) * 13787848793156543929
+            + (((a0 // 4294967296) * 13787848793156543929) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z1
+    FROM s0x
+),
+s1x AS (SELECT *, xor(z1, z1 // 134217728) AS a1 FROM s1),
+s2 AS (
+    SELECT *,
+           ((a1 % 4294967296) * 10723151780598845931
+            + (((a1 // 4294967296) * 10723151780598845931) % 18446744073709551616)
+              * 4294967296) % 18446744073709551616 AS z2
+    FROM s1x
+),
+seeds AS (SELECT *, xor(z2, z2 // 2147483648) AS seed FROM s2),
+meta AS (
+    SELECT CAST(i AS BIGINT) AS i, is_qz,
+           CAST(16 + (src * 37) % 49 AS BIGINT) AS w,
+           CAST(16 + (src * 53) % 41 AS BIGINT) AS h,
+           CAST(seed % 256 AS BIGINT) AS o0,
+           CAST((seed // 256) % 256 AS BIGINT) AS o1,
+           CAST((seed // 65536) % 256 AS BIGINT) AS o2
+    FROM seeds
+),
+dec AS (
+    SELECT m.i, m.h, m.w, ys.y, xs.x,
+           CASE WHEN is_qz THEN p0 - (p0 % 4) + 2 ELSE p0 END AS d0,
+           CASE WHEN is_qz THEN p1 - (p1 % 4) + 2 ELSE p1 END AS d1,
+           CASE WHEN is_qz THEN p2 - (p2 % 4) + 2 ELSE p2 END AS d2
+    FROM meta m,
+         LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+         LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+         LATERAL (SELECT (ys.y * 3 + xs.x * 5 + m.o0) % 256 AS p0,
+                         (ys.y * 7 + xs.x * 2 + m.o1) % 256 AS p1,
+                         (ys.y * 1 + xs.x * 11 + m.o2) % 256 AS p2) p
+)
+SELECT i,
+       CAST(sum((d0 + d1 + d2) * (w - x)) AS BIGINT) AS flip_wx,
+       CAST(sum((d0 + d1 + d2) * (w - x) * (h - y)) AS BIGINT) AS rot_w,
+       CAST(1 AS BIGINT) AS aug_ok
+FROM dec
+GROUP BY i
+    """,
+    # dup_clusters: transitive closure of the exact-Jaccard pair graph via a
+    # recursive CTE — cluster_id = min reachable doc_id; docs outside every
+    # pair are their own singleton cluster
+    "dup_clusters": """
+        WITH RECURSIVE
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        p0 AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        e1 AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM p0
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        ),
+        -- MATERIALIZED: the recursive step scans edges once per iteration;
+        -- without the hint DuckDB inlines the CTE chain and replays the
+        -- all-pairs Jaccard join EVERY round
+        edges AS MATERIALIZED (
+            SELECT doc_a AS s, doc_b AS d FROM e1
+            UNION ALL
+            SELECT doc_b, doc_a FROM e1
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    """,
+    # vocab_hll: every HLL register recomputed from scratch — hash =
+    # md5_number_lower (little-endian bytes 8:16 of md5, the Ray-side value),
+    # bucket = top 12 bits, rank = first-1-bit position of the low 52 bits
+    # via exact binary-string length (53 - bit_length, 53 when zero)
+    "vocab_hll": """
+        WITH tok AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS wd FROM documents
+        ),
+        h AS (SELECT md5_number_lower(wd) AS hw FROM tok)
+        SELECT CAST(hw >> 52 AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN (hw & 4503599627370495) = 0 THEN 53
+                        ELSE 53 - length(bin(hw & 4503599627370495)) END)
+                    AS BIGINT) AS r
+        FROM h GROUP BY bucket
+    """,
+    # footprint_pairs: L∞ proximity self-join — the band predicates ARE the
+    # gap-<=-48 conditions (per axis: gap <= d ⇔ each side starts before the
+    # other side's end + d)
+    "footprint_pairs": f"""
+        WITH img AS ({_IMG})
+        SELECT a.i AS img_a, b.i AS img_b,
+               CAST(greatest(b.minx - a.maxx, a.minx - b.maxx, 0) AS BIGINT) AS x_gap,
+               CAST(greatest(b.miny - a.maxy, a.miny - b.maxy, 0) AS BIGINT) AS y_gap
+        FROM img a JOIN img b
+          ON a.i < b.i
+         AND b.minx <= a.maxx + 48 AND a.minx <= b.maxx + 48
+         AND b.miny <= a.maxy + 48 AND a.miny <= b.maxy + 48
+    """,
+    "running_total": """
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS run_value_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "top_tokens": """
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+        SELECT term, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+        FROM c ORDER BY n DESC, term LIMIT 20
+    """,
+    "funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(coalesce(v.t1, -1) AS BIGINT) AS view_ts,
+               CAST(coalesce(c.t2, -1) AS BIGINT) AS click_ts,
+               CAST(coalesce(p.t3, -1) AS BIGINT) AS purchase_ts,
+               CAST(CASE WHEN v.t1 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages
+        FROM u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    "shipping_priority": """
+        WITH f AS (
+            SELECT l.l_orderkey AS o_orderkey,
+                   epoch_us(o.o_orderdate) AS odate_us,
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT) AS rev_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND epoch_us(o.o_orderdate) < epoch_us(TIMESTAMP '1998-06-01')
+              AND epoch_us(l.l_shipdate) > epoch_us(TIMESTAMP '1998-06-01')
+        )
+        SELECT o_orderkey, CAST(odate_us AS BIGINT) AS odate_us,
+               CAST(sum(rev_c) AS BIGINT) AS revenue_c
+        FROM f GROUP BY o_orderkey, odate_us
+        ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+    """,
+    "knn_join": f"""
+        WITH pts AS ({_PTS}),
+        q AS (
+            SELECT event_id AS q_id, px AS qx, py AS qy
+            FROM pts WHERE event_id % 101 = 0
+        ),
+        d AS (
+            SELECT q.q_id, p.event_id,
+                   CAST((p.px - q.qx) * (p.px - q.qx)
+                        + (p.py - q.qy) * (p.py - q.qy) AS BIGINT) AS dist2
+            FROM q JOIN pts p ON p.event_id <> q.q_id
+        ),
+        r AS (
+            SELECT q_id, event_id, dist2,
+                   row_number() OVER (PARTITION BY q_id ORDER BY dist2, event_id)
+                       AS rnk
+            FROM d
+        )
+        SELECT q_id, event_id, CAST(rnk AS BIGINT) AS rnk, dist2
+        FROM r WHERE rnk <= 3
+    """,
+    # dissolve: the union of overlapping [x0, x0+10]×[0,5] rects per nation
+    # is an interval merge — lead() gives each slot's newly-covered length
+    "dissolve": """
+        WITH s AS (
+            SELECT DISTINCT s_nationkey AS nk, (s_suppkey % 7) * 8 AS x0
+            FROM supplier
+        ),
+        w AS (
+            SELECT nk, x0, lead(x0) OVER (PARTITION BY nk ORDER BY x0) AS nxt
+            FROM s
+        ),
+        seg AS (
+            SELECT nk,
+                   CASE WHEN nxt IS NULL THEN 10
+                        WHEN nxt - x0 < 10 THEN nxt - x0
+                        ELSE 10 END AS len
+            FROM w
+        )
+        SELECT CAST(nk AS BIGINT) AS n_nationkey,
+               CAST(sum(len) * 5 * 100 AS BIGINT) AS area_c,
+               CAST(count(*) AS BIGINT) AS n_slots
+        FROM seg GROUP BY nk
+    """,
+    # image_curation: the full composed chain replayed — generator dims, the
+    # ordinal duplicate rule, the HUGEINT ihash derivation, all-pairs
+    # hamming restricted to the gated+deduped survivors, and the split hash
+    "image_curation": f"""
+WITH {_IMG_IHASH_CTES},
+gate AS (SELECT m.i, m.w, m.h FROM meta m WHERE m.w * m.h >= 1200),
+ded AS (SELECT g.i, g.w, g.h FROM gate g WHERE NOT (g.i % 101 = 0 AND g.i > 0)),
+prs AS (
+    SELECT DISTINCT b.i AS ib
+    FROM signed a JOIN signed b ON a.i < b.i
+    WHERE bit_count(xor(a.ihash, b.ihash)) <= 3
+      AND a.i IN (SELECT i FROM ded) AND b.i IN (SELECT i FROM ded)
+),
+kept AS (SELECT d.* FROM ded d WHERE d.i NOT IN (SELECT ib FROM prs)),
+fin AS (
+    SELECT CASE WHEN (i * 2654435761) % 4294967296 % 10 = 9
+                THEN 'val' ELSE 'train' END AS split,
+           i, w * h AS px
+    FROM kept
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(i) AS BIGINT) AS id_sum
+FROM fin GROUP BY split
+    """,
+    # incremental_dedup: cross-boundary dups (i%101==0 with i-1 in history)
+    # die in the anti join; same-increment dups in the argmin — both reduce
+    # to dropping every dup ordinal in the increment
+    "incremental_dedup": """
+        WITH n AS (SELECT greatest(count(*), 1000) AS cnt FROM part)
+        SELECT CAST(u.i AS BIGINT) AS i
+        FROM (SELECT unnest(range((SELECT cnt FROM n))) AS i) u
+        WHERE u.i >= ((SELECT cnt FROM n) // 2) // 101 * 101
+          AND u.i % 101 <> 0
+    """,
+    "sales_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_c
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "user_mode": """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        r AS (
+            SELECT user_id, event_type, n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type) AS rk
+            FROM c
+        )
+        SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+        FROM r WHERE rk = 1
+    """,
+    "dup_triangles": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        p0 AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        e AS MATERIALIZED (
+            SELECT da AS a, db AS b FROM p0
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+}

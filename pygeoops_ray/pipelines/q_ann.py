@@ -1,0 +1,211 @@
+"""ANN / embedding queries: brute-force, LSH, IVF (in-stream + disk), quantization, k-means.
+
+Split from pipelines/queries.py (round-2 verdict item 7); queries.py
+remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pygeoops_ray.stages import ann as ann_stages
+from pygeoops_ray.pipelines.common import (
+    _read,
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _matrix_of(tab: pa.Table):
+    ids = tab["vec_id"].to_numpy()
+    emb = tab["embedding"].combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    dim = len(flat) // max(len(ids), 1)
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _query_vectors(sf_dir: str, nq: int = 8):
+    """The nq smallest-vec_id vectors, via ROW-GROUP-PRUNED reads.
+
+    Row groups are read in ascending order of their vec_id min-statistic and
+    reading stops as soon as the collected rows must contain the global nq
+    smallest (every unread group's min exceeds our nq-th candidate) — at
+    scale this touches one row group, not the table.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    md = pf.metadata
+    vec_col = next(
+        i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "vec_id"
+    )
+    mins = [md.row_group(g).column(vec_col).statistics.min for g in range(md.num_row_groups)]
+    order = sorted(range(len(mins)), key=lambda g: mins[g])
+    tabs, best = [], None
+    for pos, g in enumerate(order):
+        tabs.append(pf.read_row_group(g, columns=["vec_id", "embedding"]))
+        got = np.sort(np.concatenate([t["vec_id"].to_numpy() for t in tabs]))
+        if len(got) >= nq:
+            best = got[nq - 1]
+            nxt = mins[order[pos + 1]] if pos + 1 < len(order) else None
+            if nxt is None or best < nxt:
+                break
+    tab = pa.concat_tables(tabs)
+    ids, m = _matrix_of(tab)
+    sel = np.argsort(ids)[:nq]
+    return ids[sel], m[sel]
+
+
+def _corpus_matrix(sf_dir: str):
+    """Full (vec_id, embedding) matrix — broadcast side of the exact
+    cosine-pair baseline (column-pruned read; the matrix IS the operator's
+    small side, ray.put once by the stage)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _matrix_of(tab)
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first 8 vectors as queries."""
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.brute_force_topk(emb, q_ids, qm, k=10)
+
+
+def _ann_recall_summary(sf_dir: str, approx_fn, min_mean_recall_pct: int, k: int = 10):
+    """Weak oracle for an approximate-NN family, encoded as rows.
+
+    An approximate index has no value-exact SQL oracle, but its CONTRACT does:
+    mean recall@k against the exact top-k (computed from the same table inside
+    this query) must clear a floor. The driver-visible output is one summary
+    row whose ``recall_ok`` flips to 0 on a recall regression, turning the
+    oracle hash red — chance-level recall here is k/N ≈ 0.1%, so the floor is
+    a real assertion, not a tautology. Raw neighbor lists stay available via
+    ``stages.ann`` and the recall distribution via pytest.
+    """
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    approx = approx_fn(emb, q_ids, qm, k=k).to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= min_mean_recall_pct)], pa.int64()),
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate-NN recall gate: mean recall@10 >= 40% vs exact.
+
+    Measured mean recall is 0.55-0.74 across sf0.001/sf0.01 (nprobe=4 of 16
+    centroids); the 40% floor leaves margin for corpus drift while staying
+    ~400x above chance.
+    """
+    return _ann_recall_summary(sf_dir, ann_stages.ivf_topk, min_mean_recall_pct=40)
+
+
+def q_ann_ivf_disk(sf_dir: str):
+    """Disk-persisted IVF index: recall contract + I/O-pruning contract.
+
+    Index build (once per table, resumable): vectors written as one parquet
+    partition per coarse cell through the checkpoint manifest, centroids as
+    a sidecar (stages/ann.build_ivf_disk_index). Query: only the probed
+    cells' FILES are read (ivf_disk_topk) — the 100-TB similarity-search
+    shape where the index is a data layout and a query's I/O is nprobe/N of
+    the corpus. Output adds ``pruned_ok`` (files_read < files_total) to the
+    recall contract, so a regression in either the recall OR the pruning
+    turns the driver hash red.
+    """
+    import hashlib
+    import os
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/ivf_index_{key}"
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(out_dir, "centroids.npy")):
+        ann_stages.build_ivf_disk_index(emb, out_dir)
+
+    k = 10
+    q_ids, qm = _query_vectors(sf_dir)
+    approx_ds, n_read, n_total = ann_stages.ivf_disk_topk(out_dir, q_ids, qm, k=k)
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    approx = approx_ds.to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= 40)], pa.int64()),
+            "pruned_ok": pa.array([int(0 < n_read < n_total)], pa.int64()),
+        }
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate-NN recall gate: mean recall@10 >= 30%.
+
+    Measured mean recall is 0.42-0.46 across sf0.001/sf0.01.
+    """
+    return _ann_recall_summary(sf_dir, ann_stages.lsh_topk, min_mean_recall_pct=30)
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8-style embedding quantization (the vector-compression step an
+    ANN index applies at rest) with per-vector integer digests.
+
+    Rule shared with kmeans: q = floor(x·100) + 128 over the float64-cast
+    values, so every digest is exact and the oracle replays the whole
+    transform via unnest + generate_subscripts. A pure map — no shuffle.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        ids, mat = _matrix_of(batch)
+        q = np.floor(mat * 100.0).astype(np.int64) + 128
+        w = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "sum_q": pa.array(q.sum(axis=1), pa.int64()),
+                "sum_q2": pa.array((q * q).sum(axis=1), pa.int64()),
+                "wsum": pa.array(q @ w, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow", batch_size=None)
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed integer-exact k-means over the embeddings table.
+
+    Two Lloyd iterations, k=8: each iteration is one streaming pass with
+    per-batch partial (cluster → sum, count) against broadcast centroids
+    (ray.put once per iteration), tiny k×d driver reduce. The oracle replays
+    the identical integer algorithm (quantize → argmin → S//n centroids) in
+    unrolled SQL CTEs — value-exact, not a contract bit.
+    """
+    from pygeoops_ray.stages.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, iters=2)

@@ -1,0 +1,332 @@
+"""Dedup/similarity queries: exact, MinHash-LSH, Jaccard, SimHash, cosine, curation chains, dup graphs.
+
+Split from pipelines/queries.py (round-2 verdict item 7); queries.py
+remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pygeoops_ray.stages import ann as ann_stages
+from pygeoops_ray.stages import dedup as dedup_stages
+from pygeoops_ray.pipelines.common import (
+    _read,
+    _table_rows,
+    _read_blocked,
+    _image_ds,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_events(sf_dir: str):
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_type", "event_id"])
+    return dedup_stages.exact_dedup_min(
+        ds, ["user_id", "event_type"], "event_id",
+        n_rows_hint=_table_rows(sf_dir, "events"),
+    )
+
+
+def q_dedup_docs(sf_dir: str):
+    ds = _read_blocked(sf_dir, "documents", columns=["text", "doc_id"])
+    return dedup_stages.exact_dedup_min(
+        ds, ["text"], "doc_id", n_rows_hint=_table_rows(sf_dir, "documents")
+    ).select_columns(["doc_id"])
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity self-join at t=0.5.
+
+    Prefix-filter candidate generation has guaranteed recall (see
+    stages/dedup.exact_jaccard_pairs), so the oracle is the literal all-pairs
+    SQL over DuckDB string shingle lists. Docs with <3 tokens have no
+    3-shingles and are excluded on both sides.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    ds = ds.map_batches(flt, batch_format="pyarrow")
+    n_docs = _table_rows(sf_dir, "documents")
+    return dedup_stages.exact_jaccard_pairs(ds, jaccard_threshold=0.5, n_docs_hint=n_docs)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (oracle: md5_number_lower bit votes in SQL)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dedup_stages.simhash_batch, batch_format="pyarrow")
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at hamming<=3 via 4-band pigeonhole grouping.
+
+    Banding guarantees recall (<=3 differing bits leave >=1 of 4 bands
+    intact), so the oracle is the all-pairs bit_count(xor(...)) SQL.
+    """
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.simhash_pairs(
+        ds, max_hamming=3, n_docs_hint=_table_rows(sf_dir, "documents")
+    )
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs at cos>=0.45 (baseline path:
+    broadcast corpus matrix + per-batch matmul strip; IVF/LSH buckets are the
+    10^12-scale candidate path, measured against this exact baseline)."""
+    ids, m = _corpus_matrix(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_stages.cosine_dup_pairs(emb, ids, m, threshold=0.45)
+
+
+def q_near_dup_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs (rows-only check: not SQL-expressible).
+
+    Block count pinned modestly: Ray auto-splits the small file into
+    64 blocks to feed every core, but the pipeline has three sort shuffles
+    whose task fan-out is blocks × partitions — at test scale that's pure
+    overhead. At real scale blocks are naturally ~100-200 MB and this
+    override is a no-op ceiling.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(4, ncpu // 4),
+    ).map_batches(_strip_schema_metadata, batch_format="pyarrow", batch_size=None)
+    return dedup_stages.near_dup_pairs(
+        ds, jaccard_threshold=0.5, n_docs_hint=_table_rows(sf_dir, "documents")
+    )
+
+
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end LLM training-data curation, composed and oracle-exact.
+
+    The flagship text-side chain: quality filter (token count + average
+    token length, the exact text_quality rules) → exact dedup (min doc_id
+    per identical text) → near-duplicate removal (prefix-filtered exact
+    word-3-gram Jaccard at t=0.5 — guaranteed recall, so the removal rule
+    "drop every doc_b of a pair (doc_a < doc_b)" is deterministic) →
+    deterministic train/val split (Knuth multiplicative hash of doc_id).
+    Every stage is an already-oracle-checked operator; this query binds the
+    COMPOSITION to one SQL oracle (per-split doc counts, token sums, id
+    checksums).
+
+    Scale notes: the dedup output is materialized once because two
+    consumers read it (the pair finder and the final filter) — at real
+    scale that's a write_partitioned checkpoint instead. The near-dup
+    removal runs as a distributed Bloom ANTI-JOIN against the pair output
+    (stages/bloomjoin.py): non-duplicate docs — the vast majority — are
+    bloom-negative and flow through with no exchange; only bloom-positives
+    enter the exact left_anti join, so nothing about the drop set ever
+    lands on the driver even on a duplicate-saturated corpus.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_chars = pc.utf8_length(text)
+        n_spaces = pc.subtract(
+            n_chars, pc.utf8_length(pc.replace_substring(text, " ", ""))
+        )
+        n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+        atl = pc.divide(
+            pc.cast(pc.subtract(n_chars, n_spaces), pa.float64()),
+            pc.cast(n_tokens, pa.float64()),
+        )
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, 5),
+            pc.and_(pc.greater_equal(atl, 3.0), pc.less_equal(atl, 12.0)),
+        )
+        return b.filter(keep)
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    n_docs = _table_rows(sf_dir, "documents")
+    deduped = dedup_stages.exact_dedup_min(
+        filtered, ["text"], "doc_id", n_rows_hint=n_docs
+    ).materialize()
+
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
+
+    pairs = dedup_stages.exact_jaccard_pairs(
+        deduped, jaccard_threshold=0.5, n_docs_hint=n_docs
+    )
+    # drop every doc_b of a near-dup pair, distributively: n_build_hint is an
+    # upper bound (pair count <= corpus), which only oversizes the filter
+    # the anti-join consumes the build side twice (bloom build + distinct);
+    # materialize the one-column pair projection (bounded by dup density) so
+    # the jaccard pipeline runs once — in the object store, not the driver
+    kept = bloom_anti_join(
+        deduped,
+        pairs.select_columns(["doc_b"]).materialize(),
+        probe_key="doc_id",
+        build_key="doc_b",
+        n_build_hint=n_docs,
+    )
+
+    def split_and_count(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()
+        bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        split = np.where(bucket % np.uint64(10) == 9, "val", "train")
+        return pa.Table.from_pydict(
+            {
+                "split": pa.array(split),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        kept.map_batches(split_and_count, batch_format="pyarrow"),
+        ["split"],
+        [
+            ("doc_id", "size", "n_docs"),
+            ("n_tokens", "sum", "sum_tokens"),
+            ("doc_id", "sum", "sum_doc_id"),
+        ],
+        n_buckets=2,
+    )
+
+
+def q_incremental_dedup(sf_dir: str):
+    """APPEND-MODE dedup: dedup a new increment (the upper half of the image
+    corpus by ordinal) against already-ingested history (the lower half) —
+    the shape a 100-TB corpus actually grows in. History keys compress to a
+    broadcast Bloom filter, so bloom-NEGATIVE increment rows (almost
+    everything, in the append case) flow through with NO exchange; only
+    bloom-positives enter the exact ``left_anti`` join on the content
+    digest. A final in-increment argmin dedup catches duplicates that
+    arrived within the same increment. Exact: the generator's ordinal
+    duplicate rule (i%101==0 duplicates i-1) means cross-boundary dups die
+    in the anti join and same-increment dups in the argmin — the oracle is
+    pure ordinal arithmetic.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.bloomjoin import bloom_anti_join
+    from pygeoops_ray.stages.dedup import hash_str64
+    from pygeoops_ray.stages.multimodal import quantized_digest_batch
+
+    ds, n = _image_ds(sf_dir)
+    # boundary ON a duplicate ordinal: i = half is a dup of half-1, which
+    # lives in history — the cross-boundary case the anti join exists for
+    half = (n // 2) // 101 * 101
+    ds = ds.select_columns(["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(quantized_digest_batch, batch_format="pyarrow", batch_size=1024)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        qd = batch["qdigest"].to_pylist()
+        hkey = np.fromiter(
+            (hash_str64(s) for s in qd), dtype=np.uint64, count=len(qd)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"i": i, "qdigest": batch["qdigest"], "hkey": pa.array(hkey, pa.int64())}
+        )
+
+    kd = ds.map_batches(keys, batch_format="pyarrow").materialize()
+    hist = kd.filter(expr=f"i < {half}")
+    inc = kd.filter(expr=f"i >= {half}")
+    new = bloom_anti_join(
+        inc,
+        hist,
+        probe_key="qdigest",
+        build_key="qdigest",
+        n_build_hint=half,
+        bloom_probe_key="hkey",
+        bloom_build_key="hkey",
+    )
+    return dedup_stages.exact_dedup_min(
+        new, ["qdigest"], "i", n_rows_hint=n
+    ).select_columns(["i"])
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER assignment: connected components over the exact
+    Jaccard pair graph (stages/graph.connected_components).
+
+    Pairwise dedup is not enough for curation — similarity is not transitive
+    but removal must be (a~b, b~c ⇒ keep ONE of {a,b,c}), so the cluster id
+    is the min doc_id of each component of the pair graph. Min-label
+    propagation iterates bounded-volume shuffles (|V|+2|E| rows per round,
+    rounds = component diameter); documents in no pair come back as
+    singletons via a broadcast anti-filter. The oracle replays the closure
+    with a recursive CTE over the same all-pairs Jaccard edge set.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.graph import connected_components
+
+    docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    n_docs = _table_rows(sf_dir, "documents")
+    pairs = dedup_stages.exact_jaccard_pairs(
+        docs.map_batches(flt, batch_format="pyarrow"),
+        jaccard_threshold=0.5,
+        n_docs_hint=n_docs,
+    )
+    all_nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    cc = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        all_nodes_ds=all_nodes,
+        node_col="doc_id",
+        n_edges_hint=max(64, n_docs // 10),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["node"], "cluster_id": batch["cluster_id"]}
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def q_dup_triangles(sf_dir: str):
+    """Triangle count of the near-duplicate pair graph
+    (stages/graph.triangle_count) — the clustering-density metric of the
+    dup graph (how clique-like are the duplicate clumps): degree-oriented
+    wedge counting, each triangle counted once at its smallest-(degree, id)
+    vertex, wedge⋈edge decided in one tagged coarse-bucket cogroup. Oracle
+    is the literal 3-way self-join over the same Jaccard edge set.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.graph import triangle_count
+
+    docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    n_docs = _table_rows(sf_dir, "documents")
+    pairs = dedup_stages.exact_jaccard_pairs(
+        docs.map_batches(flt, batch_format="pyarrow"),
+        jaccard_threshold=0.5,
+        n_docs_hint=n_docs,
+    )
+    n = triangle_count(pairs, "doc_a", "doc_b", n_edges_hint=n_docs // 10)
+    return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})

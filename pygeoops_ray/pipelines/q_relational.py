@@ -1,0 +1,1129 @@
+"""Relational queries: aggregates, windows, sessions, joins, ranks, quantiles, sampling.
+
+Split from pipelines/queries.py (round-2 verdict item 7); queries.py
+remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pygeoops_ray.pipelines.common import (
+    _read,
+    _table_rows,
+    _read_blocked,
+)
+
+
+# ---------------------------------------------------------------------------
+# relational core (groupby / join / window engine capabilities)
+# ---------------------------------------------------------------------------
+
+
+def q_table_profile(sf_dir: str):
+    """Distributed data profiling of lineitem's numeric columns.
+
+    count / nulls / min / max move as one partial row per (block, column);
+    EXACT n_distinct runs per-block unique → distinct-(column, value) dedup →
+    per-column count, so shuffle volume is the distinct-value count, never
+    the raw rows (stages/profile.py). The profile is the first job any
+    pipeline runs against an unknown 100-TB table.
+    """
+    from pygeoops_ray.stages.profile import profile_numeric
+
+    cols = ["l_discount", "l_extendedprice", "l_orderkey", "l_quantity"]
+    ds = _read_blocked(sf_dir, "lineitem", columns=cols)
+    return profile_numeric(ds, cols, n_rows_hint=_table_rows(sf_dir, "lineitem"))
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem.
+
+    Per-batch pandas combiner (whole-block) then one tiny final reduce: only
+    ≤6 partial rows per block move, so the shape is shuffle-free — measured
+    ~1.6x faster than Ray's native sort-based aggregate on the same input
+    with identical output. Integer-scaled measures: float sums are
+    order-dependent across engines; int64 sums are exact and floor(x*scale)
+    is bitwise reproducible for identical double inputs.
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()) * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+                "sum_rev_u": rev,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        out = g.agg(
+            sum_qty_c=("sum_qty_c", "sum"),
+            sum_base_c=("sum_base_c", "sum"),
+            sum_rev_u=("sum_rev_u", "sum"),
+        )
+        out["count_order"] = g.size()["size"].to_numpy()
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        return g.agg(
+            sum_qty_c=("sum_qty_c", "sum"),
+            sum_base_c=("sum_base_c", "sum"),
+            sum_rev_u=("sum_rev_u", "sum"),
+            count_order=("count_order", "sum"),
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1, shuffle=False).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + sum(value)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour = ts // 3_600_000_000
+        value_c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": pa.array(hour, pa.int64()),
+                "value_c": pa.array(value_c, pa.int64()),
+            }
+        )
+
+    # hour buckets scale with the data's time span → high-cardinality keys
+    # take the coarse-bucket vectorized path (stages/groupagg.py)
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour_bucket"],
+        [("value_c", "size", "n"), ("value_c", "sum", "sum_value_c")],
+    )
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 minutes.
+
+    The streaming-window shape Ray Data lacks natively: each event belongs
+    to size/hop = 2 overlapping windows, so a flat-map assigns every row to
+    both window starts (vectorized repeat inside map_batches) and the
+    aggregate is the same scalable coarse-bucket combiner as the tumbling
+    case. Oracle: the window duplication is a UNION ALL of the two hop
+    offsets in SQL.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    hop = 1_800_000_000  # 30 min in us
+    size = 3_600_000_000  # 1 h
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        value_c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        # windows covering t: starts floor(t/hop)*hop and that minus hop
+        # (size/hop == 2); all starts are valid windows (t < start+size)
+        w1 = (ts // hop) * hop
+        w0 = w1 - hop
+        starts = np.concatenate([w0, w1])
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+                "wnd_start_us": pa.array(starts, pa.int64()),
+                "value_c": pa.array(np.concatenate([value_c, value_c]), pa.int64()),
+            }
+        )
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["event_type", "wnd_start_us"],
+        [("value_c", "size", "n"), ("value_c", "sum", "sum_value_c")],
+    )
+
+
+def _events_bucket_count(sf_dir: str, target_rows: int = 100_000, floor: int = 64) -> int:
+    """Shuffle-bucket count sized to the input: ~target_rows rows per group.
+
+    A fixed modulus means group size grows linearly with data (the round-1
+    scale bug); deriving it from the parquet row count keeps every
+    map_groups frame bounded at any scale. Parquet metadata only — no read.
+    """
+    n = _table_rows(sf_dir, "events")
+    return max(floor, n // target_rows + 1)
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user: a >30-minute gap starts a new session.
+
+    Stream-shaped operator (ray_guide pattern): partition by key, sort by ts
+    within the group, sessionize with vectorized gap detection. The oracle is
+    the classic SQL lag/cumsum sessionization. Buckets partition USERS (a
+    user's history must be group-local); the bucket count scales with input
+    size so per-group frames stay bounded.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["user_id", "ts", "event_id"])
+        ts = group["ts"].astype("int64")  # microseconds
+        gap = ts.diff().fillna(10**15)
+        user_change = group["user_id"].ne(group["user_id"].shift())
+        new_session = ((gap > 1_800_000_000) | user_change).astype("int64")
+        # per-user cumulative session counter: global cumsum minus the value
+        # at each user's first row
+        cum = new_session.cumsum()
+        first_of_user = cum.where(user_change).ffill() - 1
+        group = group.copy()
+        group["session_seq"] = (cum - first_of_user).astype("int64")
+        # each user lives wholly in this bucket → the per-session aggregate is
+        # final here; a Ray-level groupby over ~1 group/session would pay
+        # per-group overhead for nothing
+        out = group.groupby(["user_id", "session_seq"], as_index=False).agg(
+            n_events=("event_id", "size"), first_event=("event_id", "min")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    click (-1 when none — NULL-free so both sides hash as plain int64).
+    Bucketed co-partition on user (users are bucket-local, bucket count scales
+    with input), single vectorized pass per group: lexsort on
+    (user, ts, kind, event_id) + maximum.accumulate of click positions — no
+    per-user Python loop. Oracle: DuckDB's native ASOF JOIN.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        user = group["user_id"].to_numpy()
+        ts = group["ts"].astype("int64").to_numpy()
+        eid = group["event_id"].to_numpy().astype(np.int64)
+        is_click = (group["event_type"] == "click").to_numpy()
+        # strictly-prior semantics: at equal (user, ts) a purchase sorts
+        # BEFORE a click so the same-timestamp click never matches; among
+        # equal-ts clicks the larger event_id sorts later and wins the
+        # accumulate (same tie-break as ORDER BY ts, event_id rightmost)
+        order = np.lexsort((eid, is_click.astype(np.int8), ts, user))
+        user, eid, is_click = user[order], eid[order], is_click[order]
+        pos = np.arange(len(user))
+        last_click = np.maximum.accumulate(np.where(is_click, pos, -1))
+        new_user = np.empty(len(user), dtype=bool)
+        if len(user):
+            new_user[0] = True
+            new_user[1:] = user[1:] != user[:-1]
+        seg_start = pos[new_user][np.cumsum(new_user) - 1] if len(user) else pos
+        valid = last_click >= seg_start  # the click belongs to this user's run
+        purch = ~is_click
+        cid = np.where(valid, eid[np.clip(last_click, 0, None)], -1)
+        return pd.DataFrame(
+            {
+                "purchase_id": eid[purch],
+                "click_id": cid[purch].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: every (click, purchase) pair of the same user
+    with the purchase in ``(click.ts, click.ts + 6h]`` — the 1:N band-join
+    sibling of the 1:1 as-of join.
+
+    Distributed shape: bucketed co-partition on user (bucket count scales
+    with input size), then ONE vectorized pass per group — both sides sorted
+    by a dense (user, ts) composite key and each click's matching purchase
+    run found with two ``np.searchsorted`` calls; pairs expand via
+    repeat/arange, never a Python loop. A hot user's output is bounded by
+    the window width, so the band join is skew-tolerant by construction.
+    Oracle: the literal SQL inequality join.
+    """
+    import pandas as pd
+
+    window_us = 6 * 3_600_000_000  # 6 hours in microseconds
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def band_join(group: pd.DataFrame) -> pd.DataFrame:
+        user = group["user_id"].to_numpy()
+        ts = group["ts"].astype("int64").to_numpy()
+        eid = group["event_id"].to_numpy().astype(np.int64)
+        is_click = (group["event_type"] == "click").to_numpy()
+        if not len(user):
+            return pd.DataFrame({"click_id": np.array([], np.int64), "purchase_id": np.array([], np.int64)})
+        # dense user index × span-composite key: SPAN exceeds the group's ts
+        # range + window so (u, ts) ordering is preserved and the window
+        # offset can never cross a user boundary
+        _, uidx = np.unique(user, return_inverse=True)
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0 + window_us + 2)
+        key = uidx.astype(np.int64) * span + (ts - t0)
+        ck, pk = key[is_click], key[~is_click]
+        c_eid, p_eid = eid[is_click], eid[~is_click]
+        order = np.argsort(pk, kind="stable")
+        pk, p_eid = pk[order], p_eid[order]
+        lo = np.searchsorted(pk, ck, side="right")  # strictly after the click
+        hi = np.searchsorted(pk, ck + window_us, side="right")  # inclusive end
+        counts = hi - lo
+        total = int(counts.sum())
+        out_click = np.repeat(c_eid, counts)
+        starts = np.repeat(counts.cumsum() - counts, counts)
+        p_pos = np.arange(total) - starts + np.repeat(lo, counts)
+        return pd.DataFrame(
+            {"click_id": out_click, "purchase_id": p_eid[p_pos]}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(band_join, batch_format="pandas")
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """Top 10 orders by totalprice with customer names — top-k pushed BELOW
+    the join.
+
+    The naive join-then-sort shape shuffles every order row twice (hash join
+    + range sort) to keep 10 of them. Here each block keeps its local top-10
+    (map_batches partial, ≤10 rows leave any block), a single tiny sort+limit
+    picks the global winners, and only the 10 winning custkeys touch the
+    customer table (vectorized isin filter — a column-pruned scan, no
+    shuffle). The final 10×10 merge is driver-side pandas, which is the
+    legitimate small-result endpoint.
+    """
+    orders = _read_blocked(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy()
+        okey = batch["o_orderkey"].to_numpy()
+        # lexicographic (price DESC, orderkey ASC): primary key last in lexsort
+        order = np.lexsort((okey, -price))[:10]
+        return batch.take(pa.array(order, pa.int64()))
+
+    top = (
+        orders.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    keys = set(top["o_custkey"].tolist())
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["c_custkey"], value_set=pa.array(sorted(keys), pa.int64()))
+        return batch.filter(mask)
+
+    cust = (
+        _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out = out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    return out[["o_orderkey", "c_name", "o_totalprice"]].reset_index(drop=True)
+
+
+def q_topn_per_key(sf_dir: str):
+    """Top-3 earliest events per user — bounded-output top-N per key.
+
+    Top-N per key is ALGEBRAIC: the per-batch pre-combine keeps ≤N rows per
+    (batch, key), so only bounded partials shuffle (the quota-sampling /
+    per-domain-cap op a training-data pipeline uses for balancing). Rank is
+    assigned inside the per-bucket reducer, where a key's rows are
+    group-local by construction.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if "ts" in df.columns:
+            df = df.assign(
+                ts_us=df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            ).drop(columns=["ts"])
+        return (
+            df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(3)
+        )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        out = topn(df)
+        out = out.assign(rnk=out.groupby("user_id", sort=False).cumcount() + 1)
+        return out[["user_id", "event_id", "rnk"]]
+
+    n_buckets = _bucket_count(64, _table_rows(sf_dir, "events"))
+    return _bucketed(ds, ["user_id"], reducer, n_buckets, pre=topn)
+
+
+def q_global_rank(sf_dir: str):
+    """Global row_number over (ts, event_id) — the distributed rank shape.
+
+    Ray's range sort globally orders blocks and sorts within them; a
+    metadata-sized second pass collects one (block-min key, count) row per
+    block, the driver cumsums those few rows into per-block rank offsets
+    (keyed by the block's min key — keys are unique), and a final whole-block
+    map adds offset + arange. Two streaming passes over the sorted result
+    (materialized once), no row ever leaves its block after the sort.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_pydict({"event_id": batch["event_id"], "ts_us": ts_us})
+
+    sorted_ds = ds.map_batches(to_key, batch_format="pyarrow").sort(
+        ["ts_us", "event_id"]
+    ).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "min_ts": pa.array([], pa.int64()),
+                    "min_eid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "min_ts": [batch["ts_us"][0].as_py()],
+                "min_eid": [batch["event_id"][0].as_py()],
+                "cnt": [len(batch)],
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["min_ts", "min_eid"])
+    )
+    offs = np.concatenate([[0], parts["cnt"].to_numpy().cumsum()[:-1]])
+    offsets = {
+        (int(t), int(e)): int(o)
+        for t, e, o in zip(parts["min_ts"], parts["min_eid"], offs)
+    }
+    oref = ray.put(offsets)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"event_id": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())}
+            )
+        off = ray.get(oref)[
+            (batch["ts_us"][0].as_py(), batch["event_id"][0].as_py())
+        ]
+        rnk = off + 1 + np.arange(len(batch), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"event_id": batch["event_id"], "rnk": pa.array(rnk, pa.int64())}
+        )
+
+    return sorted_ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles via value histogram (bounded cardinality).
+
+    The scalable exact-quantile shape for quantized measures: per-block
+    value counts → distributed combine (only distinct-value partials move)
+    → the driver scans the SMALL histogram cumsum for the p25/50/75/99
+    cut points (smallest v with cum ≥ ceil(p·n/100), all integer).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"v": pa.array(vals, pa.int64()), "c": pa.array(cnts, pa.int64())}
+        )
+
+    h = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None),
+        ["v"],
+        [("c", "sum", "c")],
+    )
+    df = h.to_pandas().sort_values("v").reset_index(drop=True)
+    n = int(df["c"].sum())
+    cum = df["c"].cumsum().to_numpy()
+    rows = []
+    for pct in (25, 50, 75, 99):
+        thr = (pct * n + 99) // 100
+        idx = int(np.searchsorted(cum, thr))
+        rows.append((pct, int(df["v"].iloc[idx])))
+    return pd.DataFrame(rows, columns=["pct", "value_c"]).astype("int64")
+
+
+def q_group_median(sf_dir: str):
+    """Exact per-user median of the quantized value column — grouped
+    distributed quantiles via the histogram shape.
+
+    Per-block (user, value-bucket) counts are the only thing that shuffles
+    (grouped_agg's algebraic pre-combine); the per-user cut-point scan runs
+    inside the bucketed reducer where each user's histogram is group-local.
+    Same integer cut rule as the global ``quantiles`` query, shared with the
+    SQL oracle: smallest v with running count >= ceil(50·n/100).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_agg
+
+    n_events = _table_rows(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        v = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "v": v})
+        g = df.groupby(["user_id", "v"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    h = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None),
+        ["user_id", "v"],
+        [("c", "sum", "c")],
+        n_rows_hint=n_events,
+    )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "v"], kind="mergesort")
+        n = df.groupby("user_id", sort=False)["c"].transform("sum")
+        cum = df.groupby("user_id", sort=False)["c"].cumsum()
+        thr = (50 * n + 99) // 100
+        hit = df[cum >= thr].groupby("user_id", sort=False).first().reset_index()
+        nn = df.groupby("user_id", sort=False)["c"].sum().reset_index(name="n")
+        out = hit.merge(nn, on="user_id")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "median_c": out["v"].astype("int64"),
+                "n": out["n"].astype("int64"),
+            }
+        )
+
+    return _bucketed(
+        h, ["user_id"], reducer, _bucket_count(64, n_events), pre=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 final wave: bloom semi-join, outer-join agg, stratified sampling,
+# rollup, embedding quantization, image augmentation
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Lineitem rows of high-value orders via a Bloom-filter broadcast
+    semi-join (stages/bloomjoin.py), digested per return flag.
+
+    The 100-TB join-pruning shape: the build side (orders with
+    o_totalprice > 250k) compresses to a few-MB bit array broadcast once;
+    the probe stream drops non-matches inside map_batches BEFORE any
+    exchange, and the exact ``left_semi`` join that removes Bloom false
+    positives shuffles only the survivors. Output values are EXACT (the
+    filter has no false negatives; FPs die in the semi join), so the oracle
+    is the plain semi-join SQL.
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.bloomjoin import bloom_semi_join
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n_orders = _table_rows(sf_dir, "orders")
+    build = _read_blocked(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 250000.0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    probe = _read_blocked(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    )
+    semi = bloom_semi_join(
+        probe,
+        build.select_columns(["o_orderkey"]),
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+        n_build_hint=n_orders,
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        qty_c = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty_c": pa.array(qty_c, pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        semi.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("qty_c", "size", "n_rows"), ("qty_c", "sum", "sum_qty_c")],
+        n_buckets=2,
+    )
+
+
+def q_cust_order_stats(sf_dir: str):
+    """Per-market-segment customer stats via LEFT OUTER join — customers
+    with no orders survive with zero-filled measures.
+
+    Shape: orders pre-aggregate per custkey (algebraic — only one partial
+    row per (block, key) shuffles), then Ray's ``left_outer`` hash join
+    against the customer table, null-fill in a vectorized map, and a tiny
+    per-segment aggregate. ``n_inactive`` counts the join's null side, so
+    the oracle (LEFT JOIN + FILTER WHERE IS NULL) checks outer-join
+    semantics end-to-end, not just inner matches.
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n_orders = _table_rows(sf_dir, "orders")
+    orders = _read_blocked(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def order_cents(batch: pa.Table) -> pa.Table:
+        spend = np.floor(batch["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"o_custkey": batch["o_custkey"], "spend_c": pa.array(spend, pa.int64())}
+        )
+
+    per_cust = grouped_agg(
+        orders.map_batches(order_cents, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("spend_c", "sum", "spend_c"), ("spend_c", "size", "n_orders")],
+        n_rows_hint=n_orders,
+    )
+    cust = _read_blocked(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_orders_a = batch["n_orders"].to_numpy(zero_copy_only=False)
+        inactive = pa.compute.is_null(batch["n_orders"]).to_numpy(zero_copy_only=False)
+        spend = batch["spend_c"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "one": pa.array(np.ones(n, np.int64)),
+                "inactive": pa.array(inactive.astype(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    np.nan_to_num(n_orders_a.astype(np.float64)).astype(np.int64)
+                ),
+                "spend_c": pa.array(
+                    np.nan_to_num(spend.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(fill, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [
+            ("one", "sum", "n_cust"),
+            ("inactive", "sum", "n_inactive"),
+            ("n_orders", "sum", "n_orders"),
+            ("spend_c", "sum", "spend_c"),
+        ],
+        n_buckets=2,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling of orders (10%..50% by priority).
+
+    The training-data balancing shape: keep a row iff
+    ``(o_orderkey * 2654435761) mod 2^32 mod 100 < rate(stratum)`` — a pure
+    map with NO shuffle and NO RNG state, so the sample is identical on
+    rerun/resume and across any partitioning (uint64 wraparound preserves
+    the mod-2^32 value, so numpy and the HUGEINT-free SQL agree exactly).
+    Output digests per stratum prove both the rate selection and the exact
+    membership (sum of sampled keys).
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        pri = batch["o_orderpriority"].to_pandas()
+        digit = pri.str.slice(0, 1).astype(np.int64).to_numpy()
+        with np.errstate(over="ignore"):
+            bucket = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                2**32
+            ) % np.uint64(100)
+        keep = bucket.astype(np.int64) < digit * 10
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch["o_orderpriority"].filter(pa.array(keep)),
+                "o_orderkey": pa.array(keys[keep], pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(sample, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"],
+        [("o_orderkey", "size", "n_sampled"), ("o_orderkey", "sum", "sum_okey")],
+        n_buckets=2,
+    )
+
+
+def q_sales_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) in ONE scan.
+
+    Super-aggregate levels are derived from the fine-group partials, not
+    from re-scanning: the per-block combiner emits ≤6 rows per block (the
+    fine key space), and the single final reduce — whose input is
+    group-cardinality-bounded, never data-bounded — folds the fine groups
+    upward into the per-flag and grand-total rows ('ALL' sentinel labels).
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        out = g.agg(sum_qty_c=("sum_qty_c", "sum"), sum_base_c=("sum_base_c", "sum"))
+        out["n_rows"] = g.size()["size"].to_numpy()
+        return out
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        def agg(frame, keys):
+            g = frame.groupby(keys, sort=False, as_index=False)
+            return g.agg(
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                n_rows=("n_rows", "sum"),
+            )
+
+        fine = agg(df, ["l_returnflag", "l_linestatus"])
+        per_flag = agg(fine, ["l_returnflag"]).assign(l_linestatus="ALL")
+        total = (
+            fine[["sum_qty_c", "sum_base_c", "n_rows"]]
+            .sum()
+            .to_frame()
+            .T.assign(l_returnflag="ALL", l_linestatus="ALL")
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_c", "sum_base_c"]
+        out = pd.concat([fine, per_flag, total], ignore_index=True)[cols]
+        return out.astype({"n_rows": np.int64, "sum_qty_c": np.int64, "sum_base_c": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1, shuffle=False).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )
+
+
+def q_sales_cube(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus) — all four grouping sets
+    from ONE scan: the per-block combiner ships ≤6 fine-group partial rows,
+    and the single group-cardinality-bounded reduce folds them into the
+    fine, per-flag, per-status, and grand-total levels ('ALL' sentinels).
+    Completes the rollup's grouping-sets family.
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.floor(batch["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        base = np.floor(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty,
+                "sum_base_c": base,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+        out = g.agg(sum_qty_c=("sum_qty_c", "sum"), sum_base_c=("sum_base_c", "sum"))
+        out["n_rows"] = g.size()["size"].to_numpy()
+        return out
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        def agg(d, keys):
+            g = d.groupby(keys, as_index=False, sort=False)
+            return g.agg(
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                n_rows=("n_rows", "sum"),
+            )
+
+        fine = agg(df, ["l_returnflag", "l_linestatus"])
+        per_flag = agg(fine, ["l_returnflag"]).assign(l_linestatus="ALL")
+        per_status = agg(fine, ["l_linestatus"]).assign(l_returnflag="ALL")
+        total = (
+            fine[["sum_qty_c", "sum_base_c", "n_rows"]]
+            .sum()
+            .to_frame()
+            .T.assign(l_returnflag="ALL", l_linestatus="ALL")
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_c", "sum_base_c"]
+        out = pd.concat([fine, per_flag, per_status, total], ignore_index=True)[cols]
+        return out.astype({"n_rows": np.int64, "sum_qty_c": np.int64, "sum_base_c": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.repartition(1, shuffle=False).map_batches(
+        cube, batch_format="pandas", batch_size=None
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Per-user RUNNING total (cumulative window aggregate): for every event,
+    its 1-based sequence number and the cumulative cents-scaled value over
+    the user's history ordered by (ts, event_id).
+
+    The streaming-window shape sessionize uses, but emitting one row PER
+    INPUT ROW with an order-dependent accumulation — buckets partition
+    users (a user's history must be group-local), the in-group cumsum is
+    one vectorized pandas pass, and bucket count scales with input size.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def run_total(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["user_id", "ts", "event_id"]).copy()
+        group["vc"] = np.floor(group["value"].to_numpy() * 100.0).astype(np.int64)
+        g = group.groupby("user_id", sort=False)
+        group["seq"] = (g.cumcount() + 1).astype(np.int64)
+        group["run_value_c"] = g["vc"].cumsum().astype(np.int64)
+        return group[["event_id", "user_id", "seq", "run_value_c"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(run_total, batch_format="pandas")
+    )
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis per user: first 'view', first 'click' strictly
+    AFTER it, first 'purchase' strictly after that — the product-analytics
+    sequence-match shape. Same user-bucketed partitioning as sessionize; the
+    in-group chain resolves with three vectorized filtered-min merges (no
+    per-user Python loop). Missing stages encode as -1 so the whole row is
+    integer-exact against the SQL chain-of-joins oracle.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64())
+        )
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["tsu"] = g["ts"].astype("int64")
+        users = pd.DataFrame({"user_id": np.sort(g["user_id"].unique())})
+        t1 = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t1"})
+        )
+        ck = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            ck[ck["tsu"] > ck["t1"]]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t2"})
+        )
+        pu = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = (
+            pu[pu["tsu"] > pu["t2"]]
+            .groupby("user_id", as_index=False)["tsu"]
+            .min()
+            .rename(columns={"tsu": "t3"})
+        )
+        out = users.merge(t1, on="user_id", how="left")
+        out = out.merge(t2, on="user_id", how="left")
+        out = out.merge(t3, on="user_id", how="left")
+        stages = (
+            out["t1"].notna().astype(np.int64)
+            + out["t2"].notna().astype(np.int64)
+            + out["t3"].notna().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype(np.int64),
+                "view_ts": out["t1"].fillna(-1).astype(np.int64),
+                "click_ts": out["t2"].fillna(-1).astype(np.int64),
+                "purchase_ts": out["t3"].fillna(-1).astype(np.int64),
+                "stages": stages,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective filters,
+    grouped revenue, top-10 — the canonical multi-join analytics chain.
+
+    Scale plan: the BUILDING-segment customer keys are an exact broadcast
+    semi-filter (one in-task ``np.isin`` before any exchange — the side is
+    ~1/5 of the customer KEY column; swap in ``bloom_semi_join`` when even
+    the key set outgrows a broadcast), the orders⋈lineitem leg is the one
+    real shuffle with the JOIN AND the revenue aggregate fused into a
+    single coarse-bucket exchange, and the top-10 is a per-block partial +
+    tiny global merge — no full sort anywhere.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    cutoff = np.datetime64("1998-06-01T00:00:00", "us")
+    cutoff_us = int(cutoff.astype(np.int64))
+
+    @ray.remote(num_cpus=1)
+    def _building_keys(path: str) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["c_custkey", "c_mktsegment"])
+        keys = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]
+        return np.sort(keys.to_numpy())
+
+    keys_ref = _building_keys.remote(f"{sf_dir}/customer.parquet")
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(pc.cast(b["o_orderdate"], pa.int64()), cutoff_us))
+        keep = np.isin(b["o_custkey"].to_numpy(), ray.get(keys_ref))
+        return b.filter(pa.array(keep))
+
+    orders = _read_blocked(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_filter, batch_format="pyarrow", batch_size=None)
+
+    def ord_cols(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "odate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(ord_cols, batch_format="pyarrow", batch_size=None)
+
+    def li_cols(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy()
+        keep = ship > cutoff_us
+        p = b["l_extendedprice"].to_numpy()[keep]
+        d = b["l_discount"].to_numpy()[keep]
+        rev = np.floor(p * (1 - d) * 100).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[keep], pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read_blocked(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_cols, batch_format="pyarrow", batch_size=None)
+
+    # join + aggregate FUSED into one coarse-bucket shuffle: both sides key
+    # on orderkey, the bucket reducer pre-sums lineitem revenue per key and
+    # inner-merges the (one-per-key) order row — no second exchange, and no
+    # Dataset.join hash-shuffle actor pool (its first spin-up costs ~10 s of
+    # session fixed cost; the sort-based groupby pool is already warm)
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["l_orderkey"],
+                "val": b["rev_c"],
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def tag_ord(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["o_orderkey"],
+                "val": b["odate_us"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(tag_ord, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_agg(df: pd.DataFrame) -> pd.DataFrame:
+        ords_part = df[df["kind"] == 1][["key", "val"]].rename(columns={"val": "odate_us"})
+        li_part = df[df["kind"] == 0]
+        sums = li_part.groupby("key", as_index=False)["val"].sum().rename(
+            columns={"val": "revenue_c"}
+        )
+        out = sums.merge(ords_part, on="key", how="inner")
+        return out.rename(columns={"key": "l_orderkey"})[
+            ["l_orderkey", "odate_us", "revenue_c"]
+        ]
+
+    agg = _bucketed(both, ["key"], join_agg, n_buckets=8)
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_c"].to_numpy()
+        okey = batch["l_orderkey"].to_numpy()
+        order = np.lexsort((okey, -rev))[:10]
+        return batch.take(pa.array(order, pa.int64()))
+
+    top = (
+        agg.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["revenue_c", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    return top[["o_orderkey", "odate_us", "revenue_c"]]
+
+
+def q_user_mode(sf_dir: str):
+    """MODE per group: each user's most frequent event_type (ties break
+    lexicographically) plus its count — the argmax-aggregate shape. The
+    per-batch combiner pre-counts (user, type) pairs so only bounded
+    partials shuffle; the argmax itself runs group-local in the bucketed
+    reducer. Window row_number oracle with the same tie-break.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.groupby(["user_id", "event_type"], as_index=False, sort=False)["n"].sum()
+        full = full.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        )
+        top = full.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "mode_type": top["event_type"].to_numpy(),
+                "n": top["n"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return _bucketed(ds, ["user_id"], reducer, n_buckets=8, pre=pre)

@@ -1,0 +1,251 @@
+"""Spatial queries: tiling, PIP joins, kNN, clip, pruned reads, proximity pairs.
+
+Split from pipelines/queries.py (round-2 verdict item 7); queries.py
+remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pygeoops_ray.stages import spatial as sp
+from pygeoops_ray.pipelines.common import (
+    _read,
+    _table_rows,
+    _read_blocked,
+    _images,
+    _points,
+)
+
+
+# ---------------------------------------------------------------------------
+# spatial: tile assignment / PIP join / clip join / kNN
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assignment(sf_dir: str):
+    """Footprint → covering 256-unit tiles (1→k flat expansion)."""
+    ds = _images(sf_dir).map_batches(sp.expand_covering_tiles, batch_format="pyarrow")
+    return ds.select_columns(["image_id", "tile_x", "tile_y"])
+
+
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join, co-partitioned on the Hilbert cell id."""
+    return sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+
+
+def q_pip_anti_join(sf_dir: str):
+    """Spatial ANTI join: event points covered by NO image footprint.
+
+    Same cell-cogrouped shuffle as pip_join with the containment mask
+    inverted per group (a point lands in exactly one group and every rect
+    overlapping that cell is replicated into it, so per-group "zero hits" is
+    globally correct). The SURVEY §2.2 semi/anti family as a first-class
+    driver-checked operator; oracle is the NOT EXISTS SQL.
+    """
+    return sp.pip_join_rects_points(
+        _images(sf_dir), _points(sf_dir), join_type="anti"
+    )
+
+
+def q_pip_join_agg(sf_dir: str):
+    """Points-per-image counts over the PIP join (bucketed vectorized count:
+    one group per matched image — high-cardinality keys take the coarse-bucket
+    pandas path, see stages/groupagg.py)."""
+    from pygeoops_ray.stages.groupagg import grouped_count
+
+    joined = sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+    return grouped_count(
+        joined, ["image_id"], "n_points", n_rows_hint=_table_rows(sf_dir, "events")
+    )
+
+
+def q_spatial_pruned_read(sf_dir: str):
+    """Cell-partitioned resumable sink + bbox-PRUNED read-back + aggregate.
+
+    The 100-TB read-path feature: event points are written once as a
+    grid-cell-partitioned parquet directory whose checkpoint manifest records
+    each partition's [min, max] of (px, py) (state/manifest.py
+    write_partitioned stats_cols). The read side (read_pruned) then serves a
+    bbox query by (1) dropping whole partition files on the driver from the
+    few-KB manifest — no Ray task ever touches them — and (2) pushing the
+    bbox down as a pyarrow filter so parquet row-group stats prune inside
+    the surviving files. The bbox is deliberately NOT cell-aligned on its
+    x-high edge, so the result exercises both levels: file pruning AND
+    row filtering within a kept partition.
+
+    Oracle: the points are pure arithmetic on event_id (_PTS), so the bbox
+    filter + per-cell aggregate re-derives exactly in SQL.
+    """
+    import hashlib
+    import os
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
+
+    cs = 2048  # partition cell: 8x8 world tiles → ≤375 partitions on this world
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_rows = _table_rows(sf_dir, "events")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/spatial_sink_{key}"
+
+    def add_gcell(b: pa.Table) -> pa.Table:
+        # px/py are integer-valued doubles (pure event_id arithmetic): the
+        # int64 cast is exact, so the cell key matches the SQL `// 2048`
+        gx = b["px"].to_numpy().astype(np.int64) // cs
+        gy = b["py"].to_numpy().astype(np.int64) // cs
+        return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
+
+    # reuse the sink only when a PRIOR RUN FINISHED it (marker written after
+    # write_partitioned returns) — a partial manifest from a crashed run must
+    # resume the write, not be served as if complete
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
+        pts = (
+            _read_blocked(sf_dir, "events", columns=["event_id"])
+            .map_batches(sp.points_from_events, batch_format="pyarrow")
+            .map_batches(add_gcell, batch_format="pyarrow")
+        )
+        write_partitioned(
+            pts, out_dir, "gcell", stage="points",
+            lineage={"sf_dir": sf_dir}, stats_cols=["px", "py"],
+        )
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    bbox = (131072.0, 0.0, 197608.0, 4096.0)  # x1 cuts INTO cell 96 (row filter)
+    ds = read_pruned(
+        out_dir, {"px": (bbox[0], bbox[2]), "py": (bbox[1], bbox[3])}, stage="points"
+    )
+    return grouped_agg(
+        ds,
+        ["gcell"],
+        [
+            ("event_id", "size", "n_points"),
+            ("event_id", "min", "min_eid"),
+            ("event_id", "sum", "sum_eid"),
+        ],
+        n_rows_hint=n_rows,
+    )
+
+
+def q_geo_pruned_read(sf_dir: str):
+    """Extent-pruned GEOMETRY reads — the GeoParquet bbox-column idiom.
+
+    Footprint rectangles land in a cell-partitioned resumable sink whose
+    manifest records per-partition extents of all four bbox columns; a
+    bbox-INTERSECTION query (rect ∩ bbox ≠ ∅, touching counts) is served as
+    one-sided ranges over those stats: minx < x1 AND maxx >= x0 AND
+    miny < y1 AND maxy >= y0. Same two pruning levels as
+    spatial_pruned_read (whole files from the manifest, rows via the pushed
+    filter), but over extents rather than points — rects OVERHANGING their
+    home cell are still found because the stats cover the overhang.
+    """
+    import hashlib
+    import os
+
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
+
+    cs = 2048
+    part_path = os.path.join(sf_dir, "part.parquet")
+    n_rows = _table_rows(sf_dir, "part")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(part_path)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/geo_sink_{key}"
+
+    def add_gcell(b: pa.Table) -> pa.Table:
+        gx = b["minx"].to_numpy().astype(np.int64) // cs
+        gy = b["miny"].to_numpy().astype(np.int64) // cs
+        return b.append_column("gcell", pa.array(gx + 1024 * gy, pa.int64()))
+
+    # completion marker, not manifest emptiness: a partial manifest from a
+    # crashed run must resume the write (write_partitioned skips finished
+    # partitions), never be served as if complete
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
+        rects = _images(sf_dir).map_batches(add_gcell, batch_format="pyarrow")
+        write_partitioned(
+            rects, out_dir, "gcell", stage="rects",
+            lineage={"sf_dir": sf_dir},
+            stats_cols=["minx", "maxx", "miny", "maxy"],
+        )
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    # slots 100..182 — populated at every scale (part has >=200 rows at
+    # sf0.001); x1 cuts INTO a cell so row filtering is exercised too
+    x0, y0, x1, y1 = 25600.0, 0.0, 46600.0, 4096.0
+    ds = read_pruned(
+        out_dir,
+        {
+            "minx": (None, x1),
+            "maxx": (x0, None),
+            "miny": (None, y1),
+            "maxy": (y0, None),
+        },
+        stage="rects",
+    )
+    return ds.select_columns(["image_id", "minx", "miny", "maxx", "maxy"])
+
+
+def q_clip_join(sf_dir: str):
+    """Raster-tile ↔ footprint clip join: per-pair clipped area (S-H kernel)."""
+    ds = sp.clip_tiles(_images(sf_dir))
+    return ds.select_columns(["image_id", "tile_x", "tile_y", "clip_area"])
+
+
+def q_knn(sf_dir: str):
+    """k=5 nearest event-points for each of the 25 nation query points."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    nk = nation["n_nationkey"].to_numpy()
+    qx = nk.astype(np.float64) * 256.0 + 128.0
+    qy = (nk % 5).astype(np.float64) * 256.0 + 128.0
+    out = sp.knn_points(_points(sf_dir), nk.astype(np.int64), qx, qy, k=5)
+    return out.select_columns(["q_id", "event_id", "rnk"])
+
+
+def q_knn_join(sf_dir: str):
+    """Exact kNN JOIN via cell neighbor-RING expansion
+    (stages/spatial.knn_join_ring): every 101st event point finds its 3
+    nearest OTHER points.
+
+    The pruned complement of the broadcast ``knn`` query: the corpus side is
+    never broadcast — points shuffle into home cells, queries replicate only
+    to Chebyshev ring-r cells per round, and a query resolves when its k-th
+    distance is provably inside the searched radius (any unsearched point is
+    at L∞ > r·cell). Squared distances over integer coordinates are
+    integer-exact, so the oracle is the plain windowed cross join.
+    """
+    n_events = _table_rows(sf_dir, "events")
+    import pandas as pd
+
+    e = np.arange(0, n_events, 101, dtype=np.int64)
+    qdf = pd.DataFrame(
+        {
+            "q_id": e,
+            "qx": (e % 1000).astype(np.float64) * 256.0 + ((e * 7) % 256).astype(np.float64),
+            "qy": ((e // 1000) % 20).astype(np.float64) * 256.0
+            + ((e * 13) % 256).astype(np.float64),
+        }
+    )
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    return sp.knn_join_ring(pts, qdf, k=3)
+
+
+def q_footprint_pairs(sf_dir: str):
+    """Spatial SELF-join: footprint pairs within L∞ distance 48 of each other
+    (stages/spatial.proximity_pairs) — the partition-based spatial merge with
+    reference-point dedup, so every pair is emitted exactly once with no
+    post-join dedup shuffle.
+    """
+    n_imgs = _table_rows(sf_dir, "part")
+    rects = _read_blocked(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        sp.image_meta_from_part, batch_format="pyarrow"
+    )
+    return sp.proximity_pairs(rects, dist=48.0, n_rows_hint=n_imgs * 2)

@@ -1,0 +1,139 @@
+"""Text-analysis queries: tokenization, quality, lang-ID, fingerprints, term stats, sketches.
+
+Split from pipelines/queries.py (round-2 verdict item 7); queries.py
+remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
+"""
+
+from __future__ import annotations
+
+
+from pygeoops_ray.stages import text as text_stages
+from pygeoops_ray.pipelines.common import (
+    _read,
+    _table_rows,
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.token_count_batch, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.quality_batch, batch_format="pyarrow")
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pretokenizer counts (regex compiled once per actor); the RE2-
+    compatible pattern makes the oracle an exact regexp_extract_all count."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stages.BpeTokenCount, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only: the classifier is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.LangId, batch_format="pyarrow", concurrency=2)
+
+
+def q_fingerprint(sf_dir: str):
+    """md5 document fingerprints (oracle: DuckDB md5(text))."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.fingerprint_batch, batch_format="pyarrow")
+
+
+def q_winnow_fp(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (k=8 grams, window w=4).
+
+    The brief's "document fingerprinting (rolling hash)" operator as a
+    first-class query: every selected (hash, rightmost-position) pair is one
+    exact BIGINT key, so DuckDB replays the whole pipeline — k-gram
+    polynomial hash, window min, rightmost tie-break — in integer SQL (see
+    stages/text.py:winnow_batch for the derivation).
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.winnow_batch, batch_format="pyarrow")
+
+
+def q_top_terms(sf_dir: str):
+    """Per-document top-3 terms joined with each term's global document
+    frequency — the TF-IDF shape with exact integer statistics.
+
+    Three classic distributed pieces over one tokenized pass: (1) per-doc
+    term counts (vectorized batch kernel, one row per distinct (doc, term));
+    (2) global DF via the algebraic grouped count (only (batch, term)
+    partials shuffle); (3) per-doc top-3 by (tf DESC, term ASC) via the
+    bounded-partial top-N shape, then a hash join of the SMALL top-k output
+    back to DF by term. The term-count table is materialized once for its
+    two consumers (at real scale: a write_partitioned checkpoint, same
+    pattern as curation_pipeline).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_count
+    from pygeoops_ray.stages.text import term_counts_batch
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = docs.map_batches(term_counts_batch, batch_format="pyarrow").materialize()
+
+    df_ds = grouped_count(tc, ["term"], "df", n_rows_hint=n_docs * 40)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["doc_id", "tf", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(3)
+        )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        out = pre(df)
+        out = out.assign(rnk=out.groupby("doc_id", sort=False).cumcount() + 1)
+        return out[["doc_id", "term", "tf", "rnk"]]
+
+    n_buckets = _bucket_count(64, n_docs * 40)
+    top = _bucketed(tc, ["doc_id"], reducer, n_buckets, pre=pre)
+    return top.join(df_ds, join_type="inner", num_partitions=4, on=("term",))
+
+
+def q_top_tokens(sf_dir: str):
+    """EXACT corpus-wide top-20 tokens via candidate-pruned two-pass heavy
+    hitters (stages/sketch.heavy_hitters) — per-block top-C summaries bound
+    the mass any unseen term can hold, pass 2 recounts only the provable
+    candidates, and a certificate guards exactness (full-count fallback
+    otherwise). The oracle is the plain GROUP BY top-k with the same
+    (count DESC, term ASC) tie-break.
+    """
+    from pygeoops_ray.stages.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(docs, "text", k=20, capacity=256, tokenize=True)
+
+
+def q_vocab_hll(sf_dir: str):
+    """Corpus vocabulary-size HyperLogLog sketch (stages/sketch.py): the
+    constant-size distinct-count summary — per-batch partials are ≤4096
+    register rows no matter how many tokens stream by, vs one row per
+    DISTINCT value for the exact path (table_profile).
+
+    Every register is integer-exact and the oracle recomputes the whole
+    table from md5_number_lower + bit arithmetic; the float estimator rides
+    on top and is property-tested (tests/test_graph_ops.py) against the
+    exact distinct count.
+    """
+    from pygeoops_ray.stages.sketch import hll_registers
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return hll_registers(docs, "text", p=12, tokenize=True)
