@@ -172,9 +172,9 @@ def bloom_anti_join(
     probe_ds is traversed twice (negative and positive passes); pass a
     materialized dataset when upstream recompute is expensive.
     """
-    import ray
+    import functools
 
-    from pygeoops_ray.stages.groupagg import grouped_count
+    import ray
 
     bpk = bloom_probe_key or probe_key
     bbk = bloom_build_key or build_key
@@ -188,40 +188,82 @@ def bloom_anti_join(
         mask = flt.contains(keys)
         return batch.filter(pa.array(mask if keep_members else ~mask))
 
-    import functools
-
     negatives = probe_ds.map_batches(
         functools.partial(split, keep_members=False), batch_format="pyarrow"
     )
     maybe = probe_ds.map_batches(
         functools.partial(split, keep_members=True), batch_format="pyarrow"
     ).materialize()
-    # Ray's hash join breaks when a partition receives ZERO left rows (the
-    # aggregator finalizes a schema-less empty table and the key FieldRef
-    # fails); the bloom-positive side is small by design, so clamp the
-    # partition count to keep every partition populated.
-    n_maybe = maybe.count()
-    if n_maybe == 0:
-        # nothing to decide — and Ray's hash join cannot take a fully empty
-        # left dataset (schema-less finalize)
+    if maybe.count() == 0:
         return negatives
-    num_partitions = max(1, min(num_partitions, n_maybe // 4096 + 1))
-    distinct = grouped_count(
-        build_ds.select_columns([build_key]),
-        [build_key],
-        "_n",
-        n_rows_hint=n_build_hint,
-    ).select_columns([build_key])
-    join_build_key = build_key
-    if build_key == probe_key:
-        # Arrow's hash join can't disambiguate same-named key fields
-        join_build_key = f"_{build_key}_build"
-        distinct = distinct.rename_columns({build_key: join_build_key})
-    anti = maybe.join(
-        distinct,
-        join_type="left_anti",
-        num_partitions=num_partitions,
-        on=(probe_key,),
-        right_on=(join_build_key,),
+
+    # second bloom, the other direction: build rows that can't match any
+    # bloom-positive probe row are irrelevant to the anti decision, so the
+    # exchange below moves ~|maybe| build keys instead of the whole build
+    # side (classic two-way bloom join). No false negatives on either pass
+    # ⇒ still exact.
+    mf = build_bloom(maybe, bpk, max(1, maybe.count()))
+    mwords_ref = ray.put(mf.words)
+    mm_bits, mk = mf.m, mf.k
+
+    def build_keys(batch: pa.Table) -> pa.Table:
+        flt = BloomFilter(mm_bits, mk, ray.get(mwords_ref))
+        mask = flt.contains(batch[bbk].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"_bkey": batch[build_key].filter(pa.array(mask))})
+
+    relevant = build_ds.map_batches(build_keys, batch_format="pyarrow")
+
+    # exact anti decision as ONE coarse-bucket cogroup (no Dataset.join —
+    # its hash-shuffle actor pool costs ~10 s to spin up per session and
+    # breaks on empty partitions): maybe rows (full schema, _isbuild=0) and
+    # relevant build keys (_isbuild=1, other columns null) land in the same
+    # bucket by join-key hash; the reducer drops maybe rows whose key has a
+    # build row.
+    import numpy as np
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count
+
+    schema = maybe.schema().base_schema
+
+    def tag_maybe(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_isbuild", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        )
+
+    def tag_build(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for f in schema:
+            if f.name == probe_key:
+                cols[f.name] = batch["_bkey"].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        t = pa.Table.from_pydict(cols)
+        return t.append_column("_isbuild", pa.array(np.ones(n, np.int8), pa.int8()))
+
+    tagged = maybe.map_batches(tag_maybe, batch_format="pyarrow").union(
+        relevant.map_batches(tag_build, batch_format="pyarrow")
     )
-    return negatives.union(anti)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[probe_key], index=False).to_numpy()
+        df = df.copy()
+        df["_gb"] = (h % nb).astype("int64")
+        return df
+
+    def anti(grp: pd.DataFrame) -> pa.Table:
+        present = grp.loc[grp["_isbuild"] == 1, probe_key].unique()
+        keep = grp.loc[
+            (grp["_isbuild"] == 0) & ~grp[probe_key].isin(present)
+        ].drop(columns=["_isbuild", "_gb"])
+        out = pa.Table.from_pandas(keep, preserve_index=False, schema=schema)
+        return out.replace_schema_metadata(None)
+
+    nb = _bucket_count(num_partitions, maybe.count() * 2)
+    decided = (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(anti, batch_format="pandas")
+    )
+    return negatives.union(decided)
