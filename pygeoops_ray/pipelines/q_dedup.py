@@ -14,10 +14,12 @@ from pygeoops_ray.stages import ann as ann_stages
 from pygeoops_ray.stages import dedup as dedup_stages
 from pygeoops_ray.pipelines.common import (
     _read,
+    _strip_schema_metadata,
     _table_rows,
     _read_blocked,
     _image_ds,
 )
+from pygeoops_ray.pipelines.q_ann import _corpus_matrix
 
 
 # ---------------------------------------------------------------------------
