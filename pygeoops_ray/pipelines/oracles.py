@@ -1740,3 +1740,59 @@ FROM fin GROUP BY split
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
 }
+
+
+def _pagerank_rounds(n_iters: int) -> str:
+    """r0..rN chained integer-CTE PageRank rounds (scale 1e9, damping
+    85/100): bit-identical to stages/graph.pagerank's fixed-point updates."""
+    parts = []
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""m{t} AS (
+            SELECT e.d AS node, SUM(r.rank // g.deg) AS ms
+            FROM edges e JOIN r{t - 1} r ON e.s = r.node
+                         JOIN deg g ON e.s = g.node
+            GROUP BY e.d
+        ),
+        r{t} AS (
+            SELECT deg.node,
+                   CAST(150000000 + (85 * COALESCE(m.ms, 0)) // 100 AS BIGINT) AS rank
+            FROM deg LEFT JOIN m{t} m ON deg.node = m.node
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+# pagerank: 5 fixed-point integer iterations over the same all-pairs
+# Jaccard edge set as dup_clusters — every arithmetic step is int64
+# (rank // deg per edge, 85/100 damping, +0.15 * 1e9 base), so the engine
+# and the SQL replay are bit-identical
+ORACLE_SQL["pagerank"] = f"""
+        WITH
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3
+        ),
+        p0 AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ),
+        e1 AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM p0
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS s, doc_b AS d FROM e1
+            UNION ALL
+            SELECT doc_b, doc_a FROM e1
+        ),
+        deg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+        {_pagerank_rounds(5)}
+        SELECT node AS doc_id, rank FROM r5
+"""

@@ -305,6 +305,47 @@ def q_dup_clusters(sf_dir: str):
     return cc.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank centrality of the near-duplicate pair graph
+    (stages/graph.pagerank) — "which document is the hub of its duplicate
+    cluster", the canonical-representative signal a curation pipeline uses
+    instead of min-id when duplicates differ in quality.
+
+    Fixed 5 iterations in int64 FIXED-POINT arithmetic (scale 1e9, damping
+    85/100 via integer ops, per-edge contribution rank // degree), so the
+    result is bit-identical under any partitioning and the oracle replays
+    the same updates as 5 chained integer CTEs over the same all-pairs
+    Jaccard edge set. One cogroup exchange per iteration (update + forward
+    fused, the connected_components shape).
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.graph import pagerank
+
+    docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return b.filter(pc.greater_equal(ntok, 3))
+
+    n_docs = _table_rows(sf_dir, "documents")
+    pairs = dedup_stages.exact_jaccard_pairs(
+        docs.map_batches(flt, batch_format="pyarrow"),
+        jaccard_threshold=0.5,
+        n_docs_hint=n_docs,
+    )
+    pr = pagerank(
+        pairs, "doc_a", "doc_b", n_iters=5, n_edges_hint=max(64, n_docs // 10)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["node"], "rank": batch["rank"]}
+        )
+
+    return pr.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def q_dup_triangles(sf_dir: str):
     """Triangle count of the near-duplicate pair graph
     (stages/graph.triangle_count) — the clustering-density metric of the

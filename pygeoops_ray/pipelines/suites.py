@@ -163,6 +163,7 @@ HEAD: tuple[str, ...] = (
     "topo_simplify",
     # round-3 operators
     "difference_tiled",
+    "pagerank",
     # suites (46 member operators in 8 slots)
     "geo_suite",
     "text_suite",

@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from pygeoops_ray.stages.groupagg import _bucket_count
 
-__all__ = ["connected_components", "triangle_count"]
+__all__ = ["connected_components", "triangle_count", "pagerank"]
 
 # is_self row tags: 0 = message, 1 = node self row, 2 = static edge row
 _MSG, _SELF, _EDGE = 0, 1, 2
@@ -230,6 +230,105 @@ def connected_components(
     cand = all_nodes_ds.map_batches(node_rows, batch_format="pyarrow")
     nb2 = _bucket_count(16, n_endpoints * 2)
     return _bucketed_pd(labels.union(cand), ["node"], anti, nb2)
+
+
+def pagerank(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    n_iters: int = 5,
+    scale: int = 10**9,
+    n_edges_hint: int | None = None,
+):
+    """Fixed-iteration PageRank over the UNDIRECTED graph, integer-exact.
+
+    All arithmetic is int64 fixed-point (ranks scaled by ``scale``, damping
+    0.85 as ``(85 * x) // 100``, per-edge contribution ``rank // degree``),
+    so the result is bit-identical regardless of message order or
+    partitioning — a SQL oracle replays the same ``n_iters`` updates as
+    chained integer CTEs. Undirected dup graphs have no dangling nodes
+    (every node lies on an edge), so no sink redistribution term exists.
+
+    Execution shape (same as connected_components): ONE coarse-bucket
+    cogroup per iteration — a node's self row (its current rank), its
+    incoming messages, and its static out-edge rows land in the same
+    bucket; the reducer folds messages into the new rank and immediately
+    emits the next round's outgoing messages, so update and forward share
+    the exchange. Per-round volume is |V| + 2|E| + messages, bounded.
+
+    Returns a Dataset (node: int64, rank: int64) with
+    rank ≈ scale * pagerank(v); sum(rank) ≈ scale * N.
+    """
+    import ray.data as rd
+
+    nb = _bucket_count(16, (n_edges_hint or 0) * 2 or None)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        d = batch[dst_col].to_numpy().astype(np.int64)
+        n2 = 2 * len(s)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(np.concatenate([s, d]), pa.int64()),
+                "cand": pa.array(np.concatenate([d, s]), pa.int64()),
+                "val": pa.array(np.zeros(n2, np.int64), pa.int64()),
+                "is_self": pa.array(np.full(n2, _EDGE, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+            )
+        )
+    base = (15 * scale) // 100  # (1 - d) * scale, d = 0.85
+
+    def step(first: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            is_edge = df["is_self"].to_numpy() == _EDGE
+            ed = df[is_edge]
+            deg = ed.groupby("key", sort=False)["cand"].count()
+            if first:
+                # bootstrap: every node starts at rank = scale (uniform up
+                # to the common N factor, which the fixpoint re-weights)
+                rank = pd.Series(np.int64(scale), index=deg.index)
+            else:
+                msgs = df[df["is_self"].to_numpy() == _MSG]
+                msum = msgs.groupby("key", sort=False)["val"].sum()
+                msum = msum.reindex(deg.index, fill_value=0)
+                rank = base + (85 * msum) // 100
+            # forward: each out-edge carries rank // degree to its target
+            contrib = (rank // deg).reindex(ed["key"].to_numpy()).to_numpy()
+            return pd.DataFrame(
+                {
+                    "key": np.concatenate([deg.index.to_numpy(), ed["cand"].to_numpy()]),
+                    "cand": np.zeros(len(deg) + len(ed), np.int64),
+                    "val": np.concatenate([rank.to_numpy(), contrib]),
+                    "is_self": np.concatenate(
+                        [
+                            np.full(len(deg), _SELF, np.int8),
+                            np.full(len(ed), _MSG, np.int8),
+                        ]
+                    ),
+                }
+            )
+
+        return fn
+
+    state = _bucketed_pd(edges, ["key"], step(first=True), nb).materialize()
+    for _ in range(n_iters):
+        state = _bucketed_pd(
+            state.union(edges), ["key"], step(first=False), nb
+        ).materialize()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch["is_self"], _SELF)
+        out = batch.filter(keep)
+        return pa.Table.from_pydict({"node": out["key"], "rank": out["val"]})
+
+    return state.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def _orient_by_join(edges, deg_ds, src_col: str, dst_col: str, n_nodes: int):

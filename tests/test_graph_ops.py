@@ -411,6 +411,59 @@ def test_cc_singletons_anti_cogroup_path(ray_session):
         assert want[int(row["node"])] == int(row["cluster_id"])
 
 
+def _brute_pagerank_int(edges, n_iters=5, scale=10**9):
+    """Reference fixed-point PageRank: same integer update rule."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {v: scale for v in adj}
+    base = (15 * scale) // 100
+    for _ in range(n_iters):
+        msg = collections.defaultdict(int)
+        for v, nbrs in adj.items():
+            c = rank[v] // len(nbrs)
+            for u in nbrs:
+                msg[u] += c
+        rank = {v: base + (85 * msg[v]) // 100 for v in adj}
+    return rank
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    from pygeoops_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(17)
+    edges = list({tuple(sorted(p)) for p in rng.integers(0, 50, (120, 2)) if p[0] != p[1]})
+    # hub + chain for structure variety
+    edges += [(200, i) for i in range(0, 20, 2)]
+    edges += [(300 + i, 301 + i) for i in range(6)]
+    edges = list(set(edges))
+    e = pa.table(
+        {
+            "a": np.array([x for x, _ in edges], np.int64),
+            "b": np.array([y for _, y in edges], np.int64),
+        }
+    )
+    got = (
+        pagerank(rd.from_arrow(e).repartition(4), "a", "b", n_iters=5)
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+    want = _brute_pagerank_int(edges, n_iters=5)
+    assert len(got) == len(want)
+    for v, r in want.items():
+        assert int(got.loc[v]) == r, (v, int(got.loc[v]), r)
+
+
+def test_pagerank_empty_edges(ray_session):
+    from pygeoops_ray.stages.graph import pagerank
+
+    e = pa.table({"a": np.array([], np.int64), "b": np.array([], np.int64)})
+    assert len(pagerank(rd.from_arrow(e), "a", "b").to_pandas()) == 0
+
+
 def test_triangle_count_degenerate(ray_session):
     from pygeoops_ray.stages.graph import triangle_count
 
