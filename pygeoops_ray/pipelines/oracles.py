@@ -1742,6 +1742,11 @@ FROM fin GROUP BY split
 }
 
 
+# sink-mode ring join returns the identical exact result as the in-stream
+# variant, so both check against the same windowed cross join
+ORACLE_SQL["knn_join_pruned"] = ORACLE_SQL["knn_join"]
+
+
 def _pagerank_rounds(n_iters: int) -> str:
     """r0..rN chained integer-CTE PageRank rounds (scale 1e9, damping
     85/100): bit-identical to stages/graph.pagerank's fixed-point updates."""

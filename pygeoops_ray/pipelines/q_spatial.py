@@ -238,6 +238,34 @@ def q_knn_join(sf_dir: str):
     return sp.knn_join_ring(pts, qdf, k=3)
 
 
+def q_knn_join_pruned(sf_dir: str):
+    """Same exact kNN join, SINK mode: the point corpus is written once to a
+    manifest-partitioned parquet sink keyed by spatial block and each ring
+    round OPENS ONLY the touched blocks' files (manifest.read_partitions,
+    cell set pushed into row groups) — the points-at-rest layout a 100-TB
+    corpus queries from. The sink is keyed by corpus size and REUSED across
+    calls (second run writes nothing), and the result is identical to the
+    in-stream variant, so the oracle is shared with ``knn_join``.
+    """
+    import pandas as pd
+
+    n_events = _table_rows(sf_dir, "events")
+    e = np.arange(0, n_events, 101, dtype=np.int64)
+    qdf = pd.DataFrame(
+        {
+            "q_id": e,
+            "qx": (e % 1000).astype(np.float64) * 256.0 + ((e * 7) % 256).astype(np.float64),
+            "qy": ((e // 1000) % 20).astype(np.float64) * 256.0
+            + ((e * 13) % 256).astype(np.float64),
+        }
+    )
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    sink = f"/tmp/graft_knn_sink_{n_events}"
+    return sp.knn_join_ring(pts, qdf, k=3, sink_dir=sink)
+
+
 def q_footprint_pairs(sf_dir: str):
     """Spatial SELF-join: footprint pairs within L∞ distance 48 of each other
     (stages/spatial.proximity_pairs) — the partition-based spatial merge with

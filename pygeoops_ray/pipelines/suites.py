@@ -164,6 +164,7 @@ HEAD: tuple[str, ...] = (
     # round-3 operators
     "difference_tiled",
     "pagerank",
+    "knn_join_pruned",
     # suites (46 member operators in 8 slots)
     "geo_suite",
     "text_suite",
