@@ -139,6 +139,10 @@ def run_bench() -> dict:
         "sales_cube",
         "user_mode",
         "dup_triangles",
+        # round-3 operators
+        "difference_tiled",
+        "pagerank",
+        "knn_join_pruned",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
