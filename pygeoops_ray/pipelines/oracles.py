@@ -1801,3 +1801,92 @@ ORACLE_SQL["pagerank"] = f"""
         {_pagerank_rounds(5)}
         SELECT node AS doc_id, rank FROM r5
 """
+
+# Gopher-style repetition rules: top-bigram occurrences + duplicated-trigram
+# token count, replayed verbatim from string_split (grams joined with chr(31)
+# exactly like stages/text.py:_ngram_frame).
+ORACLE_SQL["gopher_quality"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || chr(31) || tk[i+1])) AS g
+        FROM tok
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    bmax AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
+    tg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) AS g
+        FROM tok
+    ),
+    tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+    tdup AS (SELECT doc_id, sum(c) AS dup_trigram_n FROM tgc WHERE c > 1 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(d.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+    FROM tok t
+    LEFT JOIN bmax b USING (doc_id)
+    LEFT JOIN tdup d USING (doc_id)
+"""
+
+# Benchmark decontamination: the eval set is substr(text, 11, 24) of the 10
+# smallest doc_ids (python text[10:34]); n_hits counts CONTAINING snippet rows.
+ORACLE_SQL["decontaminate"] = """
+    WITH snips AS (
+        SELECT substr(text, 11, 24) AS s FROM documents WHERE doc_id < 10
+    ),
+    hits AS (
+        SELECT d.doc_id, count(*) AS n_hits
+        FROM documents d JOIN snips ON contains(d.text, snips.s)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+# Corpus-LM fluency: per-doc sum of global bigram-instance counts.
+ORACLE_SQL["bigram_lm"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || chr(31) || tk[i+1])) AS g
+        FROM tok
+    ),
+    cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g)
+    SELECT bg.doc_id,
+           CAST(sum(cnt.c) AS BIGINT) AS lm_hits,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN cnt USING (g)
+    GROUP BY bg.doc_id
+"""
+
+# SemDeDup: the full kmeans chain (shared CTEs) assigns clusters; pairs join
+# within cluster on CENTERED quantized vectors with the cross-multiplied
+# cosine threshold (cos >= sqrt(1225/10000) = 0.35) — all-integer.
+ORACLE_SQL["semantic_dedup"] = f"""
+    WITH fin AS (
+        {ORACLE_SQL["kmeans"]}
+    ),
+    qc AS (
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT fa.vec_id AS a, fb.vec_id AS b,
+               sum(qa.q * qb.q) AS dot,
+               sum(qa.q * qa.q) AS na2,
+               sum(qb.q * qb.q) AS nb2
+        FROM fin fa JOIN fin fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+        JOIN qc qa ON qa.vec_id = fa.vec_id
+        JOIN qc qb ON qb.vec_id = fb.vec_id AND qb.idx = qa.idx
+        GROUP BY fa.vec_id, fb.vec_id
+    )
+    SELECT a, b FROM dots
+    WHERE dot > 0 AND dot * dot * 10000 >= 1225 * na2 * nb2
+"""

@@ -209,3 +209,15 @@ def q_kmeans(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return kmeans_assign(ds, k=8, iters=2)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-compare embedding dedup): k-means shards the
+    corpus, near-dup pairs are found ONLY within clusters — see
+    stages/cluster.py:semantic_dedup_pairs. Integer-exact (quantized vectors,
+    cross-multiplied cosine threshold), so the oracle replays the full chain:
+    the kmeans CTEs plus a within-cluster pair join."""
+    from pygeoops_ray.stages.cluster import semantic_dedup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup_pairs(ds, k=8, iters=2)

@@ -137,3 +137,67 @@ def q_vocab_hll(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["text"])
     return hll_registers(docs, "text", p=12, tokenize=True)
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): per-doc
+    top-bigram occurrence count and duplicated-trigram token count, exact
+    integers (stages/text.py:gopher_quality_batch)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.gopher_quality_batch, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents containing any snippet of a
+    broadcast eval set (here: a 24-char substring of each of the 10 smallest
+    doc_ids, derived from the corpus itself so the oracle re-derives it).
+
+    Shape: tiny side pulled once (bounded: 10 rows) → shipped in the actor
+    constructor (once per actor, never per batch); each batch is scanned
+    with one vectorized substring pass per snippet. At real scale the eval
+    set is a file read once per actor in ``__init__``.
+    """
+    bench = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr="doc_id < 10")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    snips = [t[10:34] for t in bench["text"]]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stages.Decontaminate,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"snips": snips},
+    )
+
+
+def q_bigram_lm(sf_dir: str):
+    """Corpus-LM fluency score: each document scored by the corpus-wide
+    frequency of its own bigrams (the classic count-based LM quality signal —
+    integer-exact stand-in for model perplexity scoring).
+
+    Two consumers of ONE tokenize pass: (1) bigram instances bucket-shuffle
+    by gram, the reducer annotates every instance with its global count
+    in-shuffle (count + join fused into a single exchange — no second
+    all-to-all); (2) a grouped sum by doc_id yields (lm_hits, n_bigrams).
+    """
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_agg
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    inst = docs.map_batches(text_stages.bigram_rows_batch, batch_format="pyarrow")
+
+    def annotate(df):
+        df = df.assign(c=df.groupby("g", sort=False)["g"].transform("size"))
+        return df[["doc_id", "c"]]
+
+    n_buckets = _bucket_count(64, n_docs * 60)
+    with_counts = _bucketed(inst, ["g"], annotate, n_buckets)
+    return grouped_agg(
+        with_counts,
+        ["doc_id"],
+        [("c", "sum", "lm_hits"), ("c", "size", "n_bigrams")],
+        n_rows_hint=n_docs,
+    )

@@ -65,6 +65,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "lang_id",
         "winnow_fp",
         "fingerprint",
+        "gopher_quality",
+        "decontaminate",
+        "bigram_lm",
     ),
     "window_suite": (
         "events_window",
@@ -106,6 +109,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_ivf",
         "stratified_sample",
         "embed_quantize",
+        "semantic_dedup",
     ),
 }
 
@@ -311,6 +315,10 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "lang_id": ("doc_id", "lang_pred"),
     "winnow_fp": ("doc_id", "fp_key"),
     "fingerprint": ("doc_id", "fp"),
+    "gopher_quality": ("doc_id", "n_tokens", "top_bigram_n", "dup_trigram_n"),
+    "decontaminate": ("doc_id", "n_hits"),
+    "bigram_lm": ("doc_id", "lm_hits", "n_bigrams"),
+    "semantic_dedup": ("a", "b"),
     "events_window": ("event_type", "hour_bucket", "n", "sum_value_c"),
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),

@@ -22,7 +22,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["kmeans_assign", "QUANT_SCALE", "QUANT_SHIFT"]
+__all__ = [
+    "kmeans_assign",
+    "fit_centroids",
+    "semantic_dedup_pairs",
+    "QUANT_SCALE",
+    "QUANT_SHIFT",
+]
 
 QUANT_SCALE = 100
 QUANT_SHIFT = 128
@@ -69,17 +75,13 @@ def _init_centroids(ds, k: int) -> np.ndarray:
     return np.stack([np.frombuffer(b, dtype=np.int64) for b in parts["q"]])
 
 
-def kmeans_assign(ds, k: int = 8, iters: int = 2):
-    """Run `iters` Lloyd iterations; return a Dataset (vec_id, cluster, dist2).
-
-    ds must carry (vec_id:int64, embedding:list<float>). Centroids travel by
-    ``ray.put`` broadcast; each iteration and the final labeling are
-    streaming passes over the Dataset (3 passes total for iters=2).
-    """
+def fit_centroids(ds, k: int = 8, iters: int = 2) -> np.ndarray:
+    """`iters` Lloyd iterations over quantized vectors; returns k×d int64
+    centroids. Each iteration is one streaming pass emitting per-batch
+    (cluster → sum, count) partials against the broadcast centroids."""
     import ray
 
     cents = _init_centroids(ds, k)
-    d = cents.shape[1]
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -109,7 +111,20 @@ def kmeans_assign(ds, k: int = 8, iters: int = 2):
                 )
                 new[j] = s // int(sub["n"].sum())
         cents = new
+    return cents
 
+
+def kmeans_assign(ds, k: int = 8, iters: int = 2):
+    """Run `iters` Lloyd iterations; return a Dataset (vec_id, cluster, dist2).
+
+    ds must carry (vec_id:int64, embedding:list<float>). Centroids travel by
+    ``ray.put`` broadcast; each iteration and the final labeling are
+    streaming passes over the Dataset (3 passes total for iters=2).
+    """
+    import ray
+
+    cents = fit_centroids(ds, k, iters)
+    d = cents.shape[1]
     ref = ray.put(cents)
 
     def label(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -126,3 +141,64 @@ def kmeans_assign(ds, k: int = 8, iters: int = 2):
 
     assert d == cents.shape[1]
     return ds.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def semantic_dedup_pairs(
+    ds, k: int = 8, iters: int = 2, tau_num: int = 1225, tau_den: int = 10000
+):
+    """SemDeDup-shaped embedding near-dup pairs (Abbas et al. 2023): k-means
+    cluster the corpus, then compare pairs ONLY within a cluster — the
+    pairwise work drops from O(n²) to O(Σ|cluster|²), and clusters shard the
+    shuffle (k scales with corpus size at real scale).
+
+    Clustering uses the shifted quantization (same rule as ``kmeans_assign``,
+    so the oracle shares those CTEs); the pair test uses CENTERED integer
+    vectors qc = floor(100·x) — the +128 shift would swamp the cosine (every
+    shifted pair measures ≥ 0.97). The test is integer-exact, so a SQL
+    oracle replays it: emit (a, b) iff cluster(a) == cluster(b), a < b,
+    dot(qc_a, qc_b) > 0 and dot² · tau_den ≥ tau_num · |qc_a|² · |qc_b|² —
+    i.e. cos ≥ sqrt(tau_num / tau_den) with no float in sight. Defaults give
+    cos ≥ 0.35 (the synthetic embeddings are near-orthogonal; real corpora
+    would use ~0.95). Bounds: |qc| ≤ ~2·QUANT_SHIFT, d = 64 → dot ≤ 4.2e6,
+    dot²·10⁴ ≤ 1.8e17 < 2⁶³ (exact in int64).
+
+    Shape: centroid fit (streaming partials) → per-batch labeling → ONE
+    groupby(cluster) cogroup whose reducer runs a vectorized integer Gram
+    matrix per cluster. Output: (a, b) vec_id pairs.
+    """
+    import ray
+
+    cents = fit_centroids(ds, k, iters)
+    ref = ray.put(cents)
+
+    def label_q(batch: pa.Table, _ref=ref) -> pd.DataFrame:
+        c = ray.get(_ref)
+        ids, q = _quantize(batch)
+        a, _ = _nearest(q, c)
+        qc = q - QUANT_SHIFT  # centered: floor(100·x)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype(np.int64),
+                "vec_id": ids,
+                "qbytes": [row.tobytes() for row in qc],
+            }
+        )
+
+    labeled = ds.map_batches(label_q, batch_format="pyarrow", batch_size=None)
+
+    def pairs_in_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)})
+        order = np.argsort(df["vec_id"].to_numpy(), kind="stable")
+        ids = df["vec_id"].to_numpy()[order]
+        q = np.stack(
+            [np.frombuffer(b, dtype=np.int64) for b in df["qbytes"].to_numpy()[order]]
+        )
+        gram = q @ q.T  # exact: values ≤ 2·shift, d=64 → well inside int64
+        n2 = np.diag(gram)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        dot = gram[iu, ju]
+        ok = (dot > 0) & (dot * dot * tau_den >= tau_num * n2[iu] * n2[ju])
+        return pd.DataFrame({"a": ids[iu[ok]], "b": ids[ju[ok]]})
+
+    return labeled.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas")

@@ -20,6 +20,9 @@ __all__ = [
     "fingerprint_batch",
     "winnow_batch",
     "term_counts_batch",
+    "gopher_quality_batch",
+    "bigram_rows_batch",
+    "Decontaminate",
 ]
 
 
@@ -112,6 +115,107 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             "avg_token_len": avg_len,
         }
     )
+
+
+def _token_arrays(batch: pa.Table):
+    """Flatten the batch's space-split tokens: (doc_ids_per_token, flat_tokens,
+    per-doc lengths). All three come out of Arrow kernels (no Python loop)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+    return doc_ids, flat, lens
+
+
+def _ngram_frame(batch: pa.Table, n: int):
+    """Per-token-position n-grams as a pandas frame (doc_id, g).
+
+    Token stream is flattened once; an n-gram starts at every position whose
+    doc has at least ``n - 1`` tokens after it. Joining with chr(31) keeps the
+    gram reversible (tokens never contain it), matching the SQL oracle's
+    ``tk[i] || chr(31) || tk[i+1] ...``.
+    """
+    import pandas as pd
+
+    doc_ids, flat, lens = _token_arrays(batch)
+    total = len(doc_ids)
+    if total == 0:
+        return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "g": []})
+    # position of each token within its doc
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    keep = pos <= np.repeat(lens, lens) - n  # n-gram fits inside the doc
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "g": []})
+    toks = pd.Series(flat.to_pandas().to_numpy(), copy=False)
+    g = toks.iloc[idx].reset_index(drop=True)
+    for j in range(1, n):
+        g = g + "\x1f" + toks.iloc[idx + j].reset_index(drop=True)
+    return pd.DataFrame({"doc_id": doc_ids[idx], "g": g.to_numpy()})
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality stats (Rae et al. 2021 §A1.1), exact.
+
+    Per document: ``n_tokens``; ``top_bigram_n`` — occurrences of the most
+    frequent bigram (the "fraction of tokens in the top n-gram" rule's
+    numerator); ``dup_trigram_n`` — number of trigram positions whose trigram
+    occurs more than once in the doc (the "fraction of tokens in duplicated
+    n-grams" numerator). All integers, so a DuckDB oracle replays them
+    verbatim from string_split.
+    """
+    import pandas as pd
+
+    doc_col = batch["doc_id"].to_numpy()
+    n_tokens = pc.list_value_length(pc.split_pattern(batch["text"], " ")).to_numpy()
+    bg = _ngram_frame(batch, 2)
+    tg = _ngram_frame(batch, 3)
+    base = pd.DataFrame({"doc_id": doc_col, "n_tokens": n_tokens.astype(np.int64)})
+    if len(bg):
+        bc = bg.groupby(["doc_id", "g"], sort=False).size()
+        top = bc.groupby(level=0).max().rename("top_bigram_n")
+        base = base.merge(top, on="doc_id", how="left")
+    else:
+        base["top_bigram_n"] = 0
+    if len(tg):
+        tc = tg.groupby(["doc_id", "g"], sort=False).size()
+        dup = tc[tc > 1].groupby(level=0).sum().rename("dup_trigram_n")
+        base = base.merge(dup, on="doc_id", how="left")
+    else:
+        base["dup_trigram_n"] = 0
+    for c in ("top_bigram_n", "dup_trigram_n"):
+        base[c] = base[c].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(base, preserve_index=False).replace_schema_metadata(None)
+
+
+def bigram_rows_batch(batch: pa.Table) -> pa.Table:
+    """One row per bigram INSTANCE: (doc_id, g) — the corpus-LM scoring feed."""
+    df = _ngram_frame(batch, 2)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+class Decontaminate:
+    """Actor-pool benchmark-decontamination stage.
+
+    ``snips`` (the benchmark snippet list) ships with the actor constructor
+    ONCE per actor — at real scale a large eval-set n-gram table would go via
+    an object-store ref or a file read here in ``__init__``; ``__call__``
+    counts, per document, how many snippets occur as substrings
+    (``pc.match_substring`` — one vectorized pass per snippet).
+    """
+
+    def __init__(self, snips):
+        self.snips = list(snips)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        hits = np.zeros(len(text), dtype=np.int64)
+        for s in self.snips:
+            hits += pc.match_substring(text, s).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "n_hits": pa.array(hits, pa.int64())}
+        )
 
 
 _LANG_PROFILES = {

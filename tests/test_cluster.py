@@ -73,3 +73,47 @@ def test_kmeans_matches_reference():
         assert got.loc[vid, "dist2"] == want_d[pos]
     # sanity: the blobs separate (≥3 distinct clusters survive)
     assert out["cluster"].nunique() >= 3
+
+
+def _reference_semantic_pairs(ids, emb, k, iters, tau_num=1225, tau_den=10000):
+    a, _ = _reference_kmeans(ids, emb, k, iters)
+    qc = np.floor(emb * 100).astype(np.int64)
+    pairs = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and a[i] == a[j]:
+                dot = int(qc[i] @ qc[j])
+                na2 = int(qc[i] @ qc[i])
+                nb2 = int(qc[j] @ qc[j])
+                if dot > 0 and dot * dot * tau_den >= tau_num * na2 * nb2:
+                    pairs.add((int(ids[i]), int(ids[j])))
+    return pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_pairs_matches_bruteforce():
+    import ray.data as rd
+
+    from pygeoops_ray.stages.cluster import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d, k = 90, 16, 4
+    base = rng.normal(0.0, 0.3, (30, d))
+    # near-dup trios: each base vector plus two jittered copies → real pairs
+    emb = np.concatenate([base, base + rng.normal(0, 0.01, (30, d)),
+                          base + rng.normal(0, 0.01, (30, d))]).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    tab = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(5)
+    out = semantic_dedup_pairs(ds, k=k, iters=2, tau_num=9025, tau_den=10000).to_pandas()
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    want = _reference_semantic_pairs(
+        ids, emb.astype(np.float64), k, 2, tau_num=9025, tau_den=10000
+    )
+    assert got == want
+    assert len(want) > 0  # the jittered copies must actually pair up

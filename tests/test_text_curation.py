@@ -1,0 +1,79 @@
+"""Curation-op kernels (stages/text.py): Gopher repetition stats, bigram
+instance rows, benchmark decontamination — each vs a brute-force Python
+replay on handcrafted corpora."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from pygeoops_ray.stages.text import (
+    Decontaminate,
+    bigram_rows_batch,
+    gopher_quality_batch,
+)
+
+DOCS = [
+    "a b a b a b c",          # top bigram 'a b' ×3; trigram 'a b a' ×2 + 'b a b' ×2
+    "x",                      # single token: no bigrams/trigrams
+    "one two",                # one bigram, no trigram
+    "r r r r r",              # max repetition
+    "u v w x y z",            # all distinct
+    "",                       # split(' ') of '' is [''] — 1 token
+]
+
+
+def _batch(texts):
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _ref_ngrams(text, n):
+    tk = text.split(" ")
+    return ["\x1f".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+
+def test_bigram_rows_matches_reference():
+    out = bigram_rows_batch(_batch(DOCS)).to_pandas()
+    got = Counter(zip(out["doc_id"], out["g"]))
+    want = Counter()
+    for did, t in enumerate(DOCS):
+        for g in _ref_ngrams(t, 2):
+            want[(did, g)] += 1
+    assert got == want
+
+
+def test_gopher_quality_matches_reference():
+    out = (
+        gopher_quality_batch(_batch(DOCS))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for did, t in enumerate(DOCS):
+        tk = t.split(" ")
+        bc = Counter(_ref_ngrams(t, 2))
+        tc = Counter(_ref_ngrams(t, 3))
+        assert out.loc[did, "n_tokens"] == len(tk)
+        assert out.loc[did, "top_bigram_n"] == (max(bc.values()) if bc else 0)
+        assert out.loc[did, "dup_trigram_n"] == sum(c for c in tc.values() if c > 1)
+    # spot-check the handcrafted expectations
+    assert out.loc[0, "top_bigram_n"] == 3
+    assert out.loc[0, "dup_trigram_n"] == 4
+    assert out.loc[3, "top_bigram_n"] == 4
+    assert out.loc[1, "top_bigram_n"] == 0
+
+
+def test_decontaminate_counts():
+    snips = ["a b a", "two", "zz"]
+    stage = Decontaminate(snips)
+    out = stage(_batch(DOCS)).to_pandas().set_index("doc_id")
+    for did, t in enumerate(DOCS):
+        assert out.loc[did, "n_hits"] == sum(1 for s in snips if s in t)
+    assert out.loc[0, "n_hits"] == 1
+    assert out.loc[2, "n_hits"] == 1
+    assert out["n_hits"].dtype == np.int64
