@@ -1890,3 +1890,33 @@ ORACLE_SQL["semantic_dedup"] = f"""
     SELECT a, b FROM dots
     WHERE dot > 0 AND dot * dot * 10000 >= 1225 * na2 * nb2
 """
+
+# Fixed-point BM25 (k1=1.2, b=0.75): tf-part scaled by 10·TOT is the exact
+# rational 22·tf·TOT / (10·tf·TOT + 3·TOT + 9·dl·N); both sides floor-divide
+# into the same int64 fixed point, then rank (score DESC, doc_id).
+ORACLE_SQL["bm25_topk"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(len(tk)) AS tot FROM tok
+    ),
+    inst AS (SELECT doc_id, unnest(tk) AS term, len(tk) AS dl FROM tok),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        FROM inst
+        WHERE term IN ('table', 'value', 'data', 'window', 'join')
+        GROUP BY doc_id, term
+    ),
+    scored AS (
+        SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+               CAST((22 * tf * tot * 1000000)
+                    // (10 * tf * tot + 3 * tot + 9 * dl * n_docs) AS BIGINT)
+                   AS score_fp
+        FROM tf, stats
+    )
+    SELECT term, doc_id, tf, dl, score_fp,
+           CAST(row_number() OVER (
+               PARTITION BY term ORDER BY score_fp DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+"""

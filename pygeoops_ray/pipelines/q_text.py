@@ -201,3 +201,56 @@ def q_bigram_lm(sf_dir: str):
         [("c", "sum", "lm_hits"), ("c", "size", "n_bigrams")],
         n_rows_hint=n_docs,
     )
+
+
+BM25_QUERY_TERMS = ("table", "value", "data", "window", "join")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval, top-10 per query term, integer-exact.
+
+    Pass 1 (corpus stats): one streaming aggregate → (N docs, TOT tokens) —
+    two scalars broadcast into the scoring kernel as closure ints. Pass 2:
+    per-batch (term, doc, tf, dl, score_fp) candidate rows for the query
+    terms only (stages/text.py:bm25_rows_batch — fixed-point BM25, floor
+    division matching DuckDB's `//`). Top-10 per term via the bounded-partial
+    top-N shape: per-bucket pre-top-10 by (score_fp DESC, doc_id), global
+    reduce ranks the survivors. Only ≤10·buckets tiny rows ever shuffle.
+    """
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tot = int(
+        docs.map_batches(text_stages.token_count_batch, batch_format="pyarrow").sum(
+            "n_tokens"
+        )
+    )
+
+    cand = docs.map_batches(
+        text_stages.bm25_rows_batch,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "terms": BM25_QUERY_TERMS,
+            "n_docs": n_docs,
+            "tot_tokens": tot,
+        },
+    )
+
+    def pre(df):
+        return (
+            df.sort_values(
+                ["term", "score_fp", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("term", sort=False)
+            .head(10)
+        )
+
+    def reducer(df):
+        out = pre(df)
+        out = out.assign(rnk=out.groupby("term", sort=False).cumcount() + 1)
+        return out[["term", "doc_id", "tf", "dl", "score_fp", "rnk"]]
+
+    return _bucketed(cand, ["term"], reducer, 8, pre=pre)

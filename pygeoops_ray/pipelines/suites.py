@@ -68,6 +68,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "gopher_quality",
         "decontaminate",
         "bigram_lm",
+        "bm25_topk",
     ),
     "window_suite": (
         "events_window",
@@ -318,6 +319,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "gopher_quality": ("doc_id", "n_tokens", "top_bigram_n", "dup_trigram_n"),
     "decontaminate": ("doc_id", "n_hits"),
     "bigram_lm": ("doc_id", "lm_hits", "n_bigrams"),
+    "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "events_window": ("event_type", "hour_bucket", "n", "sum_value_c"),
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),

@@ -23,6 +23,7 @@ __all__ = [
     "gopher_quality_batch",
     "bigram_rows_batch",
     "Decontaminate",
+    "bm25_rows_batch",
 ]
 
 
@@ -193,6 +194,69 @@ def bigram_rows_batch(batch: pa.Table) -> pa.Table:
     """One row per bigram INSTANCE: (doc_id, g) — the corpus-LM scoring feed."""
     df = _ngram_frame(batch, 2)
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def bm25_rows_batch(
+    batch: pa.Table, terms: tuple[str, ...], n_docs: int, tot_tokens: int
+) -> pa.Table:
+    """Fixed-point BM25 candidate rows for single-term queries.
+
+    Emits (term, doc_id, tf, dl, score_fp) for every (query term, doc)
+    occurrence, where with k1 = 1.2, b = 0.75 the BM25 tf-part
+    ``tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/TOT)`` is the exact rational
+    ``22·tf·TOT / (10·tf·TOT + 3·TOT + 9·dl·N)`` (both sides scaled by
+    10·TOT), stored as the int64 fixed point
+
+        score_fp = (22·tf·TOT·10⁶) // (10·tf·TOT + 3·TOT + 9·dl·N)
+
+    — floor division both here and in DuckDB, so ranking by
+    (score_fp DESC, doc_id) is deterministic and value-exact. idf is
+    constant within a term (single-term queries) and does not affect the
+    per-term ranking. int64 bound: numerator ≤ 22·tf·TOT·10⁶ — safe for
+    corpora up to ~4·10⁶ tokens; past that the kernel's scale path is
+    float scoring with an exactness certificate (same pattern as knn).
+
+    Corpus stats (N docs, TOT tokens) are computed once by a prior
+    aggregate pass and close over the kernel — plain ints, not per-batch
+    state.
+    """
+    import pandas as pd
+
+    doc_ids, flat, lens = _token_arrays(batch)
+    if len(doc_ids) == 0:
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+                "score_fp": pa.array([], pa.int64()),
+            }
+        )
+    mask = pc.is_in(flat, value_set=pa.array(list(terms), pa.string()))
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    df = pd.DataFrame(
+        {
+            "doc_id": doc_ids[idx],
+            "term": flat.to_pandas().to_numpy()[idx],
+            "dl": np.repeat(lens, lens)[idx],
+        }
+    )
+    g = (
+        df.groupby(["term", "doc_id"], sort=False)
+        .agg(tf=("dl", "size"), dl=("dl", "first"))
+        .reset_index()
+    )
+    tf = g["tf"].to_numpy(np.int64)
+    dl = g["dl"].to_numpy(np.int64)
+    num = 22 * tf * tot_tokens * 1_000_000
+    den = 10 * tf * tot_tokens + 3 * tot_tokens + 9 * dl * n_docs
+    g["score_fp"] = num // den
+    g["tf"] = tf
+    g["dl"] = dl
+    return pa.Table.from_pandas(
+        g[["term", "doc_id", "tf", "dl", "score_fp"]], preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 class Decontaminate:

@@ -77,3 +77,31 @@ def test_decontaminate_counts():
     assert out.loc[0, "n_hits"] == 1
     assert out.loc[2, "n_hits"] == 1
     assert out["n_hits"].dtype == np.int64
+
+
+def test_bm25_rows_matches_reference():
+    from fractions import Fraction
+
+    from pygeoops_ray.stages.text import bm25_rows_batch
+
+    terms = ("a", "b", "one")
+    n_docs, tot = 6, sum(len(t.split(" ")) for t in DOCS)
+    out = bm25_rows_batch(_batch(DOCS), terms=terms, n_docs=n_docs, tot_tokens=tot)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"], r["score_fp"])
+        for r in out.to_pylist()
+    }
+    want = {}
+    for did, t in enumerate(DOCS):
+        tk = t.split(" ")
+        for term in terms:
+            tf = tk.count(term)
+            if tf:
+                num = 22 * tf * tot * 1_000_000
+                den = 10 * tf * tot + 3 * tot + 9 * len(tk) * n_docs
+                want[(term, did)] = (tf, len(tk), num // den)
+    assert got == want
+    # the fixed point tracks the true BM25 tf-part (k1=1.2, b=0.75)
+    for (term, did), (tf, dl, fp) in want.items():
+        true = Fraction(22 * tf * tot, 10 * tf * tot + 3 * tot + 9 * dl * n_docs)
+        assert abs(fp / 1_000_000 - float(true)) < 1e-6
