@@ -143,6 +143,11 @@ def run_bench() -> dict:
         "difference_tiled",
         "pagerank",
         "knn_join_pruned",
+        "gopher_quality",
+        "decontaminate",
+        "bigram_lm",
+        "semantic_dedup",
+        "bm25_topk",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
