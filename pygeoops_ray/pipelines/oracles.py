@@ -1920,3 +1920,27 @@ ORACLE_SQL["bm25_topk"] = """
     FROM scored
     QUALIFY rnk <= 10
 """
+
+# caption_search: caption words re-derived from the ordinal rule
+# (table/images.py:caption_of — word k = WORDS[(i*(k+3)+k) % 20]; the query
+# words 'river'/'tower' are indices 3/13), top-20 by (score DESC, i), hashes
+# from the generator CTEs (decode replayed per pixel).
+ORACLE_SQL["caption_search"] = f"""
+WITH {_IMG_IHASH_CTES},
+cap AS (
+    SELECT m.i,
+           (CASE WHEN (m.i * 3) % 20 IN (3, 13) THEN 1 ELSE 0 END
+          + CASE WHEN (m.i * 4 + 1) % 20 IN (3, 13) THEN 1 ELSE 0 END
+          + CASE WHEN (m.i * 5 + 2) % 20 IN (3, 13) THEN 1 ELSE 0 END
+          + CASE WHEN (m.i * 6 + 3) % 20 IN (3, 13) THEN 1 ELSE 0 END
+          + CASE WHEN (m.i * 7 + 4) % 20 IN (3, 13) THEN 1 ELSE 0 END) AS score
+    FROM meta m
+),
+ranked AS (
+    SELECT i, score, row_number() OVER (ORDER BY score DESC, i) AS rnk
+    FROM cap WHERE score > 0
+)
+SELECT r.i, CAST(r.score AS BIGINT) AS score, CAST(r.rnk AS BIGINT) AS rnk, s.ihash
+FROM ranked r JOIN signed s ON s.i = r.i
+WHERE r.rnk <= 20
+"""

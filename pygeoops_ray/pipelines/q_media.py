@@ -503,3 +503,84 @@ def q_video_frames(sf_dir: str):
         )
 
     return frames.map_batches(digest, batch_format="pyarrow")
+
+
+CAPTION_QUERY_WORDS = ("river", "tower")
+
+
+def q_caption_search(sf_dir: str):
+    """Multimodal retrieval: keyword search over the CAPTION column → top-20
+    images → decode ONLY the hits.
+
+    The composed text→image chain a training-data pipeline runs constantly
+    ("find me the images whose caption mentions X"): (1) a caption-only
+    streaming pass scores every row (vectorized token match, score = total
+    occurrences of the query words) and drops non-matches immediately;
+    (2) top-20 by (score DESC, ordinal) via bounded per-block partials —
+    only ≤20 rows per block ever move; (3) the DECODE runs as a point
+    lookup: the ≤20 hit ordinals are re-generated/decoded directly
+    (at rest: a manifest point-read of exactly those rows), so pixel cost
+    scales with k, not the corpus. Output binds both modalities: the score
+    from the caption side, the integer block-mean hash from the pixel side.
+    The oracle re-derives caption words from the ordinal rule
+    (table/images.py:caption_of) and the hashes from the generator CTEs.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pygeoops_ray.stages.multimodal import int_hash_batch
+    from pygeoops_ray.table.images import generate_images_for_ordinals
+
+    ds, n = _image_ds(sf_dir)
+    meta = ds.select_columns(["image_id", "caption"])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["caption"], " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        hit = (
+            pc.is_in(flat, value_set=pa.array(list(CAPTION_QUERY_WORDS)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        score = np.add.reduceat(hit, starts) if len(hit) else np.zeros(0, np.int64)
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        out = pa.Table.from_pydict(
+            {"i": i, "score": pa.array(score, pa.int64())}
+        )
+        return out.filter(pc.greater(out["score"], 0))
+
+    def pre_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["score", "i"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    scored = meta.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
+    partials = scored.map_batches(pre_topk, batch_format="pyarrow", batch_size=None)
+    top = (
+        partials.repartition(1)
+        .map_batches(pre_topk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["score", "i"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )  # bounded: ≤20 rows land on the driver (the certificate set)
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+
+    # point-lookup decode: generate/decode exactly the hit ordinals
+    hits = rd.from_arrow(
+        pa.Table.from_pydict({"i": pa.array(top["i"].to_numpy(), pa.int64())})
+    )
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        rows = generate_images_for_ordinals(batch["i"].to_numpy(), small=True)
+        hashed = int_hash_batch(rows)
+        i = pc.cast(pc.utf8_slice_codeunits(hashed["image_id"], 4, 32), pa.int64())
+        return pa.Table.from_pydict({"i": i, "ihash": hashed["ihash"]})
+
+    fetched = hits.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    out = top.merge(fetched, on="i")
+    return out[["i", "score", "rnk", "ihash"]]

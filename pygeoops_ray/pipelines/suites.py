@@ -111,6 +111,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "stratified_sample",
         "embed_quantize",
         "semantic_dedup",
+        "caption_search",
     ),
 }
 
@@ -321,6 +322,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "bigram_lm": ("doc_id", "lm_hits", "n_bigrams"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
+    "caption_search": ("i", "score", "rnk", "ihash"),
     "events_window": ("event_type", "hour_bucket", "n", "sum_value_c"),
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),

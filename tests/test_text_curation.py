@@ -105,3 +105,16 @@ def test_bm25_rows_matches_reference():
     for (term, did), (tf, dl, fp) in want.items():
         true = Fraction(22 * tf * tot, 10 * tf * tot + 3 * tot + 9 * dl * n_docs)
         assert abs(fp / 1_000_000 - float(true)) < 1e-6
+
+
+def test_caption_search_scoring_rule():
+    """The SQL oracle's modular word rule must equal caption_of's words."""
+    from pygeoops_ray.table.images import _CAPTION_WORDS, caption_of
+
+    q = {"river", "tower"}
+    qi = {_CAPTION_WORDS.index(w) for w in q}
+    for i in list(range(200)) + [1013, 50021]:
+        cap_tokens = caption_of(i).split(" ")
+        score_str = sum(1 for t in cap_tokens if t in q)
+        score_mod = sum(1 for k in range(5) if (i * (k + 3) + k) % 20 in qi)
+        assert score_str == score_mod
