@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "bigram_lm",
         "semantic_dedup",
         "bm25_topk",
+        "caption_search",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
