@@ -118,3 +118,58 @@ def test_caption_search_scoring_rule():
         score_str = sum(1 for t in cap_tokens if t in q)
         score_mod = sum(1 for k in range(5) if (i * (k + 3) + k) % 20 in qi)
         assert score_str == score_mod
+
+
+# --------------------------------------------------------------------------
+# property tests (random corpora vs brute force)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "x"])
+_DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_gopher_quality_property(texts):
+    out = (
+        gopher_quality_batch(_batch(texts)).to_pandas().set_index("doc_id").sort_index()
+    )
+    for did, t in enumerate(texts):
+        bc = Counter(_ref_ngrams(t, 2))
+        tc = Counter(_ref_ngrams(t, 3))
+        assert out.loc[did, "n_tokens"] == len(t.split(" "))
+        assert out.loc[did, "top_bigram_n"] == (max(bc.values()) if bc else 0)
+        assert out.loc[did, "dup_trigram_n"] == sum(c for c in tc.values() if c > 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8), st.integers(1, 3))
+def test_bm25_fixed_point_property(texts, tf_dummy):
+    from fractions import Fraction
+
+    from pygeoops_ray.stages.text import bm25_rows_batch
+
+    terms = ("aa", "x")
+    n_docs = len(texts)
+    tot = sum(len(t.split(" ")) for t in texts)
+    out = bm25_rows_batch(_batch(texts), terms=terms, n_docs=n_docs, tot_tokens=tot)
+    rows = out.to_pylist()
+    seen = set()
+    for r in rows:
+        tk = texts[r["doc_id"]].split(" ")
+        tf = tk.count(r["term"])
+        assert r["tf"] == tf and r["dl"] == len(tk)
+        exact = Fraction(
+            22 * tf * tot * 1_000_000,
+            10 * tf * tot + 3 * tot + 9 * len(tk) * n_docs,
+        )
+        assert r["score_fp"] == exact.numerator // exact.denominator
+        seen.add((r["term"], r["doc_id"]))
+    # completeness: every (term, doc) with tf>0 must appear
+    for did, t in enumerate(texts):
+        for term in terms:
+            if term in t.split(" "):
+                assert (term, did) in seen
