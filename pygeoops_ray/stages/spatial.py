@@ -386,27 +386,34 @@ def pip_join_rects_points(
     )
 
     anti = join_type == "anti"
-    if anti:
-        empty_out = {c: pd.Series([], dtype="int64") for c in pnames}
-    else:
-        empty_out = {
-            c: pd.Series([], dtype="string" if rect_id_types[c] == pa.string() else "int64")
-            for c in rnames
-        }
-        empty_out.update({c: pd.Series([], dtype="int64") for c in pnames})
+    # Emit TYPED ARROW from the group reducer (not pandas): zero-row pandas
+    # blocks break Ray's size estimator (np.vectorize on size-0 → one error
+    # log per empty group) and every block pays a pandas→Arrow hop later;
+    # Arrow out keeps empty groups schema-stable for downstream shuffles.
+    out_fields = (
+        [] if anti else [(c, rect_id_types[c]) for c in rnames]
+    ) + [(c, pa.int64()) for c in pnames]
+    out_schema = pa.schema(out_fields)
+    empty_out = out_schema.empty_table()
 
-    def join_group(grp: pd.DataFrame) -> pd.DataFrame:
+    def _emit(d: dict) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(np.asarray(d[n]), type=t) for n, t in out_fields],
+            schema=out_schema,
+        )
+
+    def join_group(grp: pd.DataFrame) -> pa.Table:
         side = grp["side"].to_numpy()
         r = grp[side == 0]
         p = grp[side == 1]
         if len(p) == 0:
-            return pd.DataFrame(empty_out)
+            return empty_out
         if len(r) == 0:
             # a point lands in exactly one group, so "no rects here" means
             # globally uncovered — the anti output is the whole point side
             if anti:
-                return pd.DataFrame({c: p[c].to_numpy() for c in pnames})
-            return pd.DataFrame(empty_out)
+                return _emit({c: p[c].to_numpy() for c in pnames})
+            return empty_out
         # vectorized per-cell candidate expansion: rects sorted by cell_id,
         # searchsorted gives each point its candidate rect range
         rc = r["cell_id"].to_numpy()
@@ -424,8 +431,8 @@ def pip_join_rects_points(
         counts = ends - starts
         if counts.sum() == 0:
             if anti:
-                return pd.DataFrame({c: p[c].to_numpy() for c in pnames})
-            return pd.DataFrame(empty_out)
+                return _emit({c: p[c].to_numpy() for c in pnames})
+            return empty_out
         pi = np.repeat(np.arange(len(pc_)), counts)
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
         local = np.arange(int(counts.sum())) - np.repeat(offs, counts)
@@ -441,12 +448,12 @@ def pip_join_rects_points(
         if anti:
             covered = np.zeros(len(pc_), dtype=bool)
             covered[pi] = True
-            return pd.DataFrame({c: p[c].to_numpy()[~covered] for c in pnames})
+            return _emit({c: p[c].to_numpy()[~covered] for c in pnames})
         if len(ri) == 0:
-            return pd.DataFrame(empty_out)
+            return empty_out
         out = {c: r[c].to_numpy()[order][ri] for c in rnames}
         out.update({c: p[c].to_numpy()[pi] for c in pnames})
-        return pd.DataFrame(out)
+        return _emit(out)
 
     joined = both.groupby("skey").map_groups(join_group, batch_format="pandas")
 
