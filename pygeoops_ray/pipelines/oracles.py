@@ -1944,3 +1944,12 @@ SELECT r.i, CAST(r.score AS BIGINT) AS score, CAST(r.rnk AS BIGINT) AS rnk, s.ih
 FROM ranked r JOIN signed s ON s.i = r.i
 WHERE r.rnk <= 20
 """
+
+# compaction layout is pure arithmetic: file_id = event_id // ceil(n/4)
+ORACLE_SQL["compact"] = """
+    SELECT CAST(event_id // ((SELECT (count(*) + 3) // 4 FROM events) ) AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    GROUP BY 1
+"""

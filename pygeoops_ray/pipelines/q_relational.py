@@ -1127,3 +1127,62 @@ def q_user_mode(sf_dir: str):
         )
 
     return _bucketed(ds, ["user_id"], reducer, n_buckets=8, pre=pre)
+
+
+def q_compact(sf_dir: str):
+    """Small-file compaction: a 16-file scattered table rewritten as 4
+    size-targeted, stat-carrying, RESUMABLE partition files — the table
+    maintenance op every 100-TB corpus runs continuously (readers die by a
+    thousand tiny files; the 100-TB layout needs periodic rewrite).
+
+    The scattered input is a cached 16-slice copy of the events table; the
+    output file key is pure arithmetic (event_id // ceil(n/4)) so the oracle
+    derives the whole layout in SQL. The write goes through
+    state/manifest.write_partitioned: per-file lineage + row counts +
+    event_id [min,max] stats land in the manifest (the compacted directory
+    is immediately a PRUNABLE source), and a re-run skips completed files
+    (kill/resume contract — pytest-verified for the writer). Output: one row
+    per compacted file (file_id, n_rows, sum_eid) read back from the sink.
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.state.manifest import read_output, write_partitioned
+
+    n = _table_rows(sf_dir, "events")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}".encode()).hexdigest()[:10]
+
+    # scattered input: 16 row-sliced files (the "too many small files" state)
+    scat = f"/tmp/pygeoops_ray_cache/scattered_events_{key}"
+    if not os.path.isdir(scat) or len(os.listdir(scat)) != 16:
+        os.makedirs(scat, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        step = (len(t) + 15) // 16
+        for j in range(16):
+            pq.write_table(t.slice(j * step, step), f"{scat}/slice-{j:02d}.parquet")
+
+    k = (n + 3) // 4
+
+    def add_file_id(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fid = pc.divide(batch["event_id"], k)  # integer division on int64
+        return batch.append_column("file_id", pc.cast(fid, pa.int64()))
+
+    ds = rd.read_parquet(scat).map_batches(
+        add_file_id, batch_format="pyarrow", batch_size=None
+    )
+    out = f"/tmp/pygeoops_ray_cache/compacted_events_{key}"
+    write_partitioned(ds, out, "file_id", stats_cols=["event_id"])
+
+    compacted = read_output(out)
+    return grouped_agg(
+        compacted,
+        ["file_id"],
+        [("event_id", "sum", "sum_eid"), ("event_id", "size", "n_rows")],
+        n_rows_hint=8,
+    ).select_columns(["file_id", "n_rows", "sum_eid"])

@@ -112,6 +112,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "embed_quantize",
         "semantic_dedup",
         "caption_search",
+        "compact",
     ),
 }
 
@@ -323,6 +324,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),
+    "compact": ("file_id", "n_rows", "sum_eid"),
     "events_window": ("event_type", "hour_bucket", "n", "sum_value_c"),
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),

@@ -173,3 +173,54 @@ def test_bm25_fixed_point_property(texts, tf_dummy):
         for term in terms:
             if term in t.split(" "):
                 assert (term, did) in seen
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_resume_and_content():
+    """16 scattered files → 4 compacted files; content preserved; rerun
+    skips every completed partition (the resume contract)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pygeoops_ray.state.manifest import read_output, write_partitioned
+
+    base = "/tmp/pygeoops_ray_test_compact"
+    scat, out = f"{base}/scat", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    import os
+
+    os.makedirs(scat)
+    n = 1000
+    t = pa.Table.from_pydict({"event_id": pa.array(range(n), pa.int64())})
+    step = (n + 15) // 16
+    for j in range(16):
+        pq.write_table(t.slice(j * step, step), f"{scat}/slice-{j:02d}.parquet")
+
+    k = (n + 3) // 4
+
+    def add_fid(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "file_id", pc.cast(pc.divide(batch["event_id"], k), pa.int64())
+        )
+
+    def ds():
+        return rd.read_parquet(scat).map_batches(
+            add_fid, batch_format="pyarrow", batch_size=None
+        )
+
+    rep1 = write_partitioned(ds(), out, "file_id", stats_cols=["event_id"])
+    assert sorted(rep1["partition_id"]) == ["0", "1", "2", "3"]
+    assert not rep1["skipped"].any()
+    back = read_output(out).to_pandas()
+    assert len(back) == n
+    assert sorted(back["event_id"]) == list(range(n))
+    # resume: everything already written → all four partitions skipped
+    rep2 = write_partitioned(ds(), out, "file_id", stats_cols=["event_id"])
+    assert rep2["skipped"].all()
