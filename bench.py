@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "semantic_dedup",
         "bm25_topk",
         "caption_search",
+        "compact",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
