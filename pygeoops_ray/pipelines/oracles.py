@@ -1953,3 +1953,53 @@ ORACLE_SQL["compact"] = """
     FROM events
     GROUP BY 1
 """
+
+# PQ codes: the kmeans CTE chain generalized by subspace (sub = idx // 16),
+# k=4, one iteration; same integer contract (S // n, ties smallest code).
+ORACLE_SQL["pq_codes"] = """
+WITH qv AS (
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT) + 128 AS q
+    FROM embeddings
+),
+qs AS (SELECT vec_id, idx // 16 AS sub, idx, q FROM qv),
+c0ids AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+    FROM embeddings ORDER BY vec_id LIMIT 4
+),
+cent0 AS (SELECT i.j, s.sub, s.idx, s.q AS c FROM c0ids i JOIN qs s USING (vec_id)),
+d1 AS (
+    SELECT s.vec_id, s.sub, c.j, sum((s.q - c.c) * (s.q - c.c)) AS d2
+    FROM qs s JOIN cent0 c ON c.idx = s.idx AND c.sub = s.sub
+    GROUP BY s.vec_id, s.sub, c.j
+),
+a1 AS (
+    SELECT vec_id, sub, j FROM (
+        SELECT vec_id, sub, j,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+s1 AS (
+    SELECT a1.sub, a1.j, qs.idx, sum(qs.q) AS sq, count(*) AS n
+    FROM a1 JOIN qs ON qs.vec_id = a1.vec_id AND qs.sub = a1.sub
+    GROUP BY a1.sub, a1.j, qs.idx
+),
+cent1 AS (
+    SELECT c0.sub, c0.j, c0.idx, COALESCE(CAST(s1.sq // s1.n AS BIGINT), c0.c) AS c
+    FROM cent0 c0 LEFT JOIN s1 ON s1.sub = c0.sub AND s1.j = c0.j AND s1.idx = c0.idx
+),
+df AS (
+    SELECT s.vec_id, s.sub, c.j, sum((s.q - c.c) * (s.q - c.c)) AS d2
+    FROM qs s JOIN cent1 c ON c.idx = s.idx AND c.sub = s.sub
+    GROUP BY s.vec_id, s.sub, c.j
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(j AS BIGINT) AS code,
+       CAST(d2 AS BIGINT) AS dist2
+FROM (
+    SELECT vec_id, sub, j, d2,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, j) AS rn
+    FROM df
+) WHERE rn = 1
+"""

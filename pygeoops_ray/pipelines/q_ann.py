@@ -221,3 +221,15 @@ def q_semantic_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semantic_dedup_pairs(ds, k=8, iters=2)
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes over the embeddings table (4 subspaces of
+    16 dims, 4 centroids each, 1 Lloyd iteration): the vector-compression
+    component of a billion-scale ANN system — see stages/cluster.pq_codes.
+    Integer-exact throughout, so the oracle replays init + iteration + final
+    assignment with subspace-generalized kmeans CTEs."""
+    from pygeoops_ray.stages.cluster import pq_codes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_codes(ds, subspaces=4, k=4, iters=1)

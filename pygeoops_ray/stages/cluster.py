@@ -26,6 +26,7 @@ __all__ = [
     "kmeans_assign",
     "fit_centroids",
     "semantic_dedup_pairs",
+    "pq_codes",
     "QUANT_SCALE",
     "QUANT_SHIFT",
 ]
@@ -202,3 +203,87 @@ def semantic_dedup_pairs(
         return pd.DataFrame({"a": ids[iu[ok]], "b": ids[ju[ok]]})
 
     return labeled.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas")
+
+
+def pq_codes(ds, subspaces: int = 4, k: int = 4, iters: int = 1):
+    """Product-quantization code assignment (Jégou et al. 2011), integer-exact.
+
+    The vector-compression step every billion-vector ANN system runs: split
+    each quantized embedding into ``subspaces`` contiguous sub-vectors, run an
+    independent k-means per subspace, and store each vector as ``subspaces``
+    small codes. Memory drops from d floats to ``subspaces`` bytes per vector;
+    distance evaluation becomes table lookups.
+
+    Exactness contract mirrors kmeans_assign: shifted quantization, integer
+    centroid means (S // n), exact int64 distances, ties to the smallest code,
+    emptied centroids keep their previous value, init = sub-vectors of the k
+    smallest vec_ids. Every subspace's iteration happens in the SAME streaming
+    pass (per-batch partials keyed (sub, code)), so the whole fit is
+    ``iters + 2`` passes regardless of ``subspaces``. Output: one row per
+    (vec_id, sub) with the assigned ``code`` and exact ``dist2``.
+    """
+    import ray
+
+    cents0 = _init_centroids(ds, k)  # k × d, full vectors
+    d = cents0.shape[1]
+    assert d % subspaces == 0, (d, subspaces)
+    w = d // subspaces
+    # cents[s] is k × w
+    cents = [cents0[:, s * w : (s + 1) * w].copy() for s in range(subspaces)]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, _ref=ref, _k=k) -> pd.DataFrame:
+            c = ray.get(_ref)
+            _, q = _quantize(batch)
+            rows = []
+            for s, cs in enumerate(c):
+                qs = q[:, s * w : (s + 1) * w]
+                a, _ = _nearest(qs, cs)
+                for j in range(_k):
+                    m = a == j
+                    n = int(m.sum())
+                    if n:
+                        rows.append((s, j, n, qs[m].sum(axis=0).tobytes()))
+            return pd.DataFrame(rows, columns=["sub", "code", "n", "sums"])
+
+        parts = ds.map_batches(
+            partial_sums, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for s in range(subspaces):
+            new = cents[s].copy()
+            for j in range(k):
+                subp = parts[(parts["sub"] == s) & (parts["code"] == j)]
+                if len(subp):
+                    tot = np.sum(
+                        np.stack(
+                            [np.frombuffer(b, dtype=np.int64) for b in subp["sums"]]
+                        ),
+                        axis=0,
+                    )
+                    new[j] = tot // int(subp["n"].sum())
+            cents[s] = new
+
+    ref = ray.put(cents)
+
+    def label(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        ids, q = _quantize(batch)
+        out_ids, out_sub, out_code, out_d2 = [], [], [], []
+        for s, cs in enumerate(c):
+            a, d2 = _nearest(q[:, s * w : (s + 1) * w], cs)
+            out_ids.append(ids)
+            out_sub.append(np.full(len(ids), s, np.int64))
+            out_code.append(a.astype(np.int64))
+            out_d2.append(d2)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "sub": pa.array(np.concatenate(out_sub), pa.int64()),
+                "code": pa.array(np.concatenate(out_code), pa.int64()),
+                "dist2": pa.array(np.concatenate(out_d2), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=None)

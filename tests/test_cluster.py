@@ -117,3 +117,57 @@ def test_semantic_dedup_pairs_matches_bruteforce():
     )
     assert got == want
     assert len(want) > 0  # the jittered copies must actually pair up
+
+
+def _reference_pq(ids, emb, subspaces, k, iters):
+    q = np.floor(emb * 100).astype(np.int64) + 128
+    d = q.shape[1]
+    w = d // subspaces
+    order = np.argsort(ids, kind="stable")
+    cents = [q[order[:k], s * w : (s + 1) * w].copy() for s in range(subspaces)]
+
+    def nearest(qm, c):
+        d2 = (qm * qm).sum(1)[:, None] - 2 * (qm @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        return a, d2[np.arange(len(qm)), a]
+
+    for _ in range(iters):
+        for s in range(subspaces):
+            qs = q[:, s * w : (s + 1) * w]
+            a, _ = nearest(qs, cents[s])
+            new = cents[s].copy()
+            for j in range(k):
+                m = a == j
+                if m.sum():
+                    new[j] = qs[m].sum(0) // int(m.sum())
+            cents[s] = new
+    out = {}
+    for s in range(subspaces):
+        a, d2 = nearest(q[:, s * w : (s + 1) * w], cents[s])
+        for pos in range(len(ids)):
+            out[(int(ids[pos]), s)] = (int(a[pos]), int(d2[pos]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_codes_matches_reference():
+    import ray.data as rd
+
+    from pygeoops_ray.stages.cluster import pq_codes
+
+    rng = np.random.default_rng(23)
+    n, d, S, k = 100, 32, 4, 3
+    emb = rng.normal(0.0, 0.3, (n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    tab = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(5)
+    out = pq_codes(ds, subspaces=S, k=k, iters=2).to_pandas()
+    assert len(out) == n * S
+    want = _reference_pq(ids, emb.astype(np.float64), S, k, 2)
+    for _, r in out.iterrows():
+        assert (int(r["code"]), int(r["dist2"])) == want[(int(r["vec_id"]), int(r["sub"]))]
