@@ -2003,3 +2003,10 @@ FROM (
     FROM df
 ) WHERE rn = 1
 """
+
+ORACLE_SQL["ann_pq"] = """
+    SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM embeddings
+"""

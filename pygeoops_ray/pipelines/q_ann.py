@@ -233,3 +233,13 @@ def q_pq_codes(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return pq_codes(ds, subspaces=4, k=4, iters=1)
+
+
+def q_ann_pq(sf_dir: str):
+    """PQ asymmetric-distance search (stages/cluster.pq_adc_topk): codebook
+    distance tables per query, corpus scored by table lookups — the memory
+    shape that fits a billion vectors in RAM. Recall-contract oracle (floor
+    35%; measured 47-60% across scales vs exact cosine top-10; chance ≤2%)."""
+    from pygeoops_ray.stages.cluster import pq_adc_topk
+
+    return _ann_recall_summary(sf_dir, pq_adc_topk, min_mean_recall_pct=35)

@@ -114,6 +114,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "caption_search",
         "compact",
         "pq_codes",
+        "ann_pq",
     ),
 }
 
@@ -327,6 +328,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "caption_search": ("i", "score", "rnk", "ihash"),
     "compact": ("file_id", "n_rows", "sum_eid"),
     "pq_codes": ("vec_id", "sub", "code", "dist2"),
+    "ann_pq": ("n_queries", "k", "recall_ok"),
     "events_window": ("event_type", "hour_bucket", "n", "sum_value_c"),
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),

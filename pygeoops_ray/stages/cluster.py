@@ -27,6 +27,8 @@ __all__ = [
     "fit_centroids",
     "semantic_dedup_pairs",
     "pq_codes",
+    "fit_pq_centroids",
+    "pq_adc_topk",
     "QUANT_SCALE",
     "QUANT_SHIFT",
 ]
@@ -205,30 +207,15 @@ def semantic_dedup_pairs(
     return labeled.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas")
 
 
-def pq_codes(ds, subspaces: int = 4, k: int = 4, iters: int = 1):
-    """Product-quantization code assignment (Jégou et al. 2011), integer-exact.
-
-    The vector-compression step every billion-vector ANN system runs: split
-    each quantized embedding into ``subspaces`` contiguous sub-vectors, run an
-    independent k-means per subspace, and store each vector as ``subspaces``
-    small codes. Memory drops from d floats to ``subspaces`` bytes per vector;
-    distance evaluation becomes table lookups.
-
-    Exactness contract mirrors kmeans_assign: shifted quantization, integer
-    centroid means (S // n), exact int64 distances, ties to the smallest code,
-    emptied centroids keep their previous value, init = sub-vectors of the k
-    smallest vec_ids. Every subspace's iteration happens in the SAME streaming
-    pass (per-batch partials keyed (sub, code)), so the whole fit is
-    ``iters + 2`` passes regardless of ``subspaces``. Output: one row per
-    (vec_id, sub) with the assigned ``code`` and exact ``dist2``.
-    """
+def fit_pq_centroids(ds, subspaces: int, k: int, iters: int) -> list[np.ndarray]:
+    """Per-subspace integer Lloyd fit; every subspace's partials ride the
+    SAME streaming pass. Returns ``subspaces`` arrays of k × (d/subspaces)."""
     import ray
 
     cents0 = _init_centroids(ds, k)  # k × d, full vectors
     d = cents0.shape[1]
     assert d % subspaces == 0, (d, subspaces)
     w = d // subspaces
-    # cents[s] is k × w
     cents = [cents0[:, s * w : (s + 1) * w].copy() for s in range(subspaces)]
 
     for _ in range(iters):
@@ -264,7 +251,30 @@ def pq_codes(ds, subspaces: int = 4, k: int = 4, iters: int = 1):
                     )
                     new[j] = tot // int(subp["n"].sum())
             cents[s] = new
+    return cents
 
+
+def pq_codes(ds, subspaces: int = 4, k: int = 4, iters: int = 1):
+    """Product-quantization code assignment (Jégou et al. 2011), integer-exact.
+
+    The vector-compression step every billion-vector ANN system runs: split
+    each quantized embedding into ``subspaces`` contiguous sub-vectors, run an
+    independent k-means per subspace, and store each vector as ``subspaces``
+    small codes. Memory drops from d floats to ``subspaces`` bytes per vector;
+    distance evaluation becomes table lookups.
+
+    Exactness contract mirrors kmeans_assign: shifted quantization, integer
+    centroid means (S // n), exact int64 distances, ties to the smallest code,
+    emptied centroids keep their previous value, init = sub-vectors of the k
+    smallest vec_ids. Every subspace's iteration happens in the SAME streaming
+    pass (per-batch partials keyed (sub, code)), so the whole fit is
+    ``iters + 2`` passes regardless of ``subspaces``. Output: one row per
+    (vec_id, sub) with the assigned ``code`` and exact ``dist2``.
+    """
+    import ray
+
+    cents = fit_pq_centroids(ds, subspaces, k, iters)
+    w = cents[0].shape[1]
     ref = ray.put(cents)
 
     def label(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -287,3 +297,63 @@ def pq_codes(ds, subspaces: int = 4, k: int = 4, iters: int = 1):
         )
 
     return ds.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def pq_adc_topk(
+    emb_ds, q_ids, q_matrix, k: int = 10, subspaces: int = 16, kcent: int = 32,
+    iters: int = 2,
+):
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011).
+
+    The query side computes, ONCE per query, a per-subspace distance table
+    to every codebook centroid (subspaces × kcent ints); the corpus side
+    streams by, each batch is coded (argmin per subspace — at rest the codes
+    WOULD be precomputed; coding here keeps the query self-contained) and a
+    vector's approximate distance is just ``sum_s table[s, code_s]`` — table
+    lookups, no d-dimensional math per candidate. Partial top-k per batch,
+    exact grouped merge, (dist2 ASC, vec_id) ties. Approximate by nature:
+    driver contract is the recall floor (ann_pq query), same weak-oracle
+    pattern as ann_lsh / ann_ivf.
+    """
+    import ray
+
+    cents = fit_pq_centroids(emb_ds, subspaces, kcent, iters)
+    w = cents[0].shape[1]
+    qq = np.floor(np.asarray(q_matrix, np.float64) * QUANT_SCALE).astype(np.int64) + QUANT_SHIFT
+    # dtab[s]: (n_queries, kcent) exact int64 squared distances
+    dtab = []
+    for s in range(subspaces):
+        qs = qq[:, s * w : (s + 1) * w]
+        cs = cents[s]
+        dtab.append(
+            (qs * qs).sum(1)[:, None] - 2 * (qs @ cs.T) + (cs * cs).sum(1)[None, :]
+        )
+    ref = ray.put((np.asarray(q_ids, np.int64), cents, dtab))
+
+    def partial(batch: pa.Table, _ref=ref) -> pd.DataFrame:
+        qids, c, tabs = ray.get(_ref)
+        ids, q = _quantize(batch)
+        approx = np.zeros((len(qids), len(ids)), dtype=np.int64)
+        for s, cs in enumerate(c):
+            codes, _ = _nearest(q[:, s * w : (s + 1) * w], cs)
+            approx += tabs[s][:, codes]
+        kk = min(k, len(ids))
+        part = np.argpartition(approx, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "q_id": rows_q,
+                "vec_id": ids[cols],
+                "d2": approx[np.repeat(np.arange(len(qids)), kk), cols],
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["d2", "vec_id"], ascending=[True, True]).head(k).copy()
+        group["rnk"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["q_id", "vec_id", "rnk"]]
+
+    return partials.groupby("q_id").map_groups(merge, batch_format="pandas")

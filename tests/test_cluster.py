@@ -171,3 +171,38 @@ def test_pq_codes_matches_reference():
     want = _reference_pq(ids, emb.astype(np.float64), S, k, 2)
     for _, r in out.iterrows():
         assert (int(r["code"]), int(r["dist2"])) == want[(int(r["vec_id"]), int(r["sub"]))]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_adc_recall_beats_chance():
+    import ray.data as rd
+
+    from pygeoops_ray.stages.ann import brute_force_topk
+    from pygeoops_ray.stages.cluster import pq_adc_topk
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 32
+    emb = rng.normal(0.0, 0.3, (n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(4)
+    q_ids = ids[:5]
+    qm = emb[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q_ids, qm, k=10).to_pandas()
+    approx = pq_adc_topk(ds, q_ids, qm, k=10, subspaces=8, kcent=16).to_pandas()
+    assert set(approx.columns) == {"q_id", "vec_id", "rnk"}
+    recs = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        assert len(a) == 10
+        recs.append(len(e & a) / 10)
+    # the query vector itself is in the corpus: PQ must at least find it
+    for q in q_ids:
+        assert q in set(approx.loc[approx["q_id"] == q, "vec_id"])
+    assert float(np.mean(recs)) >= 0.3  # chance is 10/400 = 2.5%
