@@ -150,6 +150,8 @@ def run_bench() -> dict:
         "bm25_topk",
         "caption_search",
         "compact",
+        "pq_codes",
+        "ann_pq",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
