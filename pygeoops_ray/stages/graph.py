@@ -143,7 +143,12 @@ def connected_components(
             }
         )
 
-    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    # coalesced once: the static edge table re-enters every round's exchange
+    # (same measured win as pagerank — many tiny upstream blocks pay
+    # per-block sort overhead once per round otherwise)
+    edges = (
+        edges_ds.map_batches(sym, batch_format="pyarrow").repartition(nb).materialize()
+    )
     n_dir_edges = edges.count()
 
     if n_dir_edges == 0:
@@ -276,7 +281,12 @@ def pagerank(
             }
         )
 
-    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    # Coalesce the static edge table once: it re-enters the exchange every
+    # round, and a union of many tiny upstream blocks pays per-block sort
+    # overhead n_iters times. nb blocks ≈ one per bucket.
+    edges = (
+        edges_ds.map_batches(sym, batch_format="pyarrow").repartition(nb).materialize()
+    )
     if edges.count() == 0:
         return rd.from_arrow(
             pa.Table.from_pydict(
