@@ -152,6 +152,10 @@ def run_bench() -> dict:
         "compact",
         "pq_codes",
         "ann_pq",
+        "dup_spans",
+        "pii_redact",
+        "domain_mix",
+        "jsonl_scan",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

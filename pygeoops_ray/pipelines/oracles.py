@@ -2010,3 +2010,90 @@ ORACLE_SQL["ann_pq"] = """
            CAST(1 AS BIGINT) AS recall_ok
     FROM embeddings
 """
+
+# Exact duplicated-window dedup (8-token windows shared by >=2 distinct docs;
+# dup_tokens = interval-union coverage of a doc's duplicated windows). The
+# window gram is the chr(31)-joined token slice, positions are 1-based here
+# and 0-based in the kernel — coverage arithmetic is base-invariant.
+ORACLE_SQL["dup_spans"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g8 AS (
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+               array_to_string(tk[u.pos : u.pos + 7], chr(31)) AS g
+        FROM tok, unnest(range(1, len(tk) - 6)) AS u(pos)
+    ),
+    dg AS (SELECT g FROM g8 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    dw AS (SELECT doc_id, pos FROM g8 JOIN dg USING (g)),
+    cov AS (
+        SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM dw
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS dup_windows,
+               sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(nxt - pos, 8) END)
+                   AS dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(tk) - 7, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM tok t LEFT JOIN per p USING (doc_id)
+"""
+
+# PII redaction: the oracle re-derives the deterministic enrichment, counts
+# both patterns, and md5-hashes the same global regexp replacement (email
+# pass first, phone second — matching the kernel's order).
+ORACLE_SQL["pii_redact"] = r"""
+    WITH enr AS (
+        SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+                      || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN ' tel 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                 ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+'))
+             AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '555-[0-9]{4}-[0-9]{2}'))
+             AS BIGINT) AS n_phones,
+        md5(regexp_replace(
+                regexp_replace(t, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+',
+                               '<EMAIL>', 'g'),
+                '555-[0-9]{4}-[0-9]{2}', '<PHONE>', 'g')) AS red_fp
+    FROM enr
+"""
+
+# Domain-mixture rebalance: every language kept down to the smallest
+# domain's size, rows chosen by md5(doc_id) order (deterministic sampling).
+ORACLE_SQL["domain_mix"] = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS n_min FROM c),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM r, m WHERE rnk <= m.n_min
+"""
+
+# JSONL roundtrip scan: the oracle aggregates the parquet source directly;
+# equality proves the write_json -> read_json path lossless for int64/utf8.
+ORACLE_SQL["jsonl_scan"] = """
+    SELECT lang, source,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+"""

@@ -203,6 +203,211 @@ def q_bigram_lm(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-window dedup (Lee et al. 2022 exact-substring shape,
+    windowed): every 8-token window shared by >=2 DISTINCT documents is a
+    duplicated span; per document report the window total, the duplicated
+    window count, and the number of tokens covered by the interval-UNION of
+    its duplicated windows (overlapping spans counted once).
+
+    Distributed shape: (doc, pos, gram) instance rows bucket-shuffle ONCE by
+    gram — the reducer computes distinct-doc counts and filters dups in the
+    same exchange (count + filter fused, nothing re-joined); the surviving
+    (doc, pos) rows (bounded by duplicate density) bucket by doc for the
+    vectorized interval-union; totals combine with the per-doc window counts
+    through a union + grouped sum — no hash join anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed, grouped_agg
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    inst = docs.map_batches(
+        lambda b: text_stages.ngram_pos_rows_batch(b, 8), batch_format="pyarrow"
+    )
+
+    def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g", sort=False)["doc_id"].transform("nunique")
+        return df.loc[nd >= 2, ["doc_id", "pos"]]
+
+    n_buckets = _bucket_count(64, n_docs * 20)
+    dup = _bucketed(inst, ["g"], mark_dups, n_buckets)
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        nxt_same = np.zeros(len(p), bool)
+        nxt_same[:-1] = ids[1:] == ids[:-1]
+        gap = np.full(len(p), 8, np.int64)
+        gap[:-1] = np.minimum(p[1:] - p[:-1], 8)
+        contrib = np.where(nxt_same, gap, 8)
+        out = pd.DataFrame({"doc_id": ids, "c": contrib})
+        g = out.groupby("doc_id", sort=False)["c"].agg(["sum", "size"]).reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_windows": np.zeros(len(g), np.int64),
+                "dup_windows": g["size"].to_numpy().astype(np.int64),
+                "dup_tokens": g["sum"].to_numpy().astype(np.int64),
+            }
+        )
+
+    cov = _bucketed(dup, ["doc_id"], coverage, _bucket_count(16, n_docs))
+
+    def window_base(batch: pa.Table) -> pa.Table:
+        nt = (
+            pc.list_value_length(pc.split_pattern(batch["text"], " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        nw = np.maximum(nt - 7, 0)
+        z = np.zeros(len(nw), np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": pa.array(nw, pa.int64()),
+                "dup_windows": pa.array(z, pa.int64()),
+                "dup_tokens": pa.array(z, pa.int64()),
+            }
+        )
+
+    base = docs.map_batches(window_base, batch_format="pyarrow")
+    return grouped_agg(
+        base.union(cov),
+        ["doc_id"],
+        [
+            ("n_windows", "sum", "n_windows"),
+            ("dup_windows", "sum", "dup_windows"),
+            ("dup_tokens", "sum", "dup_tokens"),
+        ],
+        n_rows_hint=n_docs,
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction with a byte-exact oracle: deterministic synthetic PII
+    (emails for doc_id%7==0, phone numbers for doc_id%11==0 — the corpus has
+    none of its own, and the rule lets DuckDB re-derive the enriched text) is
+    appended in a vectorized map, then the RedactPii actor pool counts and
+    globally replaces both patterns; md5 of the redacted text proves the
+    replacement output byte-for-byte.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        txt = df["text"].astype(object)
+        email = (
+            " mail u"
+            + pd.Series(ids.astype(str), index=df.index)
+            + "@ex"
+            + pd.Series((ids % 5).astype(str), index=df.index)
+            + ".com"
+        )
+        phone = (
+            " tel 555-"
+            + pd.Series((1000 + ids % 9000).astype(str), index=df.index)
+            + "-"
+            + pd.Series((10 + ids % 90).astype(str), index=df.index)
+        )
+        txt = txt.where(ids % 7 != 0, txt + email)
+        txt = txt.where(ids % 11 != 0, txt + phone)
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": txt})
+
+    return ds.map_batches(inject, batch_format="pandas").map_batches(
+        text_stages.RedactPii, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_domain_mix(sf_dir: str):
+    """Domain-mixture rebalancing: subsample every language domain down to
+    the size of the SMALLEST domain (uniform target mixture with maximum
+    retention), selecting rows deterministically by md5(doc_id) order — the
+    training-data mixing step, identical across reruns and partitionings.
+
+    Shape: domain sizes via the algebraic grouped count (rows shuffled = one
+    per (batch, domain)); the tiny per-domain table (bounded by |domains|)
+    decides n_min on the driver; membership is the bounded-partial top-N
+    selection per domain (each batch pre-truncates to n_min rows/domain, so
+    at most n_min x buckets tiny rows reach the exchange).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed, grouped_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    counts = grouped_count(docs, ["lang"], "n", n_rows_hint=64).to_pandas()
+    n_min = int(counts["n"].min())
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        return df
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(n_min)
+        )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        out = pre(df)
+        out = out.assign(rnk=out.groupby("lang", sort=False).cumcount() + 1)
+        return out[["doc_id", "lang", "rnk"]]
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return _bucketed(hashed, ["lang"], reducer, 8, pre=pre)
+
+
+def q_jsonl_scan(sf_dir: str):
+    """JSONL source-format coverage: the documents table is exported once to
+    line-delimited JSON (8 files — the crawl-dump layout every web corpus
+    starts from), read back with ``ray.data.read_json``, and aggregated per
+    (lang, source). The oracle aggregates the parquet directly, so the row
+    counts and integer sums prove the JSON write/read roundtrip lossless.
+    """
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n = _table_rows(sf_dir, "documents")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:jsonl".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/docs_jsonl_{key}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+        _read(
+            sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"]
+        ).repartition(8).write_json(path)
+        with open(marker, "w"):
+            pass
+    files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json")]
+    ds = rd.read_json(files)
+    return grouped_agg(
+        ds,
+        ["lang", "source"],
+        [
+            ("doc_id", "sum", "sum_doc_id"),
+            ("n_chars", "sum", "sum_chars"),
+            ("doc_id", "size", "n_docs"),
+        ],
+        n_rows_hint=256,
+    )
+
+
 BM25_QUERY_TERMS = ("table", "value", "data", "window", "join")
 
 

@@ -69,6 +69,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "decontaminate",
         "bigram_lm",
         "bm25_topk",
+        "dup_spans",
+        "pii_redact",
+        "domain_mix",
     ),
     "window_suite": (
         "events_window",
@@ -115,6 +118,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "compact",
         "pq_codes",
         "ann_pq",
+        "jsonl_scan",
     ),
 }
 
@@ -323,6 +327,10 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "gopher_quality": ("doc_id", "n_tokens", "top_bigram_n", "dup_trigram_n"),
     "decontaminate": ("doc_id", "n_hits"),
     "bigram_lm": ("doc_id", "lm_hits", "n_bigrams"),
+    "dup_spans": ("doc_id", "n_windows", "dup_windows", "dup_tokens"),
+    "pii_redact": ("doc_id", "n_emails", "n_phones", "red_fp"),
+    "domain_mix": ("doc_id", "lang", "rnk"),
+    "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

@@ -24,6 +24,10 @@ __all__ = [
     "bigram_rows_batch",
     "Decontaminate",
     "bm25_rows_batch",
+    "ngram_pos_rows_batch",
+    "RedactPii",
+    "PII_EMAIL_PATTERN",
+    "PII_PHONE_PATTERN",
 ]
 
 
@@ -154,6 +158,91 @@ def _ngram_frame(batch: pa.Table, n: int):
     for j in range(1, n):
         g = g + "\x1f" + toks.iloc[idx + j].reset_index(drop=True)
     return pd.DataFrame({"doc_id": doc_ids[idx], "g": g.to_numpy()})
+
+
+def ngram_pos_rows_batch(batch: pa.Table, n: int = 8) -> pa.Table:
+    """One row per n-gram INSTANCE with its 0-based start position:
+    ``(doc_id, pos, g)`` — the exact-substring-dedup feed (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": fixed-length
+    token windows duplicated ACROSS documents; the positions let a later
+    doc-grouped pass interval-union overlapping duplicated windows into
+    covered-token spans).
+
+    Same flattened-token-stream vectorization as ``_ngram_frame`` (one Arrow
+    split + numpy position mask, no per-row loop), plus the start position.
+    """
+    import pandas as pd
+
+    empty = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("g", pa.string())]
+    ).empty_table()
+    doc_ids, flat, lens = _token_arrays(batch)
+    total = len(doc_ids)
+    if total == 0:
+        return empty
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    keep = pos <= np.repeat(lens, lens) - n
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return empty
+    toks = pd.Series(flat.to_pandas().to_numpy(), copy=False)
+    g = toks.iloc[idx].reset_index(drop=True)
+    for j in range(1, n):
+        g = g + "\x1f" + toks.iloc[idx + j].reset_index(drop=True)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids[idx], pa.int64()),
+            "pos": pa.array(pos[idx], pa.int64()),
+            "g": pa.array(g.to_numpy(), pa.string()),
+        }
+    )
+
+
+# RE2-compatible and Python-re-identical (greedy, no lookaround): DuckDB's
+# regexp_extract_all / regexp_replace(..., 'g') replay both byte-for-byte.
+PII_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+PII_PHONE_PATTERN = r"555-[0-9]{4}-[0-9]{2}"
+
+
+class RedactPii:
+    """PII scrubbing (emails + phone numbers) — the pre-training privacy pass.
+
+    Actor-pool stage: patterns compile ONCE per actor in ``__init__``; each
+    batch runs two vectorized pandas regex passes (count + global replace at
+    C speed) and one hashlib md5 per row over the redacted text, so the
+    oracle checks the exact replacement output, not just the counts.
+    """
+
+    def __init__(
+        self,
+        email_pattern: str = PII_EMAIL_PATTERN,
+        phone_pattern: str = PII_PHONE_PATTERN,
+    ):
+        import re
+
+        self.email_re = re.compile(email_pattern)
+        self.phone_re = re.compile(phone_pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import pandas as pd
+
+        s = pd.Series(batch["text"].to_pandas().to_numpy(), copy=False)
+        n_emails = s.str.count(self.email_re).to_numpy().astype(np.int64)
+        n_phones = s.str.count(self.phone_re).to_numpy().astype(np.int64)
+        red = s.str.replace(self.email_re, "<EMAIL>", regex=True).str.replace(
+            self.phone_re, "<PHONE>", regex=True
+        )
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in red]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(n_emails, pa.int64()),
+                "n_phones": pa.array(n_phones, pa.int64()),
+                "red_fp": pa.array(fps, pa.string()),
+            }
+        )
 
 
 def gopher_quality_batch(batch: pa.Table) -> pa.Table:

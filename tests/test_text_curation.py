@@ -224,3 +224,115 @@ def test_compaction_resume_and_content():
     # resume: everything already written → all four partitions skipped
     rep2 = write_partitioned(ds(), out, "file_id", stats_cols=["event_id"])
     assert rep2["skipped"].all()
+
+
+def test_ngram_pos_rows_matches_reference():
+    from pygeoops_ray.stages.text import ngram_pos_rows_batch
+
+    out = ngram_pos_rows_batch(_batch(DOCS), 3).to_pandas()
+    got = set(zip(out["doc_id"], out["pos"], out["g"]))
+    want = set()
+    for did, t in enumerate(DOCS):
+        for p, g in enumerate(_ref_ngrams(t, 3)):
+            want.add((did, p, g))
+    assert got == want
+
+
+def test_dup_span_coverage_brute_force():
+    """Interval-union coverage of duplicated windows vs a per-position set."""
+    rng = np.random.default_rng(7)
+    # random corpora over a tiny vocab so 4-gram collisions are common
+    for trial in range(20):
+        texts = [
+            " ".join(rng.choice(list("abc"), size=rng.integers(1, 30)))
+            for _ in range(8)
+        ]
+        n = 4
+        from collections import Counter, defaultdict
+
+        from pygeoops_ray.stages.text import ngram_pos_rows_batch
+
+        inst = ngram_pos_rows_batch(_batch(texts), n).to_pandas()
+        docs_per_g = inst.groupby("g")["doc_id"].nunique()
+        dup_g = set(docs_per_g[docs_per_g >= 2].index)
+        # brute-force per-doc covered positions
+        want_cov, want_wins = Counter(), Counter()
+        for did, t in enumerate(texts):
+            covered = set()
+            for p, g in enumerate(_ref_ngrams(t, n)):
+                if g in dup_g:
+                    want_wins[did] += 1
+                    covered.update(range(p, p + n))
+            want_cov[did] = len(covered)
+        # engine-style vectorized coverage (mirrors q_dup_spans.coverage)
+        dup = inst[inst["g"].isin(dup_g)].sort_values(["doc_id", "pos"])
+        ids = dup["doc_id"].to_numpy()
+        p = dup["pos"].to_numpy()
+        if len(p):
+            nxt_same = np.zeros(len(p), bool)
+            nxt_same[:-1] = ids[1:] == ids[:-1]
+            gap = np.full(len(p), n, np.int64)
+            gap[:-1] = np.minimum(p[1:] - p[:-1], n)
+            contrib = np.where(nxt_same, gap, n)
+            import pandas as pd
+
+            got = pd.DataFrame({"doc_id": ids, "c": contrib}).groupby("doc_id")["c"]
+            got_cov = got.sum().to_dict()
+            got_wins = got.size().to_dict()
+        else:
+            got_cov, got_wins = {}, {}
+        assert {k: v for k, v in want_cov.items() if v} == got_cov
+        assert {k: v for k, v in want_wins.items() if v} == got_wins
+
+
+def test_redact_pii_counts_and_output():
+    from pygeoops_ray.stages.text import RedactPii
+
+    texts = [
+        "plain words only",
+        "reach me at bob.smith1@mail.example or x9@a.io now",
+        "call 555-1234-56 or 555-0000-99 end",
+        "mixed a@b.co 555-9999-11 tail",
+        "no match 555-12-3456 a@@b.com",
+    ]
+    out = RedactPii()(_batch(texts)).to_pandas().set_index("doc_id")
+    assert list(out["n_emails"]) == [0, 2, 0, 1, 0]
+    assert list(out["n_phones"]) == [0, 0, 2, 1, 0]
+    import hashlib
+    import re
+
+    er = re.compile(r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+")
+    pr = re.compile(r"555-[0-9]{4}-[0-9]{2}")
+    for i, t in enumerate(texts):
+        red = pr.sub("<PHONE>", er.sub("<EMAIL>", t))
+        assert out.loc[i, "red_fp"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_domain_mix_uniform_and_deterministic(ray_session):
+    """Every domain ends at exactly n_min rows; membership is the md5-order
+    prefix; a rerun returns the identical frame."""
+    import hashlib
+
+    from pygeoops_ray.pipelines.q_text import q_domain_mix
+
+    out = q_domain_mix("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        "SELECT doc_id, lang FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    n_min = docs.groupby("lang").size().min()
+    sizes = out.groupby("lang").size()
+    assert (sizes == n_min).all() and set(sizes.index) == set(docs["lang"])
+    # membership = first n_min doc_ids per lang by (md5, doc_id)
+    docs["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in docs["doc_id"]]
+    want = (
+        docs.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_min)
+    )
+    assert set(zip(out["lang"], out["doc_id"])) == set(
+        zip(want["lang"], want["doc_id"])
+    )
+    again = q_domain_mix("/root/testdata/sf0.001").to_pandas()
+    a = out.sort_values(["lang", "rnk"]).reset_index(drop=True)
+    b = again.sort_values(["lang", "rnk"]).reset_index(drop=True)
+    assert a.equals(b)
