@@ -262,8 +262,16 @@ def q_knn_join_pruned(sf_dir: str):
     pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
         sp.points_from_events, batch_format="pyarrow"
     )
-    sink = f"/tmp/graft_knn_sink_{n_events}"
-    return sp.knn_join_ring(pts, qdf, k=3, sink_dir=sink)
+    # Size the sink's spatial blocks so partition files carry thousands of
+    # rows, not hundreds: with part_side=8 this corpus wrote 375 files of
+    # ~270 rows and ring 1 paid per-file read_parquet metadata overhead on
+    # 318 of them (~5 s of pure file-open cost at sf0.1). part_side=32
+    # (32x32 cells per file) yields ~30 files of ~3k rows — the same exact
+    # result (exactness lives in the cell filter, the block is only the
+    # file-pruning granularity). At 100-TB scale pick part_side so files
+    # land in the 64-512 MB range. Sink key includes the layout.
+    sink = f"/tmp/graft_knn_sink_{n_events}_s32"
+    return sp.knn_join_ring(pts, qdf, k=3, sink_dir=sink, part_side=32)
 
 
 def q_footprint_pairs(sf_dir: str):

@@ -721,7 +721,6 @@ def knn_join_ring(
     import ray.data as rd
 
     from pygeoops_ray.state import manifest as mf
-    from pyarrow.dataset import field as _field
 
     grid = CellGrid(cell)
     part_mult = np.int64(1) << np.int64(21)
@@ -763,16 +762,31 @@ def knn_join_ring(
             )
 
         def pts_for_ring(touched_cells, touched_parts, r):
-            ds, n_read, n_total = mf.read_partitions(
-                sink_dir,
-                touched_parts,
-                filter=_field("cell_id").isin(pa.array(touched_cells, pa.int64())),
-            )
+            # File-level pruning comes from the manifest (the real I/O win);
+            # exact cell membership is a vectorized np.isin map AFTER the
+            # read — pushing a ring's 10k+-cell isin expression into the
+            # parquet scan cost ~2 s per round in driver-side expression
+            # setup and per-row-group evaluation, vs milliseconds here
+            # (touched cells are scattered, so row-group stats can't prune
+            # on them anyway).
+            ds, n_read, n_total = mf.read_partitions(sink_dir, touched_parts)
             if ring_stats is not None:
                 ring_stats.append(
                     {"ring": r, "files_read": n_read, "files_total": n_total}
                 )
-            return ds
+            if ds is None:
+                return None
+            touched_ref = ray.put(touched_cells)
+
+            def cell_filter(batch: pa.Table) -> pa.Table:
+                keep = np.isin(batch["cell_id"].to_numpy(), ray.get(touched_ref))
+                # strip any file-borne schema metadata (pre-fix sinks carry
+                # pandas metadata → unhashable schemas → slow shuffle path)
+                return batch.filter(pa.array(keep)).replace_schema_metadata(None)
+
+            return ds.map_batches(
+                cell_filter, batch_format="pyarrow", batch_size=None
+            )
 
     return _knn_ring_rounds(
         pts_for_ring, queries_df, k, cell, max_rings, grid, block_of
@@ -883,9 +897,13 @@ def _knn_ring_rounds(pts_for_ring, queries_df, k, cell, max_rings, grid, block_o
         width = max(1, nxt // 4)
         schedule.append(list(range(nxt, min(nxt + width, max_rings))))
         nxt += width
+    import time as _time
+
+    _dbg = bool(os.environ.get("GRAFT_KNN_DEBUG"))
     for rings in schedule:
         if not len(unresolved):
             break
+        _t0 = _time.time()
         r = rings[-1]  # certificate ring: everything ≤ r is searched
         rr = ring_rows(unresolved, rings)
         if len(rr):
@@ -894,6 +912,10 @@ def _knn_ring_rounds(pts_for_ring, queries_df, k, cell, max_rings, grid, block_o
             # point side for this ring: in-stream cell filter or pruned
             # partition-file read, per the sink strategy
             pts_r = pts_for_ring(touched_cells, touched_parts, r)
+            if _dbg:
+                print(f"[knn ring {r}] prep {_time.time() - _t0:.2f}s "
+                      f"rr={len(rr)} cells={len(touched_cells)}")
+                _t0 = _time.time()
             if pts_r is not None:
                 qt = pa.Table.from_pydict(
                     {
@@ -922,6 +944,9 @@ def _knn_ring_rounds(pts_for_ring, queries_df, k, cell, max_rings, grid, block_o
                 # the certificate view IS the accumulator — already reduced
                 # to ≤ k rows per query (control-plane sized) in the shuffle
                 acc_df = acc_ds.to_pandas()
+                if _dbg:
+                    print(f"[knn ring {r}] exec {_time.time() - _t0:.2f}s "
+                          f"acc={len(acc_df)}")
         # resolution: k-th best within the certified radius (r*cell)
         bound = float(r * cell) ** 2
         if acc_df is not None and len(acc_df):

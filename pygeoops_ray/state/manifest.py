@@ -144,7 +144,16 @@ def write_partitioned(
             return pd.DataFrame({"partition_id": [pid], "row_count": [-1], "skipped": [True]})
         fname = os.path.join(out_dir_abs, f"part-{pid}.parquet")
         tmp = fname + f".tmp{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(group, preserve_index=False), tmp)
+        # metadata-FREE schema: pandas metadata in sink files makes every
+        # downstream reader's schema unhashable, which drops any shuffle
+        # over the read into Ray's slow per-task schema-unify path
+        # (measured +2-3 s per exchange on the kNN ring join)
+        pq.write_table(
+            pa.Table.from_pandas(group, preserve_index=False).replace_schema_metadata(
+                None
+            ),
+            tmp,
+        )
         os.replace(tmp, fname)
         stats = {
             c: [float(group[c].min()), float(group[c].max())] for c in stats_cols
@@ -183,13 +192,33 @@ def read_partitions(out_dir: str, pids, stage: str = "main", filter=None):
 
     done = CheckpointManifest(out_dir, stage).completed()
     files = []
+    rows = 0
     for pid in sorted(str(p) for p in pids):
         rec = done.get(pid)
         if rec is not None and os.path.exists(rec["output_file"]):
             files.append(rec["output_file"])
+            rows += int(rec.get("row_count") or 0)
     if not files:
         return None, 0, len(done)
-    return rd.read_parquet(files, filter=filter), len(files), len(done)
+    return (
+        rd.read_parquet(files, filter=filter, override_num_blocks=_block_target(rows)),
+        len(files),
+        len(done),
+    )
+
+
+def _block_target(rows: int, rows_per_block: int = 250_000) -> int:
+    """Blocks for a pruned read, sized from the manifest's row counts.
+
+    Without this, a many-small-file sink materializes one (or more) blocks
+    PER FILE, and every downstream shuffle pays per-block fixed cost: the
+    kNN ring join over a 32-file sink measured 0.5-1.0 s per exchange at 64
+    blocks vs 0.14 s at 8 — the data volume (100k rows) was never the cost.
+    Clamped so huge reads still parallelize (200 blocks ≈ 2 waves on a
+    32-core node at 4 CPU-tasks each) and tiny reads keep a few blocks of
+    map parallelism.
+    """
+    return int(min(200, max(4, rows // rows_per_block + 1)))
 
 
 def read_pruned(out_dir: str, ranges: dict[str, tuple], stage: str = "main"):
@@ -248,4 +277,9 @@ def read_pruned(out_dir: str, ranges: dict[str, tuple], stage: str = "main"):
             key=os.path.getsize,
         )
         files = [smallest]
-    return rd.read_parquet(files, filter=expr)
+    rows = sum(
+        int(r.get("row_count") or 0)
+        for r in done.values()
+        if r["output_file"] in set(files)
+    )
+    return rd.read_parquet(files, filter=expr, override_num_blocks=_block_target(rows))
