@@ -110,6 +110,7 @@ def connected_components(
     n_edges_hint: int | None = None,
     max_iters: int = 64,
     broadcast_threshold: int = 1_000_000,
+    local_threshold: int = 1_000_000,
 ):
     """Connected components of the undirected graph given by ``edges_ds``.
 
@@ -154,13 +155,34 @@ def connected_components(
     if n_dir_edges == 0:
         labels = rd.from_arrow(_empty_labels())
     else:
-        state = _bucketed_pd(edges, ["key"], _step, nb).materialize()
-        for _ in range(max_iters):
-            # round 1's changed is always 0 (messages only in flight), so the
-            # bootstrap runs above and the check leads every later round
-            state = _bucketed_pd(state.union(edges), ["key"], _step, nb).materialize()
-            if state.sum("changed") == 0:
-                break
+        if n_dir_edges <= local_threshold:
+            # Small-graph fast path (same as pagerank): below ~1M symmetric
+            # edge rows, per-round exchange fixed cost dominates — one Ray
+            # task iterates the SAME _step reducer to the fixpoint locally
+            # (min-label propagation is order-independent, so the labels
+            # are identical to the distributed loop's).
+            def all_rounds(df: pd.DataFrame) -> pd.DataFrame:
+                st = _step(df)
+                for _ in range(max_iters):
+                    st = _step(pd.concat([st, df], ignore_index=True))
+                    if int(st["changed"].sum()) == 0:
+                        break
+                return st
+
+            state = edges.repartition(1).map_batches(
+                all_rounds, batch_format="pandas", batch_size=None
+            ).materialize()
+        else:
+            state = _bucketed_pd(edges, ["key"], _step, nb).materialize()
+            for _ in range(max_iters):
+                # round 1's changed is always 0 (messages only in flight), so
+                # the bootstrap runs above and the check leads every later
+                # round
+                state = _bucketed_pd(
+                    state.union(edges), ["key"], _step, nb
+                ).materialize()
+                if state.sum("changed") == 0:
+                    break
 
         def finalize(batch: pa.Table) -> pa.Table:
             keep = pa.compute.equal(batch["is_self"], _SELF)
@@ -244,6 +266,7 @@ def pagerank(
     n_iters: int = 5,
     scale: int = 10**9,
     n_edges_hint: int | None = None,
+    local_threshold: int = 1_000_000,
 ):
     """Fixed-iteration PageRank over the UNDIRECTED graph, integer-exact.
 
@@ -327,16 +350,36 @@ def pagerank(
 
         return fn
 
-    # Per-round materialize is deliberate (measured): chaining all rounds
-    # lazily into one plan (no materialize) ran 16-21 s vs 10 s at sf0.1 —
-    # the deep chained-Sort lineage costs more than n_iters separate
-    # executions on this Ray version. Keep rounds materialized (also gives
-    # flat lineage, same as connected_components).
-    state = _bucketed_pd(edges, ["key"], step(first=True), nb).materialize()
-    for _ in range(n_iters):
-        state = _bucketed_pd(
-            state.union(edges), ["key"], step(first=False), nb
-        ).materialize()
+    # Small-graph fast path: below ~1M symmetric edge rows the per-round
+    # exchange FIXED cost dominates (a 477-node dup graph spent ~1.3 s per
+    # round on shuffle machinery moving a few KB). One Ray task then runs
+    # every iteration locally through the SAME step() reducers — integer
+    # fixed-point makes the result bit-identical to the distributed loop,
+    # which remains the path for graphs that don't fit one task.
+    if edges.count() <= local_threshold:
+
+        def all_rounds(df: pd.DataFrame) -> pd.DataFrame:
+            st = step(first=True)(df)
+            for _ in range(n_iters):
+                st = step(first=False)(
+                    pd.concat([st, df], ignore_index=True)
+                )
+            return st
+
+        state = edges.repartition(1).map_batches(
+            all_rounds, batch_format="pandas", batch_size=None
+        )
+    else:
+        # Per-round materialize is deliberate (measured): chaining all
+        # rounds lazily into one plan (no materialize) ran 16-21 s vs 10 s
+        # at sf0.1 — the deep chained-Sort lineage costs more than n_iters
+        # separate executions on this Ray version. Keep rounds materialized
+        # (also gives flat lineage, same as connected_components).
+        state = _bucketed_pd(edges, ["key"], step(first=True), nb).materialize()
+        for _ in range(n_iters):
+            state = _bucketed_pd(
+                state.union(edges), ["key"], step(first=False), nb
+            ).materialize()
 
     def finalize(batch: pa.Table) -> pa.Table:
         keep = pa.compute.equal(batch["is_self"], _SELF)

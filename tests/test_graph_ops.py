@@ -476,3 +476,43 @@ def test_triangle_count_degenerate(ray_session):
         }
     )
     assert triangle_count(rd.from_arrow(e), "a", "b") == 1
+
+
+def test_pagerank_local_fast_path_matches_distributed(ray_session):
+    """The small-graph single-task path must be bit-identical to the
+    distributed per-round loop (integer fixed-point makes this exact)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pygeoops_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame({"a": rng.integers(0, 300, 900), "b": rng.integers(0, 300, 900)})
+    e = e[e.a != e.b].drop_duplicates()
+    ds = rd.from_pandas(e)
+    loc = pagerank(ds, "a", "b", n_edges_hint=len(e)).to_pandas()
+    dist = pagerank(ds, "a", "b", n_edges_hint=len(e), local_threshold=0).to_pandas()
+    loc = loc.sort_values("node").reset_index(drop=True)
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert loc.equals(dist)
+
+
+def test_cc_local_fast_path_matches_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pygeoops_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame({"a": rng.integers(0, 500, 700), "b": rng.integers(0, 500, 700)})
+    e = e[e.a != e.b].drop_duplicates()
+    ds = rd.from_pandas(e)
+    loc = connected_components(ds, "a", "b", n_edges_hint=len(e)).to_pandas()
+    dist = connected_components(
+        ds, "a", "b", n_edges_hint=len(e), local_threshold=0
+    ).to_pandas()
+    loc = loc.sort_values("node").reset_index(drop=True)
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert loc.equals(dist)
