@@ -60,6 +60,80 @@ def _circum_exact(ax, ay, bx, by, kx, ky):
     return math.ldexp(nx / d, -k), math.ldexp(ny / d, -k)
 
 
+def _int_scale(*coords):
+    """Scale floats by a common 2**k to exact integers (see _circum_exact)."""
+    import math
+
+    k = max((53 - math.frexp(x)[1]) if x != 0.0 else 0 for x in coords)
+    return k, [int(math.ldexp(x, k)) for x in coords]
+
+
+def _incircle_strict(ax, ay, bx, by, cx, cy, px, py):
+    """True iff p is STRICTLY inside the circumcircle of CCW-or-CW triangle
+    (a, b, c); cocircular points are OUTSIDE (the Lawson-flip tie rule).
+
+    Float determinant with a conservative forward-error bound; near-tie
+    cases fall through to an exact integer determinant (coordinates scaled
+    by a common power of two — every finite float becomes an exact int).
+    The sign is normalized by the triangle's orientation so callers don't
+    need CCW input.
+    """
+    adx = ax - px
+    ady = ay - py
+    bdx = bx - px
+    bdy = by - py
+    cdx = cx - px
+    cdy = cy - py
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    m1 = bdx * cdy - cdx * bdy
+    m2 = cdx * ady - adx * cdy
+    m3 = adx * bdy - bdx * ady
+    det = ad2 * m1 + bd2 * m2 + cd2 * m3
+    perm = (
+        ad2 * (abs(bdx * cdy) + abs(cdx * bdy))
+        + bd2 * (abs(cdx * ady) + abs(adx * cdy))
+        + cd2 * (abs(adx * bdy) + abs(bdx * ady))
+    )
+    orient = m1 + m2 + m3  # == 2 * signed area of (a, b, c)
+    operm = (
+        abs(bdx * cdy) + abs(cdx * bdy)
+        + abs(cdx * ady) + abs(adx * cdy)
+        + abs(adx * bdy) + abs(bdx * ady)
+    )
+    if abs(det) > 1e-12 * perm and abs(orient) > 1e-12 * operm:
+        return (det > 0) == (orient > 0)
+    # exact path: integer subtraction THEN integer determinant
+    _, (axi, ayi, bxi, byi, cxi, cyi, pxi, pyi) = _int_scale(
+        ax, ay, bx, by, cx, cy, px, py
+    )
+    adxi = axi - pxi
+    adyi = ayi - pyi
+    bdxi = bxi - pxi
+    bdyi = byi - pyi
+    cdxi = cxi - pxi
+    cdyi = cyi - pyi
+    m1i = bdxi * cdyi - cdxi * bdyi
+    m2i = cdxi * adyi - adxi * cdyi
+    m3i = adxi * bdyi - bdxi * adyi
+    deti = (
+        (adxi * adxi + adyi * adyi) * m1i
+        + (bdxi * bdxi + bdyi * bdyi) * m2i
+        + (cdxi * cdxi + cdyi * cdyi) * m3i
+    )
+    orienti = m1i + m2i + m3i
+    if deti == 0 or orienti == 0:
+        return False  # cocircular or degenerate: strictly-outside tie rule
+    return (deti > 0) == (orienti > 0)
+
+
+# Strict (GEOS-style Lawson) cocircular tie rule for the Bowyer-Watson
+# cavity test. Default False: the shipped goldens (square 4-way tie et al.)
+# are pinned on the inclusive <= semantics.
+STRICT_INCIRCLE = False
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Delaunay triangles of (N,2) points; returns (M,3) vertex index array.
 
@@ -216,9 +290,23 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         seen_xy.add((px, py))
         t0 = locate(px, py)
         bad_list: list[int]
+        strict = STRICT_INCIRCLE
+
+        def tri_strict(t):
+            i, j, k2 = vlist[t]
+            return _incircle_strict(
+                xl[i], yl[i], xl[j], yl[j], xl[k2], yl[k2], px, py
+            )
+
         if t0 is not None:
-            ux, uy, rr = circ_l[t0]
-            in0 = (px - ux) ** 2 + (py - uy) ** 2 <= rr
+            if strict:
+                # strict tie rule: the CONTAINING triangle is always in the
+                # cavity (split-then-flip semantics — a point lying exactly
+                # on its own triangle's circumcircle must still insert)
+                in0 = True
+            else:
+                ux, uy, rr = circ_l[t0]
+                in0 = (px - ux) ** 2 + (py - uy) ** 2 <= rr
         else:
             in0 = False
         if in0:
@@ -234,8 +322,12 @@ def delaunay(points: np.ndarray) -> np.ndarray:
             stack_append = stack.append
             while stack:
                 t = stack_pop()
-                ux, uy, rr = circ_l[t]
-                if (px - ux) ** 2 + (py - uy) ** 2 <= rr:
+                if strict:
+                    bad = t == t0 or tri_strict(t)
+                else:
+                    ux, uy, rr = circ_l[t]
+                    bad = (px - ux) ** 2 + (py - uy) ** 2 <= rr
+                if bad:
                     bad_append(t)
                     i, j, k = vlist[t]
                     for u, v in ((i, j), (j, k), (k, i)):
@@ -251,10 +343,14 @@ def delaunay(points: np.ndarray) -> np.ndarray:
             # regular case)
             circ = np.array(circ_l)
             aalive = np.array(alive_l, dtype=bool)
-            bad_list = np.nonzero(
-                aalive
-                & ((px - circ[:, 0]) ** 2 + (py - circ[:, 1]) ** 2 <= circ[:, 2])
-            )[0].tolist()
+            d2 = (px - circ[:, 0]) ** 2 + (py - circ[:, 1]) ** 2
+            if strict:
+                cand = np.nonzero(
+                    aalive & (d2 <= circ[:, 2] * (1 + 1e-9) + 1e-30)
+                )[0].tolist()
+                bad_list = [t for t in cand if tri_strict(t)]
+            else:
+                bad_list = np.nonzero(aalive & (d2 <= circ[:, 2]))[0].tolist()
             if not bad_list:
                 continue  # degenerate duplicate point
         # kill the cavity and count its edges in one pass: edges appearing

@@ -294,3 +294,50 @@ def test_centerline_points_very_close_together_structural():
     assert np.all(c[:, 0] <= pc_[:, 0].max() + 1e-9)
     assert np.all(c[:, 1] >= pc_[:, 1].min() - 1e-9)
     assert np.all(c[:, 1] <= pc_[:, 1].max() + 1e-9)
+
+
+def test_strict_incircle_delaunay_valid_on_cocircular():
+    """voronoi.STRICT_INCIRCLE: exact Lawson tie rule (cocircular = outside).
+    On a grid (every interior quad exactly cocircular) both modes must yield
+    a VALID Delaunay triangulation: 2(n-1)(m-1) triangles tiling the grid,
+    no point strictly inside any circumcircle (exact predicate as checker).
+    Also documents the "Points very close together" diagnosis: the golden
+    deviation is NOT cocircular tie-breaking — strict and inclusive modes
+    produce identical centerlines there (SURVEY §8.3)."""
+    import numpy as np
+
+    from pygeoops_ray.geo import voronoi
+    from pygeoops_ray.geo.voronoi import _incircle_strict, delaunay
+
+    pts = np.array([[float(x), float(y)] for x in range(5) for y in range(4)])
+    for strict in (False, True):
+        voronoi.STRICT_INCIRCLE = strict
+        try:
+            tris = delaunay(pts)
+        finally:
+            voronoi.STRICT_INCIRCLE = False
+        assert len(tris) == 2 * 4 * 3
+        # Delaunay property, checked with the exact strict predicate
+        for t in tris:
+            a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+            for i, p in enumerate(pts):
+                if i in t:
+                    continue
+                assert not _incircle_strict(
+                    a[0], a[1], b[0], b[1], c[0], c[1], p[0], p[1]
+                ), (t, i, strict)
+
+
+def test_strict_incircle_exact_tie_rule():
+    from pygeoops_ray.geo.voronoi import _incircle_strict
+
+    # unit circle through (1,0), (-1,0), (0,1); (0,-1) is exactly cocircular
+    assert not _incircle_strict(1, 0, -1, 0, 0, 1, 0, -1)
+    assert _incircle_strict(1, 0, -1, 0, 0, 1, 0, -0.999999)
+    assert not _incircle_strict(1, 0, -1, 0, 0, 1, 0, -1.000001)
+    # orientation-independent (CW triangle, same answers)
+    assert _incircle_strict(-1, 0, 1, 0, 0, 1, 0, -0.999999)
+    assert not _incircle_strict(-1, 0, 1, 0, 0, 1, 0, -1)
+    # near-tie band exercises the exact integer path
+    eps = 1e-16
+    assert not _incircle_strict(1, 0, -1, 0, 0, 1, 0, -1 - eps)
