@@ -156,6 +156,8 @@ def run_bench() -> dict:
         "pii_redact",
         "domain_mix",
         "jsonl_scan",
+        "clip_score",
+        "cdc_merge",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

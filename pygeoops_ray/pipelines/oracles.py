@@ -2097,3 +2097,76 @@ ORACLE_SQL["jsonl_scan"] = """
     FROM documents
     GROUP BY lang, source
 """
+
+# CLIP-style cross-modal gate: image tower from the pixel-generator CTEs
+# (centered block-row gray sums), text tower from the ordinal caption rule
+# + md5_number_lower bytes; keep = cross-multiplied cosine >= 5/100 in
+# HUGEINT (dot^2 exceeds int64).
+ORACLE_SQL["clip_score"] = f"""
+WITH {_IMG_IHASH_CTES},
+iv AS (SELECT i, br AS d, sum(s) AS rs FROM bsum GROUP BY i, br),
+ivec AS (SELECT iv.i, iv.d, 8 * iv.rs - tot.t AS a FROM iv JOIN tot USING (i)),
+cwords(widx, w) AS (VALUES
+    (0, 'tile'), (1, 'grid'), (2, 'cell'), (3, 'river'), (4, 'field'),
+    (5, 'road'), (6, 'house'), (7, 'tree'), (8, 'cloud'), (9, 'shadow'),
+    (10, 'rock'), (11, 'water'), (12, 'bridge'), (13, 'tower'), (14, 'farm'),
+    (15, 'forest'), (16, 'lake'), (17, 'coast'), (18, 'dune'), (19, 'track')),
+ktab AS (SELECT unnest(range(5)) AS k),
+capw AS (
+    SELECT m.i, cw.w
+    FROM meta m CROSS JOIN ktab kt
+    JOIN cwords cw ON cw.widx = (m.i * (kt.k + 3) + kt.k) % 20
+),
+toks AS (
+    SELECT i, 'caption' AS w FROM meta
+    UNION ALL SELECT i, CAST(i AS VARCHAR) AS w FROM meta
+    UNION ALL SELECT i, w FROM capw
+),
+dtab AS (SELECT unnest(range(8)) AS d),
+tvec AS (
+    SELECT t.i, dt.d,
+           sum(CAST((md5_number_lower(t.w) >> CAST(8 * dt.d AS INTEGER)) & 255
+                    AS BIGINT) - 128) AS b
+    FROM toks t CROSS JOIN dtab dt
+    GROUP BY t.i, dt.d
+),
+sc AS (
+    SELECT v.i,
+           sum(CAST(v.a AS HUGEINT) * tv.b) AS dot,
+           sum(CAST(v.a AS HUGEINT) * v.a) AS na2,
+           sum(CAST(tv.b AS HUGEINT) * tv.b) AS nb2
+    FROM ivec v JOIN tvec tv ON tv.i = v.i AND tv.d = v.d
+    GROUP BY v.i
+)
+SELECT i, CAST(dot AS BIGINT) AS dot,
+       CAST(CASE WHEN dot > 0 AND 10000 * dot * dot >= 25 * na2 * nb2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc
+"""
+
+# CDC merge: the oracle re-derives the delta stream and applies the same
+# DELETE > UPDATE > base precedence; inserts land at n + event_id.
+ORACLE_SQL["cdc_merge"] = """
+    WITH b AS (
+        SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS value_c
+        FROM events
+    ),
+    upd AS (
+        SELECT event_id, value_c + 100000 AS value_c FROM b
+        WHERE event_id % 10 = 3 AND event_id % 17 <> 5
+    ),
+    del AS (SELECT event_id FROM b WHERE event_id % 17 = 5),
+    ins AS (
+        SELECT (SELECT count(*) FROM events) + event_id AS event_id,
+               CAST(event_id * 7 AS BIGINT) AS value_c
+        FROM b WHERE event_id % 97 = 0
+    )
+    SELECT b.event_id, b.value_c, 'base' AS src
+    FROM b
+    WHERE b.event_id NOT IN (SELECT event_id FROM del)
+      AND b.event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL
+    SELECT event_id, value_c, 'upd' AS src FROM upd
+    UNION ALL
+    SELECT event_id, value_c, 'ins' AS src FROM ins
+"""

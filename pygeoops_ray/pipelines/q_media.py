@@ -584,3 +584,22 @@ def q_caption_search(sf_dir: str):
     fetched = hits.map_batches(fetch, batch_format="pyarrow").to_pandas()
     out = top.merge(fetched, on="i")
     return out[["i", "score", "rnk", "ihash"]]
+
+
+def q_clip_score(sf_dir: str):
+    """CLIP-style cross-modal alignment gate over the image+caption table:
+    decode → image-tower + text-tower integer embeddings → exact cosine
+    threshold keep/drop (stages/multimodal.ClipScoreStage). The keep bit for
+    EVERY row is value-checked: the oracle re-derives the image tower from
+    the pixel-generator CTEs and the text tower from the ordinal caption
+    rule + md5_number_lower, then replays the cross-multiplied cosine
+    compare in HUGEINT."""
+    from pygeoops_ray.stages.multimodal import ClipScoreStage
+
+    ds, _ = _image_ds(sf_dir)
+    return ds.map_batches(
+        ClipScoreStage,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"tau_centi": 5},
+    )

@@ -1186,3 +1186,87 @@ def q_compact(sf_dir: str):
         [("event_id", "sum", "sum_eid"), ("event_id", "size", "n_rows")],
         n_rows_hint=8,
     ).select_columns(["file_id", "n_rows", "sum_eid"])
+
+
+def q_cdc_merge(sf_dir: str):
+    """CDC upsert/delete MERGE — the table-maintenance op every 100-TB
+    lakehouse runs continuously: apply a change stream (updates, deletes,
+    inserts) to a base snapshot, last-writer-wins per key with
+    DELETE > UPDATE precedence.
+
+    The delta is derived deterministically from the base (updates for
+    event_id%10==3, deletes for %17==5 — DELETE wins when both hit,
+    inserts at n+event_id for %97==0) so the oracle re-derives the whole
+    stream. Shape: base rows and delta rows are TAGGED and unioned into ONE
+    bucketed cogroup keyed by event_id; the reducer applies the precedence
+    with three vectorized isin masks — neither side is ever materialized,
+    and at scale the delta side is the small stream riding the same
+    exchange as the base scan.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed
+
+    n = _table_rows(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        vc = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "value_c": pa.array(vc, pa.int64()),
+                "op": pa.array(np.zeros(len(eid), np.int8), pa.int8()),
+            }
+        )
+
+    def delta_rows(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        vc = np.floor(batch["value"].to_numpy() * 100).astype(np.int64)
+        um = (eid % 10 == 3) & (eid % 17 != 5)
+        dm = eid % 17 == 5
+        im = eid % 97 == 0
+        out_id = np.concatenate([eid[um], eid[dm], n + eid[im]])
+        out_vc = np.concatenate(
+            [vc[um] + 100000, np.zeros(dm.sum(), np.int64), eid[im] * 7]
+        )
+        out_op = np.concatenate(
+            [
+                np.full(um.sum(), 1, np.int8),
+                np.full(dm.sum(), 2, np.int8),
+                np.full(im.sum(), 3, np.int8),
+            ]
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(out_id, pa.int64()),
+                "value_c": pa.array(out_vc, pa.int64()),
+                "op": pa.array(out_op, pa.int8()),
+            }
+        )
+
+    base = ev.map_batches(base_rows, batch_format="pyarrow")
+    delta = ev.map_batches(delta_rows, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        op = df["op"].to_numpy()
+        del_ids = df.loc[op == 2, "event_id"]
+        upd = df[op == 1]
+        ins = df[op == 3]
+        b = df[op == 0]
+        b = b[
+            ~b["event_id"].isin(del_ids) & ~b["event_id"].isin(upd["event_id"])
+        ]
+        out = pd.concat(
+            [
+                b.assign(src="base"),
+                upd.assign(src="upd"),
+                ins.assign(src="ins"),
+            ],
+            ignore_index=True,
+        )
+        return out[["event_id", "value_c", "src"]]
+
+    nb = _bucket_count(32, n * 2)
+    return _bucketed(base.union(delta), ["event_id"], merge, nb)

@@ -119,6 +119,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pq_codes",
         "ann_pq",
         "jsonl_scan",
+        "clip_score",
+        "cdc_merge",
     ),
 }
 
@@ -331,6 +333,8 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "pii_redact": ("doc_id", "n_emails", "n_phones", "red_fp"),
     "domain_mix": ("doc_id", "lang", "rnk"),
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
+    "clip_score": ("i", "dot", "keep"),
+    "cdc_merge": ("event_id", "value_c", "src"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

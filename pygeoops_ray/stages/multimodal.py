@@ -408,3 +408,77 @@ class AudioResampleStage:
             "rate", pa.array([self.rate_out] * len(blobs), pa.int32())
         )
         return t
+
+
+class ClipScoreStage:
+    """Cross-modal alignment gate (the CLIP-score curation filter every
+    image+caption corpus runs before training — LAION's keep/drop rule).
+
+    The env has no ML runtime, so the two towers are deterministic integer
+    stand-ins carrying the REAL pipeline shape: actor-pool batched decode,
+    per-row embedding of both modalities, exact threshold filter.
+    Image tower: centered block-row gray sums of the DECODED pixels —
+    a_d = 8 * rowsum_d - total over the same floor-start 8-row partition as
+    the block-mean hash (integer-exact, SQL-replayable from the generator
+    CTEs). Text tower: per caption token, the 8 bytes of the token's
+    md5_number_lower (DuckDB-compatible lower-64 md5), each centered by
+    -128, summed over tokens. Keep iff cos(a, b) >= tau/100 with dot > 0,
+    decided by the cross-multiplied square in PYTHON ints (dot^2 ~ 1e22
+    exceeds int64; na2/nb2/dot themselves fit int64), so the oracle replays
+    every keep bit in HUGEINT SQL.
+    """
+
+    def __init__(self, tau_centi: int = 5):
+        self.tau2 = tau_centi * tau_centi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        dots = np.empty(n, dtype=np.int64)
+        keeps = np.empty(n, dtype=np.int64)
+        dim = np.arange(8, dtype=np.uint64) * np.uint64(8)
+        tok_cache: dict[str, np.ndarray] = {}
+        for j, (data, fmt, cap) in enumerate(
+            zip(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["caption"].to_pylist(),
+            )
+        ):
+            px = decode_any(data, fmt)
+            h, w, _ = px.shape
+            ys = (np.arange(8) * h) // 8
+            rows = np.add.reduceat(
+                px.reshape(h, w * 3), ys, axis=0, dtype=np.int64
+            ).sum(axis=1)
+            a = 8 * rows - int(rows.sum())
+            b = np.zeros(8, dtype=np.int64)
+            for tok in cap.split(" "):
+                tv = tok_cache.get(tok)
+                if tv is None:
+                    h64 = np.uint64(
+                        struct.unpack(
+                            "<Q", hashlib.md5(tok.encode("utf-8")).digest()[8:16]
+                        )[0]
+                    )
+                    tv = ((h64 >> dim) & np.uint64(255)).astype(np.int64) - 128
+                    tok_cache[tok] = tv
+                b += tv
+            dot = int(a @ b)
+            na2 = int(a @ a)
+            nb2 = int(b @ b)
+            dots[j] = dot
+            keeps[j] = int(
+                dot > 0 and 10000 * dot * dot >= self.tau2 * na2 * nb2
+            )
+        i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "i": i,
+                "dot": pa.array(dots, pa.int64()),
+                "keep": pa.array(keeps, pa.int64()),
+            }
+        )

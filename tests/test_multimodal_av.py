@@ -221,3 +221,37 @@ class TestZonalStats:
         assert got == want
         # first case straddles both axes → 4 partial rows for image 0
         assert (out.index < 4).sum() == 4
+
+
+def test_clip_score_matches_float_cosine():
+    """ClipScoreStage's exact integer keep decision vs a float cosine
+    reference on 200 generated rows: every row whose cosine is not within
+    1e-9 of the 0.05 threshold must agree; dot must equal the brute-force
+    integer dot of the two towers."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from pygeoops_ray.stages.multimodal import ClipScoreStage, decode_any
+    from pygeoops_ray.table.images import generate_images_table
+
+    t = generate_images_table(200)
+    out = ClipScoreStage()(t).to_pandas().set_index("i")
+    for row in range(200):
+        px = decode_any(t["bytes"][row].as_py(), t["fmt"][row].as_py())
+        h, w, _ = px.shape
+        ys = (np.arange(8) * h) // 8
+        rows = np.add.reduceat(px.reshape(h, w * 3), ys, axis=0, dtype=np.int64).sum(
+            axis=1
+        )
+        a = 8 * rows - int(rows.sum())
+        b = np.zeros(8, np.int64)
+        for tok in t["caption"][row].as_py().split(" "):
+            h64 = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[8:16])[0]
+            b += np.array([(h64 >> (8 * d)) & 255 for d in range(8)], np.int64) - 128
+        dot = int(a @ b)
+        assert out.loc[row, "dot"] == dot
+        cos = dot / (np.linalg.norm(a.astype(float)) * np.linalg.norm(b.astype(float)))
+        if abs(cos - 0.05) > 1e-9:
+            assert bool(out.loc[row, "keep"]) == (cos >= 0.05), (row, cos)

@@ -216,3 +216,36 @@ def test_bloom_anti_join_no_positives_and_same_name(ray_session):
     build = rd.from_arrow(pa.table({"k": np.arange(0, 50, dtype=np.int64)}))
     out = bloom_anti_join(probe, build, "k", "k", n_build_hint=50)
     assert sorted(out.to_pandas()["k"]) == list(range(1000, 1100))
+
+
+def test_cdc_merge_precedence(ray_session):
+    """DELETE > UPDATE > base per key; inserts land at n+id; a key hit by
+    both update and delete rules (id%10==3 and id%17==5, e.g. 73) must be
+    deleted."""
+    import duckdb
+
+    from pygeoops_ray.pipelines.q_relational import q_cdc_merge
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cdc_merge(sf).to_pandas()
+    base = duckdb.connect().execute(
+        f"SELECT event_id, floor(value*100)::BIGINT AS vc FROM '{sf}/events.parquet'"
+    ).df()
+    n = len(base)
+    ids = set(base["event_id"])
+    got = out.set_index("event_id")
+    both = [i for i in ids if i % 10 == 3 and i % 17 == 5]
+    assert both, "fixture must exercise the precedence collision"
+    for i in both:
+        assert i not in got.index  # deleted despite matching the update rule
+    # deleted keys gone, updated keys carry +100000, inserts shifted by n
+    for i in list(ids)[:200]:
+        if i % 17 == 5:
+            assert i not in got.index
+        elif i % 10 == 3:
+            assert got.loc[i, "src"] == "upd"
+        else:
+            assert got.loc[i, "src"] == "base"
+    ins = out[out["src"] == "ins"]
+    assert (ins["event_id"] >= n).all()
+    assert len(ins) == sum(1 for i in ids if i % 97 == 0)
