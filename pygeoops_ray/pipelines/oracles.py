@@ -2170,3 +2170,14 @@ ORACLE_SQL["cdc_merge"] = """
     UNION ALL
     SELECT event_id, value_c, 'ins' AS src FROM ins
 """
+
+# ann_ivf_append: recall + per-layer pruning + append-completeness contracts
+# (weak oracle, same pattern as ann_ivf_disk).
+ORACLE_SQL["ann_ivf_append"] = """
+    SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok,
+           CAST(1 AS BIGINT) AS pruned_ok,
+           CAST(1 AS BIGINT) AS append_ok
+    FROM embeddings
+"""

@@ -243,3 +243,71 @@ def q_ann_pq(sf_dir: str):
     from pygeoops_ray.stages.cluster import pq_adc_topk
 
     return _ann_recall_summary(sf_dir, pq_adc_topk, min_mean_recall_pct=35)
+
+
+def q_ann_ivf_append(sf_dir: str):
+    """Incremental IVF maintenance: base index over 80% of the corpus, the
+    remaining 20% APPENDED as a second layer against the frozen centroids
+    (no refit — stages/ann.append_ivf_disk_index), search over both layers
+    via manifest-pruned reads.
+
+    Contracts in the output row: recall_ok (mean recall@10 vs brute force
+    over the FULL corpus >= 40%), pruned_ok (file pruning happened in the
+    base AND the delta layer), append_ok (the delta layer's manifest rows
+    equal the delta vector count — every appended vector landed in exactly
+    one cell file). A rerun of the append writes nothing (manifest resume).
+    """
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}:append".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/ivf_append_{key}"
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _split(keep_delta: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = batch["vec_id"].to_numpy() % 5 == 0
+            return batch.filter(pa.array(m if keep_delta else ~m))
+
+        return fn
+
+    base = emb.map_batches(_split(False), batch_format="pyarrow")
+    delta = emb.map_batches(_split(True), batch_format="pyarrow")
+    if not os.path.exists(os.path.join(out_dir, "centroids.npy")):
+        ann_stages.build_ivf_disk_index(base, out_dir)
+        ann_stages.append_ivf_disk_index(delta, out_dir)
+
+    k = 10
+    q_ids, qm = _query_vectors(sf_dir)
+    approx_ds, stats = ann_stages.ivf_disk_topk_layers(out_dir, q_ids, qm, k=k)
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    approx = approx_ds.to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+
+    n_delta = delta.count()
+    drec = CheckpointManifest(os.path.join(out_dir, "delta"), "ivf").completed()
+    delta_rows = sum(int(r.get("row_count") or 0) for r in drec.values())
+    pruned_ok = int(all(0 < r < t for r, t in stats))
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= 40)], pa.int64()),
+            "pruned_ok": pa.array([pruned_ok], pa.int64()),
+            "append_ok": pa.array([int(delta_rows == n_delta)], pa.int64()),
+        }
+    )

@@ -121,6 +121,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "jsonl_scan",
         "clip_score",
         "cdc_merge",
+        "ann_ivf_append",
     ),
 }
 
@@ -335,6 +336,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
+    "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

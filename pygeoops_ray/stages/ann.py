@@ -401,3 +401,72 @@ def cosine_dup_pairs(emb_ds, corpus_ids, corpus_matrix, threshold: float = 0.9):
         )
     )
     return emb_ds.map_batches(_PairScan(ref, threshold), batch_format="pyarrow")
+
+
+def append_ivf_disk_index(emb_ds, out_dir: str, layer: str = "delta"):
+    """Incremental ADD to a persisted IVF index — no refit.
+
+    The production vector-DB maintenance shape: new vectors are assigned to
+    the EXISTING centroids (one broadcast pass, no k-means) and written as
+    a second centroid-partitioned layer next to the base
+    (``out_dir/<layer>``, own manifest → append reruns skip completed
+    partitions). Queries read probed cells from every layer; recall
+    degrades only as the data drifts from the frozen centroids, which is
+    the documented trade every IVF deployment makes between refits.
+    """
+    import os
+
+    import ray
+
+    from pygeoops_ray.state.manifest import write_partitioned
+
+    cent = np.load(os.path.join(out_dir, "centroids.npy"))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, m = _embedding_matrix(batch)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cell = (mn @ ray.get(ref).T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    layer_dir = os.path.join(out_dir, layer)
+    ds = emb_ds.map_batches(assign, batch_format="pyarrow")
+    write_partitioned(ds, layer_dir, "ivf_cell", stage="ivf")
+    return layer_dir
+
+
+def ivf_disk_topk_layers(
+    out_dir: str, q_ids, q_matrix, k: int = 10, nprobe: int = 4,
+    layers: tuple = ("delta",),
+):
+    """``ivf_disk_topk`` over the base index PLUS appended layers.
+
+    Probed-cell files are gathered from every layer's manifest (base +
+    appends share the frozen centroids, so a cell's vectors may live in
+    several layer files); returns per-layer (read, total) counts so callers
+    can assert pruning happened in each layer independently.
+    """
+    import os
+
+    import ray.data as rd
+
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    cent = np.load(os.path.join(out_dir, "centroids.npy"))
+    qm = np.asarray(q_matrix, np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    cells = {int(c) for c in probe.reshape(-1)}
+    files, stats = [], []
+    for d in (out_dir, *[os.path.join(out_dir, la) for la in layers]):
+        done = CheckpointManifest(d, "ivf").completed()
+        sel = [
+            rec["output_file"]
+            for pid, rec in sorted(done.items())
+            if int(pid) in cells and os.path.exists(rec["output_file"])
+        ]
+        files.extend(sel)
+        stats.append((len(sel), len(done)))
+    emb_ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    topk = _probed_topk(emb_ds, np.asarray(q_ids, np.int64), qn, cent, probe, k)
+    return topk, stats

@@ -206,3 +206,51 @@ def test_pq_adc_recall_beats_chance():
     for q in q_ids:
         assert q in set(approx.loc[approx["q_id"] == q, "vec_id"])
     assert float(np.mean(recs)) >= 0.3  # chance is 10/400 = 2.5%
+
+
+def test_ivf_append_layers_complete_and_resumable(ray_session, tmp_path):
+    """Append layer: every delta vector lands in exactly one cell file; a
+    rerun writes nothing (manifest resume); searching with nprobe = all
+    cells over base+delta equals brute force over the full corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygeoops_ray.stages import ann
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 8
+    m = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.Table.from_pydict(
+        {"vec_id": ids, "embedding": [list(map(float, r)) for r in m]}
+    )
+    base = rd.from_arrow(t.filter(pa.array(ids % 5 != 0)))
+    delta_tbl = t.filter(pa.array(ids % 5 == 0))
+    out = str(tmp_path / "ivf")
+    ann.build_ivf_disk_index(base, out, n_centroids=4, iters=4)
+    ann.append_ivf_disk_index(rd.from_arrow(delta_tbl), out)
+    drec = CheckpointManifest(str(tmp_path / "ivf" / "delta"), "ivf").completed()
+    rows = sum(int(r["row_count"]) for r in drec.values())
+    assert rows == len(delta_tbl)
+    import os
+
+    mtimes = {
+        r["output_file"]: os.path.getmtime(r["output_file"]) for r in drec.values()
+    }
+    ann.append_ivf_disk_index(rd.from_arrow(delta_tbl), out)  # resume: no-op
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(f) == mt
+    # exhaustive probe == brute force over the FULL corpus
+    q = m[:5]
+    topk, stats = ann.ivf_disk_topk_layers(out, ids[:5], q, k=5, nprobe=4)
+    exact = ann.brute_force_topk(
+        rd.from_arrow(t), ids[:5], q, k=5
+    ).to_pandas()
+    got = topk.to_pandas()
+    for qid in ids[:5]:
+        e = set(exact.loc[exact["q_id"] == qid, "vec_id"])
+        a = set(got.loc[got["q_id"] == qid, "vec_id"])
+        assert e == a
+    assert all(r == t_ for r, t_ in stats)  # nprobe=all: every file read
