@@ -158,6 +158,8 @@ def run_bench() -> dict:
         "jsonl_scan",
         "clip_score",
         "cdc_merge",
+        "pip_polygon",
+        "ann_ivf_append",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2181,3 +2181,33 @@ ORACLE_SQL["ann_ivf_append"] = """
            CAST(1 AS BIGINT) AS append_ok
     FROM embeddings
 """
+
+# True point-in-polygon join: the L-shape decomposes into two open boxes
+# (all edges on half-integer lines, points integer -> never on a boundary).
+ORACLE_SQL["pip_polygon"] = """
+    WITH pl AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey % 1000) * 256 AS DOUBLE) AS minx,
+               CAST((s_suppkey // 1000) * 256 AS DOUBLE) AS miny,
+               CAST(64 + (s_suppkey * 37) % 193 AS DOUBLE) AS w,
+               CAST(64 + (s_suppkey * 53) % 151 AS DOUBLE) AS h
+        FROM supplier
+    ),
+    pl2 AS (
+        SELECT s_suppkey, minx, miny, w, h,
+               minx + floor(w / 2) + 0.5 AS xcut,
+               miny + floor(h / 2) + 0.5 AS ycut
+        FROM pl
+    ),
+    pt AS (
+        SELECT event_id,
+               CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS DOUBLE) AS px,
+               CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS DOUBLE) AS py
+        FROM events
+    )
+    SELECT p.event_id, l.s_suppkey
+    FROM pt p JOIN pl2 l
+      ON p.px > l.minx + 0.5 AND p.px < l.minx + l.w - 0.5
+     AND p.py > l.miny + 0.5 AND p.py < l.miny + l.h - 0.5
+     AND (p.py < l.ycut OR p.px < l.xcut)
+"""

@@ -285,3 +285,67 @@ def q_footprint_pairs(sf_dir: str):
         sp.image_meta_from_part, batch_format="pyarrow"
     )
     return sp.proximity_pairs(rects, dist=48.0, n_rows_hint=n_imgs * 2)
+
+
+def q_pip_polygon(sf_dir: str):
+    """Point-in-POLYGON join over true (non-rectangular) vector geometry:
+    per-supplier L-shaped polygons vs the event points, through
+    ``stages/spatial.pip_polygon_join`` — cell cogroup, PER-PARTITION
+    STRtree over polygon bboxes, exact vectorized polygon predicate.
+
+    The L for supplier k sits in k's slot with all six edges on
+    HALF-INTEGER lines (±0.5 and the floor(w/2)+0.5 cuts), and event points
+    have integer coordinates — no point ever lies on a boundary, so the
+    engine's exact predicate and the oracle's strict inequalities agree by
+    construction. Membership decomposes as two open boxes (bottom strip ∪
+    left column), which is what the SQL replays.
+    """
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as geo_wkb
+
+    n_events = _table_rows(sf_dir, "events")
+    n_supp = _table_rows(sf_dir, "supplier")
+
+    def build_polys(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        w = (64 + (keys * 37) % 193).astype(np.float64)
+        h = (64 + (keys * 53) % 151).astype(np.float64)
+        minx = (keys % 1000).astype(np.float64) * 256.0
+        miny = (keys // 1000).astype(np.float64) * 256.0
+        xcut = minx + np.floor(w / 2) + 0.5
+        ycut = miny + np.floor(h / 2) + 0.5
+        wkbs = []
+        for j in range(len(keys)):
+            x0, y0 = minx[j] + 0.5, miny[j] + 0.5
+            x1, y1 = minx[j] + w[j] - 0.5, miny[j] + h[j] - 0.5
+            ring = [
+                (x0, y0),
+                (x1, y0),
+                (x1, ycut[j]),
+                (xcut[j], ycut[j]),
+                (xcut[j], y1),
+                (x0, y1),
+                (x0, y0),
+            ]
+            wkbs.append(geo_wkb.dumps(g.Polygon(ring)))
+        return pa.Table.from_pydict(
+            {
+                "poly_id": pa.array(keys.astype(np.int64), pa.int64()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+                "minx": pa.array(minx + 0.5),
+                "miny": pa.array(miny + 0.5),
+                "maxx": pa.array(minx + w - 0.5),
+                "maxy": pa.array(miny + h - 0.5),
+            }
+        )
+
+    polys = _read_blocked(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        build_polys, batch_format="pyarrow"
+    )
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        sp.points_from_events, batch_format="pyarrow"
+    )
+    out = sp.pip_polygon_join(
+        polys, pts, n_rows_hint=n_events + n_supp * 2, out_poly="s_suppkey"
+    )
+    return out

@@ -122,6 +122,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "clip_score",
         "cdc_merge",
         "ann_ivf_append",
+        "pip_polygon",
     ),
 }
 
@@ -337,6 +338,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
     "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
+    "pip_polygon": ("event_id", "s_suppkey"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

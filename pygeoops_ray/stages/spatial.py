@@ -962,3 +962,133 @@ def _knn_ring_rounds(pts_for_ring, queries_df, k, cell, max_rings, grid, block_o
     acc["rnk"] = acc.groupby("q_id").cumcount() + 1
     out = acc[acc["rnk"] <= k][["q_id", "event_id", "rnk", "dist2"]]
     return out.reset_index(drop=True)
+
+
+def pip_polygon_join(
+    polys_ds,
+    points_ds,
+    n_rows_hint: int | None = None,
+    out_poly: str = "poly_id",
+    out_point: str = "event_id",
+):
+    """True point-in-POLYGON join with a PER-PARTITION STRtree — the north
+    rule's stated shape for arbitrary (non-rectangular) vector geometry.
+
+    ``polys_ds``: (poly_id, geom_wkb, minx, miny, maxx, maxy); ``points_ds``:
+    (event_id, px, py). Polygons replicate to their covering cells
+    (bounded fan-out), points key to their single cell, both sides cogroup
+    on the coarse cell bucket. Each reduce partition then:
+
+      1. dedupes polygon replicas (a poly may cover several cells of the
+         same bucket),
+      2. builds ONE STRtree over the partition's polygon bboxes
+         (geo/strtree.py — per-partition state, built where the data is),
+      3. bulk-queries its points for bbox candidates,
+      4. verifies candidates with the exact vectorized polygon predicate
+         (geo/predicates.points_in_polygon) — candidates from the tree,
+         exactness from geometry.
+
+    Exactly-once: a point lives in one bucket; point ∈ poly ⊆ bbox means the
+    point's cell is a covering cell, so the poly is present in that bucket;
+    replicas are deduped before the tree is built. World coordinates must be
+    non-negative (the CellGrid contract shared by every spatial stage).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.geo import wkb as geo_wkb
+    from pygeoops_ray.geo.predicates import points_in_polygon
+    from pygeoops_ray.geo.strtree import STRtree
+    from pygeoops_ray.stages.groupagg import _bucket_count, _bucketed
+
+    def poly_rows(batch: pa.Table) -> pa.Table:
+        b = expand_covering_tiles(batch)
+        b = add_tile_cell_id(b)
+        n = b.num_rows
+        return pa.Table.from_pydict(
+            {
+                "cell_id": b["cell_id"],
+                "id": b["poly_id"],
+                "x": pa.array(np.zeros(n), pa.float64()),
+                "y": pa.array(np.zeros(n), pa.float64()),
+                "minx": b["minx"],
+                "miny": b["miny"],
+                "maxx": b["maxx"],
+                "maxy": b["maxy"],
+                "wkb": b["geom_wkb"],
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        b = add_cell_id(batch)
+        n = b.num_rows
+        z = pa.array(np.zeros(n), pa.float64())
+        return pa.Table.from_pydict(
+            {
+                "cell_id": b["cell_id"],
+                "id": b["event_id"],
+                "x": b["px"],
+                "y": b["py"],
+                "minx": z,
+                "miny": z,
+                "maxx": z,
+                "maxy": z,
+                "wkb": pa.array([None] * n, pa.binary()),
+                "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    tagged = polys_ds.map_batches(poly_rows, batch_format="pyarrow").union(
+        points_ds.map_batches(point_rows, batch_format="pyarrow")
+    )
+
+    empty = pd.DataFrame(
+        {
+            out_point: pd.Series([], dtype=np.int64),
+            out_poly: pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def reducer(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].to_numpy()
+        pol = df[kind == 1].drop_duplicates(subset=["id"])
+        pts = df[kind == 0]
+        if not len(pol) or not len(pts):
+            return empty
+        tree = STRtree(pol[["minx", "miny", "maxx", "maxy"]].to_numpy())
+        px = pts["x"].to_numpy()
+        py = pts["y"].to_numpy()
+        cands = tree.query_bulk(np.column_stack([px, py, px, py]))
+        n_per = np.fromiter((len(c) for c in cands), np.int64, len(cands))
+        if n_per.sum() == 0:
+            return empty
+        pt_idx = np.repeat(np.arange(len(pts)), n_per)
+        pol_idx = np.concatenate([c for c in cands if len(c)])
+        order = np.argsort(pol_idx, kind="stable")
+        pt_idx, pol_idx = pt_idx[order], pol_idx[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(pol_idx))[0] + 1, [len(pol_idx)])
+        )
+        out_pt, out_pl = [], []
+        wkbs = pol["wkb"].to_numpy()
+        ids_pol = pol["id"].to_numpy()
+        ids_pt = pts["id"].to_numpy()
+        for s, e in zip(starts[:-1], starts[1:]):
+            pid = pol_idx[s]
+            poly = geo_wkb.loads(wkbs[pid])
+            sel = pt_idx[s:e]
+            inside = points_in_polygon(poly, np.column_stack([px[sel], py[sel]])) == 1
+            if inside.any():
+                out_pt.append(ids_pt[sel[inside]])
+                out_pl.append(np.full(int(inside.sum()), ids_pol[pid], np.int64))
+        if not out_pt:
+            return empty
+        return pd.DataFrame(
+            {
+                out_point: np.concatenate(out_pt),
+                out_poly: np.concatenate(out_pl),
+            }
+        )
+
+    nb = _bucket_count(32, n_rows_hint)
+    return _bucketed(tagged, ["cell_id"], reducer, nb)

@@ -1160,3 +1160,54 @@ def test_global_rank_oracle_shape(rd):
     want = want.sort_values("event_id").reset_index(drop=True)
     assert (got["rnk"].to_numpy() == want["rnk"].to_numpy()).all()
     assert got["rnk"].min() == 1 and got["rnk"].max() == len(got)
+
+
+def test_pip_polygon_join_matches_brute_force(ray_session):
+    """pip_polygon_join vs O(n*m) brute force on random triangles — the
+    STRtree candidates + exact predicate must find exactly the inside pairs
+    (boundary-free corpus: random floats never land on an edge)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as geo_wkb
+    from pygeoops_ray.geo.predicates import points_in_polygon
+    from pygeoops_ray.stages.spatial import pip_polygon_join
+
+    rng = np.random.default_rng(11)
+    polys, rows = [], []
+    for pid in range(40):
+        cx, cy = rng.uniform(320, 2000, 2)  # keep polys in the non-negative world (CellGrid contract)
+        verts = np.column_stack(
+            [cx + rng.uniform(-300, 300, 3), cy + rng.uniform(-300, 300, 3)]
+        )
+        # CCW orientation
+        if np.cross(verts[1] - verts[0], verts[2] - verts[0]) < 0:
+            verts = verts[::-1]
+        poly = g.Polygon([tuple(v) for v in verts] + [tuple(verts[0])])
+        polys.append(poly)
+        xs, ys = verts[:, 0], verts[:, 1]
+        rows.append(
+            (pid, geo_wkb.dumps(poly), xs.min(), ys.min(), xs.max(), ys.max())
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["poly_id", "geom_wkb", "minx", "miny", "maxx", "maxy"]
+    )
+    pts = np.column_stack(
+        [rng.uniform(0, 2400, 500), rng.uniform(0, 2400, 500)]
+    )
+    ptdf = pd.DataFrame(
+        {"event_id": np.arange(500, dtype=np.int64), "px": pts[:, 0], "py": pts[:, 1]}
+    )
+    got = pip_polygon_join(
+        rd.from_pandas(pdf), rd.from_pandas(ptdf), n_rows_hint=600
+    ).to_pandas()
+    want = set()
+    for pid, poly in enumerate(polys):
+        inside = points_in_polygon(poly, pts) == 1
+        for eid in np.nonzero(inside)[0]:
+            want.add((int(eid), pid))
+    assert set(zip(got["event_id"], got["poly_id"])) == want
+    assert len(got) == len(want)  # exactly-once (no replica dupes)
