@@ -2211,3 +2211,13 @@ ORACLE_SQL["pip_polygon"] = """
      AND p.py > l.miny + 0.5 AND p.py < l.miny + l.h - 0.5
      AND (p.py < l.ycut OR p.px < l.xcut)
 """
+
+# top-k scan with row-group stat pruning: plain ORDER BY ... LIMIT oracle.
+ORACLE_SQL["topk_scan"] = """
+    SELECT event_id,
+           CAST(floor(value * 100) AS BIGINT) AS value_c,
+           CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 20
+"""

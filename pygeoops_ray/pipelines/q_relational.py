@@ -1270,3 +1270,60 @@ def q_cdc_merge(sf_dir: str):
 
     nb = _bucket_count(32, n * 2)
     return _bucketed(base.union(delta), ["event_id"], merge, nb)
+
+
+def q_topk_scan(sf_dir: str):
+    """ORDER BY ... LIMIT pushed down to STORAGE STATISTICS: global top-20
+    events by value read via parquet row-group max-stats — row groups are
+    visited in descending stat order and the scan STOPS as soon as the
+    k-th best value collected beats every unread group's max (ties on the
+    boundary force the next group, keeping the (value DESC, event_id) order
+    exact). The sf tables ship as one row group, so a 32-group copy is
+    cached once (the 100-TB table layout); at scale the driver touches only
+    the metadata footer plus the one or two winning groups.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = _table_rows(sf_dir, "events")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:rg32".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/events_rg_{key}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+        )
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(t, tmp, row_group_size=max(1, (n + 31) // 32))
+        os.replace(tmp, path)
+
+    k = 20
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    vcol = next(
+        i
+        for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "value"
+    )
+    maxes = [md.row_group(g).column(vcol).statistics.max for g in range(md.num_row_groups)]
+    order = sorted(range(md.num_row_groups), key=lambda g: -maxes[g])
+    frames, read = [], 0
+    for pos, g in enumerate(order):
+        frames.append(pf.read_row_group(g, columns=["event_id", "value"]).to_pandas())
+        read += 1
+        cur = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["value", "event_id"], ascending=[False, True])
+            .head(k)
+        )
+        nxt = order[pos + 1] if pos + 1 < len(order) else None
+        if len(cur) >= k and (nxt is None or maxes[nxt] < cur["value"].iloc[-1]):
+            break
+    out = cur.reset_index(drop=True)
+    out["value_c"] = np.floor(out["value"].to_numpy() * 100).astype(np.int64)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    # groups_read < groups_total is asserted by pytest (pruning contract)
+    q_topk_scan._last_stats = (read, md.num_row_groups)
+    return out[["event_id", "value_c", "rnk"]]

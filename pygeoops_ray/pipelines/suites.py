@@ -123,6 +123,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "cdc_merge",
         "ann_ivf_append",
         "pip_polygon",
+        "topk_scan",
     ),
 }
 
@@ -339,6 +340,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "cdc_merge": ("event_id", "value_c", "src"),
     "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
     "pip_polygon": ("event_id", "s_suppkey"),
+    "topk_scan": ("event_id", "value_c", "rnk"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

@@ -249,3 +249,22 @@ def test_cdc_merge_precedence(ray_session):
     ins = out[out["src"] == "ins"]
     assert (ins["event_id"] >= n).all()
     assert len(ins) == sum(1 for i in ids if i % 97 == 0)
+
+
+def test_topk_scan_prunes_row_groups(ray_session):
+    """The stat-ordered scan must read FEWER row groups than the file holds
+    (pruning contract) and match the brute-force top-20."""
+    import duckdb
+
+    from pygeoops_ray.pipelines.q_relational import q_topk_scan
+
+    sf = "/root/testdata/sf0.01"
+    out = q_topk_scan(sf)
+    read, total = q_topk_scan._last_stats
+    assert total == 32 and 0 < read < total, (read, total)
+    want = duckdb.connect().execute(
+        f"""SELECT event_id, floor(value*100)::BIGINT AS value_c,
+                   row_number() OVER (ORDER BY value DESC, event_id)::BIGINT AS rnk
+            FROM '{sf}/events.parquet' ORDER BY value DESC, event_id LIMIT 20"""
+    ).df()
+    assert out.reset_index(drop=True).equals(want)
