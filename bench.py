@@ -160,6 +160,8 @@ def run_bench() -> dict:
         "cdc_merge",
         "pip_polygon",
         "ann_ivf_append",
+        "topk_scan",
+        "bpe_train",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2221,3 +2221,201 @@ ORACLE_SQL["topk_scan"] = """
     ORDER BY value DESC, event_id
     LIMIT 20
 """
+
+
+# Distributed BPE training: 10 merge rounds replayed as chained CTEs over
+# the word-frequency table; sentinel-wrapped sequences make replace() the
+# exact leftmost non-overlapping merge (see stages/text.seq_of_word).
+ORACLE_SQL["bpe_train"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+    w0 AS (
+        SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> chr(31) || w[i] || chr(31)), '') AS seq, cnt
+        FROM wc
+    ),
+p1 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w0) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b1 AS (SELECT pair, c, 1 AS rnk FROM p1 ORDER BY c DESC, pair LIMIT 1),
+w1 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b1.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b1.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b1.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w0, b1
+),
+p2 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w1) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b2 AS (SELECT pair, c, 2 AS rnk FROM p2 ORDER BY c DESC, pair LIMIT 1),
+w2 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b2.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b2.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b2.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w1, b2
+),
+p3 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w2) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b3 AS (SELECT pair, c, 3 AS rnk FROM p3 ORDER BY c DESC, pair LIMIT 1),
+w3 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b3.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b3.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b3.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w2, b3
+),
+p4 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w3) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b4 AS (SELECT pair, c, 4 AS rnk FROM p4 ORDER BY c DESC, pair LIMIT 1),
+w4 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b4.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b4.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b4.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w3, b4
+),
+p5 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w4) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b5 AS (SELECT pair, c, 5 AS rnk FROM p5 ORDER BY c DESC, pair LIMIT 1),
+w5 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b5.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b5.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b5.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w4, b5
+),
+p6 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w5) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b6 AS (SELECT pair, c, 6 AS rnk FROM p6 ORDER BY c DESC, pair LIMIT 1),
+w6 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b6.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b6.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b6.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w5, b6
+),
+p7 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w6) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b7 AS (SELECT pair, c, 7 AS rnk FROM p7 ORDER BY c DESC, pair LIMIT 1),
+w7 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b7.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b7.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b7.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w6, b7
+),
+p8 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w7) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b8 AS (SELECT pair, c, 8 AS rnk FROM p8 ORDER BY c DESC, pair LIMIT 1),
+w8 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b8.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b8.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b8.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w7, b8
+),
+p9 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w8) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b9 AS (SELECT pair, c, 9 AS rnk FROM p9 ORDER BY c DESC, pair LIMIT 1),
+w9 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b9.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b9.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b9.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w8, b9
+),
+p10 AS (
+    SELECT t.sy[u.i] || chr(31) || t.sy[u.i + 1] AS pair, sum(t.cnt) AS c
+    FROM (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS sy,
+                 cnt FROM w9) t,
+         unnest(range(1, len(t.sy))) AS u(i)
+    GROUP BY 1
+),
+b10 AS (SELECT pair, c, 10 AS rnk FROM p10 ORDER BY c DESC, pair LIMIT 1),
+w10 AS (
+    SELECT replace(seq,
+               chr(31) || split_part(b10.pair, chr(31), 1) || chr(31)
+                       || chr(31) || split_part(b10.pair, chr(31), 2) || chr(31),
+               chr(31) || replace(b10.pair, chr(31), '') || chr(31)) AS seq,
+           cnt
+    FROM w9, b10
+)
+    SELECT CAST(rnk AS BIGINT) AS rnk,
+           split_part(pair, chr(31), 1) AS lft,
+           split_part(pair, chr(31), 2) AS rgt,
+           CAST(c AS BIGINT) AS c
+    FROM (SELECT * FROM b1
+UNION ALL
+SELECT * FROM b2
+UNION ALL
+SELECT * FROM b3
+UNION ALL
+SELECT * FROM b4
+UNION ALL
+SELECT * FROM b5
+UNION ALL
+SELECT * FROM b6
+UNION ALL
+SELECT * FROM b7
+UNION ALL
+SELECT * FROM b8
+UNION ALL
+SELECT * FROM b9
+UNION ALL
+SELECT * FROM b10)
+    ORDER BY rnk
+"""

@@ -459,3 +459,116 @@ def q_bm25_topk(sf_dir: str):
         return out[["term", "doc_id", "tf", "dl", "score_fp", "rnk"]]
 
     return _bucketed(cand, ["term"], reducer, 8, pre=pre)
+
+
+BPE_N_MERGES = 10
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING — the canonical LLM-data op: learn
+    the corpus's top-10 merges.
+
+    Shape: ONE corpus-sized exchange builds the word-frequency table
+    (grouped count); every merge round then runs over the VOCAB table only —
+    per-batch weighted pair partials (stages/text.bpe_pair_partials,
+    vectorized), a pair-vocab-sized grouped sum, a driver argmax over that
+    bounded table (the broadcast-iterate control plane, same as the kmeans
+    centroid step), and a vectorized literal replace applied per batch.
+    Sentinel-wrapped symbol sequences (stages/text.seq_of_word) make the
+    replace EXACTLY BPE's leftmost non-overlapping merge with symbol
+    boundaries intact, and DuckDB's replace() shares the semantics — the
+    oracle replays all 10 rounds as chained CTEs, bit-exact including the
+    (count DESC, pair ASC) tie rule.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg, grouped_count
+    from pygeoops_ray.stages.text import SEP, bpe_pair_partials, seq_of_word
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def word_rows(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.Table.from_pydict({"w": flat})
+
+    words = docs.map_batches(word_rows, batch_format="pyarrow")
+    wc = grouped_count(words, ["w"], "cnt", n_rows_hint=n_docs * 30)
+
+    def add_seq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"seq": [seq_of_word(w) for w in df["w"]], "cnt": df["cnt"]}
+        )
+
+    wt = wc.map_batches(add_seq, batch_format="pandas").materialize()
+
+    def local_round(df: pd.DataFrame, rnk: int, merges: list) -> pd.DataFrame:
+        """One merge round on an in-memory word table (shared by both paths:
+        per-bucket in the distributed loop, whole-table in the small-vocab
+        single-task path). Returns the updated table; appends to merges."""
+        import pyarrow as pa
+
+        pt = bpe_pair_partials(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).to_pandas()
+        if not len(pt):
+            return df
+        agg = pt.groupby("pair", as_index=False)["c"].sum()
+        best = agg.sort_values(["c", "pair"], ascending=[False, True]).iloc[0]
+        lft, rgt = best["pair"].split(SEP)
+        merges.append((rnk, lft, rgt, int(best["c"])))
+        pat = SEP + lft + SEP + SEP + rgt + SEP
+        rep = SEP + lft + rgt + SEP
+        return pd.DataFrame(
+            {"seq": df["seq"].str.replace(pat, rep, regex=False), "cnt": df["cnt"]}
+        )
+
+    # Small-vocab fast path (same rationale as the pagerank/CC local rounds):
+    # below ~100k distinct words the 10 per-round exchanges are pure fixed
+    # cost — ONE Ray task runs every round through the identical kernels.
+    if wt.count() <= 100_000:
+
+        def all_rounds(df: pd.DataFrame) -> pd.DataFrame:
+            merges: list = []
+            for rnk in range(1, BPE_N_MERGES + 1):
+                df = local_round(df, rnk, merges)
+            return pd.DataFrame(
+                merges, columns=["rnk", "lft", "rgt", "c"]
+            ).astype({"rnk": np.int64, "c": np.int64})
+
+        return (
+            wt.repartition(1)
+            .map_batches(all_rounds, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+
+    merges = []
+    for rnk in range(1, BPE_N_MERGES + 1):
+        partials = wt.map_batches(bpe_pair_partials, batch_format="pyarrow")
+        pdf = grouped_agg(
+            partials, ["pair"], [("c", "sum", "c")], n_rows_hint=4096
+        ).to_pandas()  # bounded by the symbol-pair vocabulary
+        if not len(pdf):
+            break
+        best = pdf.sort_values(["c", "pair"], ascending=[False, True]).iloc[0]
+        pair = best["pair"]
+        lft, rgt = pair.split(SEP)
+        merges.append((rnk, lft, rgt, int(best["c"])))
+        pat = SEP + lft + SEP + SEP + rgt + SEP
+        rep = SEP + lft + rgt + SEP
+
+        def apply(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"seq": df["seq"].str.replace(pat, rep, regex=False), "cnt": df["cnt"]}
+            )
+
+        wt = wt.map_batches(apply, batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges, columns=["rnk", "lft", "rgt", "c"]).astype(
+        {"rnk": np.int64, "c": np.int64}
+    )

@@ -72,6 +72,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dup_spans",
         "pii_redact",
         "domain_mix",
+        "bpe_train",
     ),
     "window_suite": (
         "events_window",
@@ -341,6 +342,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
     "pip_polygon": ("event_id", "s_suppkey"),
     "topk_scan": ("event_id", "value_c", "rnk"),
+    "bpe_train": ("rnk", "lft", "rgt", "c"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

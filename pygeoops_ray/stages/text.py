@@ -468,3 +468,46 @@ def winnow_batch(batch: pa.Table, k: int = 8, w: int = 4) -> pa.Table:
     return pa.Table.from_pydict(
         {"doc_id": pa.array(ids, pa.int64()), "fp_key": pa.array(out_keys, pa.int64())}
     )
+
+
+SEP = "\x1f"
+
+
+def seq_of_word(w: str) -> str:
+    """Sentinel-wrapped symbol sequence of a word: each symbol stored as
+    SEP+sym+SEP, concatenated. The wrapping makes a literal string replace
+    of SEP+a+SEP+SEP+b+SEP exactly BPE's leftmost non-overlapping merge
+    (boundaries intact after every replacement — 'xa'+'b' can never match
+    the (a, b) pattern), and DuckDB's replace() shares the semantics."""
+    return "".join(SEP + c + SEP for c in w)
+
+
+def bpe_pair_partials(batch: pa.Table) -> pa.Table:
+    """(seq, cnt) word rows → (pair, c) partial counts: every ADJACENT
+    symbol pair of each word weighted by the word's corpus frequency
+    (overlaps counted, the classic get_stats rule). Vectorized: one split
+    pass, position mask, no per-word Python loop."""
+    import pandas as pd
+
+    seqs = batch["seq"].to_pandas()
+    cnts = batch["cnt"].to_numpy()
+    toks = seqs.str.strip(SEP).str.split(SEP + SEP)
+    lens = toks.str.len().to_numpy().astype(np.int64)
+    flat = pd.Series(np.concatenate(toks.to_numpy()) if len(toks) else [])
+    total = int(lens.sum())
+    if total == 0:
+        return pa.schema([("pair", pa.string()), ("c", pa.int64())]).empty_table()
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    keep = pos <= np.repeat(lens, lens) - 2
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return pa.schema([("pair", pa.string()), ("c", pa.int64())]).empty_table()
+    pair = flat.iloc[idx].reset_index(drop=True) + SEP + flat.iloc[idx + 1].reset_index(
+        drop=True
+    )
+    w = np.repeat(cnts, lens)[idx]
+    out = pd.DataFrame({"pair": pair.to_numpy(), "c": w}).groupby(
+        "pair", as_index=False
+    )["c"].sum()
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)

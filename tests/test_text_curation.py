@@ -336,3 +336,48 @@ def test_domain_mix_uniform_and_deterministic(ray_session):
     a = out.sort_values(["lang", "rnk"]).reset_index(drop=True)
     b = again.sort_values(["lang", "rnk"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bpe_train_matches_reference_bpe(ray_session):
+    """q_bpe_train vs the classic get_stats/merge_vocab reference BPE
+    (Sennrich et al.) on the real sf0.001 corpus — merges, order, counts."""
+    from collections import Counter
+
+    from pygeoops_ray.pipelines.q_text import BPE_N_MERGES, q_bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_train(sf)
+    import duckdb
+
+    words = duckdb.connect().execute(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    vocab = Counter()
+    for (t,) in words:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    want = []
+    for rnk in range(1, BPE_N_MERGES + 1):
+        stats = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += cnt
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        want.append((rnk, a, b, c))
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    assert list(map(tuple, got.itertuples(index=False))) == want
