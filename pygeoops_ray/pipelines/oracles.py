@@ -2419,3 +2419,38 @@ UNION ALL
 SELECT * FROM b10)
     ORDER BY rnk
 """
+
+# late_events: watermark = running max of EVENT time over jittered arrival
+# order (arr = tus + ±1 h hash jitter; ties broken by event_id) minus a 1 h
+# allowed lateness; late events are excluded from the on-time value sum and
+# counted per tumbling 1 h window
+ORACLE_SQL["late_events"] = """
+    WITH a AS (
+        SELECT event_id,
+               epoch_us(ts) AS tus,
+               CAST(floor(value * 100) AS BIGINT) AS vc,
+               epoch_us(ts) + (event_id * 2654435761) % 7200000000
+                   - 3600000000 AS arr
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               max(tus) OVER (
+                   ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM a
+    ),
+    f AS (
+        SELECT tus // 3600000000 * 3600000000 AS wnd_us,
+               CASE WHEN pmax IS NOT NULL AND tus < pmax - 3600000000
+                    THEN 1 ELSE 0 END AS late,
+               vc
+        FROM w
+    )
+    SELECT wnd_us,
+           count(*) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           CAST(sum(vc * (1 - late)) AS BIGINT) AS ontime_value_c
+    FROM f GROUP BY wnd_us
+"""

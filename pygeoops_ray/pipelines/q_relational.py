@@ -1327,3 +1327,122 @@ def q_topk_scan(sf_dir: str):
     # groups_read < groups_total is asserted by pytest (pruning contract)
     q_topk_scan._last_stats = (read, md.num_row_groups)
     return out[["event_id", "value_c", "rnk"]]
+
+
+def q_late_events(sf_dir: str):
+    """Watermark / allowed-lateness streaming window over an out-of-order
+    event stream — the missing streaming-semantics op next to events_window
+    (event-time tumbling) and sessionize (gap windows).
+
+    Arrival model (deterministic, SQL-replayable): each event arrives at
+    ``arr = ts_us + (event_id * 2654435761) % 7200000000 - 3600000000`` — its
+    event time plus a ±1 h hash jitter, the classic bounded-disorder stream.
+    The watermark at an event's arrival is the running max of EVENT TIME over
+    all earlier arrivals minus a 1 h delay; an event is LATE (dropped from
+    the on-time aggregate, counted per window) when its event time is below
+    that watermark.
+
+    Distributed shape — the scan-with-carry pattern (same family as
+    running_total, but the accumulator is GLOBAL over arrival order, not
+    per-key): arrival time is bucketed into contiguous ranges ``g``; a first
+    tiny aggregate pass emits max(event_time) per range; the driver computes
+    the exclusive prefix max over the FEW HUNDRED range summaries (O(ranges),
+    never O(rows)) and broadcasts it; a second pass re-derives the exact
+    per-row running max as max(carry[g], in-range exclusive cummax) inside
+    each range group and folds the tumbling-window partials in the same
+    group task. Two small shuffles; no driver-side row materialization.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import os
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    US_H = 3_600_000_000
+    DELAY = US_H  # allowed lateness: 1 h behind the watermark
+    JIT = 2 * US_H
+
+    n_rows = _table_rows(sf_dir, "events")
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    sch = md.schema.to_arrow_schema()
+    # arrival span from parquet row-group stats (driver-side metadata only)
+    tcol = sch.get_field_index("ts")
+    tmins, tmaxs = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(tcol).statistics
+        tmins.append(st.min)
+        tmaxs.append(st.max)
+    t0 = int(min(tmins).timestamp() * 1e6) - JIT // 2
+    t1 = int(max(tmaxs).timestamp() * 1e6) + JIT // 2
+    target_groups = max(32, n_rows // 8192)
+    w = max(1, (t1 - t0) // target_groups + 1)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        tus = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        arr = tus + (eid * 2654435761) % JIT - JIT // 2
+        vc = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "tus": pa.array(tus, pa.int64()),
+                "arr": pa.array(arr, pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+                "g": pa.array(arr // w, pa.int64()),
+            }
+        )
+
+    ds = _read_blocked(sf_dir, "events", columns=["event_id", "ts", "value"]).map_batches(
+        orient, batch_format="pyarrow"
+    )
+
+    # pass 1: max event-time per contiguous arrival range (tiny: one row per g)
+    gmax = grouped_agg(
+        ds, ["g"], [("tus", "max", "gmax")], n_rows_hint=n_rows
+    ).to_pandas()
+    gmax = gmax.sort_values("g").reset_index(drop=True)
+    # exclusive prefix max over range summaries — O(ranges) driver work
+    carry_keys = gmax["g"].to_numpy()
+    pm = gmax["gmax"].to_numpy()
+    excl = np.empty_like(pm)
+    excl[0] = -(1 << 62)  # -inf sentinel, safe under the - DELAY subtraction
+    np.maximum.accumulate(pm[:-1], out=pm[:-1])
+    excl[1:] = pm[:-1]
+    carry = dict(zip(carry_keys.tolist(), excl.tolist()))
+
+    def window_partials(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["arr", "event_id"])
+        tus = group["tus"].to_numpy()
+        c = carry.get(int(group["g"].iloc[0]), -(1 << 62))
+        run = np.empty_like(tus)
+        run[0] = c
+        np.maximum.accumulate(np.maximum(tus, c)[:-1], out=run[1:])
+        late = tus < run - DELAY
+        vc = group["vc"].to_numpy()
+        wnd = tus // US_H * US_H
+        part = pd.DataFrame(
+            {
+                "wnd_us": wnd,
+                "one": np.ones(len(group), dtype=np.int64),
+                "late": late.astype(np.int64),
+                "ontime_vc": np.where(late, 0, vc),
+            }
+        )
+        g = part.groupby("wnd_us", sort=False)
+        return pd.concat(
+            [g["one"].sum().rename("n_events"), g["late"].sum().rename("n_late"),
+             g["ontime_vc"].sum().rename("ontime_value_c")],
+            axis=1,
+        ).reset_index()
+
+    partials = ds.groupby("g").map_groups(window_partials, batch_format="pandas")
+    return grouped_agg(
+        partials,
+        ["wnd_us"],
+        [
+            ("n_events", "sum", "n_events"),
+            ("n_late", "sum", "n_late"),
+            ("ontime_value_c", "sum", "ontime_value_c"),
+        ],
+        n_rows_hint=n_rows,
+    )

@@ -80,6 +80,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "sessionize",
         "running_total",
         "funnel",
+        "late_events",
     ),
     "rank_suite": (
         "top_orders",
@@ -353,6 +354,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),
     "running_total": ("event_id", "user_id", "seq", "run_value_c"),
+    "late_events": ("wnd_us", "n_events", "n_late", "ontime_value_c"),
     "funnel": ("user_id", "view_ts", "click_ts", "purchase_ts", "stages"),
     "top_orders": ("o_orderkey", "c_name", "o_totalprice"),
     "topn_per_key": ("user_id", "event_id", "rnk"),
