@@ -2454,3 +2454,30 @@ ORACLE_SQL["late_events"] = """
            CAST(sum(vc * (1 - late)) AS BIGINT) AS ontime_value_c
     FROM f GROUP BY wnd_us
 """
+
+# seq_pack: greedy capacity-256 packing in doc_id order, replayed row by row
+# with a recursive CTE (the sequential ground truth the distributed
+# transfer-function scan must match exactly)
+ORACLE_SQL["seq_pack"] = """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256) AS t,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pk AS (
+        SELECT rn, doc_id, t,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS pack_off,
+               t AS fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.doc_id, d.t,
+               CASE WHEN p.fill + d.t <= 256 THEN p.pack_id
+                    ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + d.t <= 256 THEN p.fill ELSE 0 END,
+               CASE WHEN p.fill + d.t <= 256 THEN p.fill + d.t ELSE d.t END
+        FROM pk p JOIN docs d ON d.rn = p.rn + 1
+    )
+    SELECT doc_id, pack_id, pack_off FROM pk
+"""

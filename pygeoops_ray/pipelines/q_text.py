@@ -572,3 +572,88 @@ def q_bpe_train(sf_dir: str):
     return pd.DataFrame(merges, columns=["rnk", "lft", "rgt", "c"]).astype(
         {"rnk": np.int64, "c": np.int64}
     )
+
+
+def q_seq_pack(sf_dir: str):
+    """Greedy sequence packing for LLM training batches: walk documents in
+    doc_id order, appending each to the current pack of capacity L=256
+    tokens, opening a new pack when it would overflow. Emits every doc's
+    (pack_id, pack_off) — the layout step before writing packed token files.
+
+    The assignment is GLOBALLY sequential (each doc's pack depends on every
+    doc before it), yet distributes exactly because the scan state is tiny —
+    (open-pack fill, pack counter) with fill ∈ [0, L] — so each contiguous
+    doc_id range can precompute its full TRANSFER FUNCTION: for all L+1
+    possible entry fills, the packs it would open and the exit fill, as one
+    vectorized (L+1)-wide simulation. The driver composes the per-range
+    functions in order (O(ranges) lookups, never O(docs)), broadcasts each
+    range's true entry state, and a second grouped pass replays the exact
+    assignment locally. The same shape handles any bounded-state scan
+    (run-length file chunking, quota-based sharding) at 100 TB: ranges ~
+    blocks, transfer tables ~ KB per block.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    L = 256
+    n_docs = _table_rows(sf_dir, "documents")
+    rng = max(64, n_docs // 64)  # docs per contiguous range
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = pc.list_value_length(pc.split_pattern(batch["text"], " ")).to_numpy()
+        t = np.minimum(t.astype(np.int64), L)
+        did = batch["doc_id"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "g": pa.array(did // rng, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow"
+    )
+
+    def transfer(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group.sort_values("doc_id")["t"].to_numpy()
+        f = np.arange(L + 1, dtype=np.int64)  # all possible entry fills
+        dp = np.zeros(L + 1, dtype=np.int64)
+        for t in ts:
+            over = f + t > L
+            dp += over
+            f = np.where(over, t, f + t)
+        return pd.DataFrame(
+            {"g": group["g"].iloc[0], "f_in": np.arange(L + 1), "dp": dp, "f_out": f}
+        )
+
+    # transfer table: (ranges × (L+1)) rows — KBs however large the corpus
+    tt = ds.groupby("g").map_groups(transfer, batch_format="pandas").to_pandas()
+    entry: dict[int, tuple[int, int]] = {}
+    p, f = 0, 0
+    for g in sorted(tt["g"].unique()):
+        entry[int(g)] = (p, f)
+        row = tt[(tt["g"] == g) & (tt["f_in"] == f)]
+        p += int(row["dp"].iloc[0])
+        f = int(row["f_out"].iloc[0])
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("doc_id")
+        ts = group["t"].to_numpy()
+        p, f = entry[int(group["g"].iloc[0])]
+        packs = np.empty(len(ts), dtype=np.int64)
+        offs = np.empty(len(ts), dtype=np.int64)
+        for i, t in enumerate(ts):
+            if f + t > L:
+                p += 1
+                f = 0
+            packs[i] = p
+            offs[i] = f
+            f += t
+        return pd.DataFrame(
+            {"doc_id": group["doc_id"].to_numpy(), "pack_id": packs, "pack_off": offs}
+        )
+
+    return ds.groupby("g").map_groups(assign, batch_format="pandas")

@@ -73,6 +73,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pii_redact",
         "domain_mix",
         "bpe_train",
+        "seq_pack",
     ),
     "window_suite": (
         "events_window",
@@ -344,6 +345,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "pip_polygon": ("event_id", "s_suppkey"),
     "topk_scan": ("event_id", "value_c", "rnk"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
+    "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

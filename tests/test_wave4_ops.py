@@ -76,3 +76,42 @@ def test_late_events_first_arrival_never_late(ray_session):
     row = got[got["wnd_us"] == wnd_first]
     # that window exists and did not count every event late
     assert len(row) == 1 and int(row["n_events"].iloc[0]) > int(row["n_late"].iloc[0])
+
+
+def _seq_pack_brute(docs: pd.DataFrame, L: int = 256) -> pd.DataFrame:
+    docs = docs.sort_values("doc_id")
+    t = np.minimum(
+        docs["text"].str.split(" ").str.len().to_numpy(np.int64), L
+    )
+    p, f = 0, 0
+    packs, offs = [], []
+    for ti in t:
+        if f + ti > L:
+            p += 1
+            f = 0
+        packs.append(p)
+        offs.append(f)
+        f += ti
+    return pd.DataFrame(
+        {"doc_id": docs["doc_id"].to_numpy(), "pack_id": packs, "pack_off": offs}
+    )
+
+
+def test_seq_pack_matches_sequential_greedy(ray_session):
+    """The transfer-function-composed distributed scan must equal the plain
+    sequential greedy replay doc by doc (sf0.001 spans 8 ranges, so the
+    driver-side composition and per-range carry are genuinely exercised)."""
+    from pygeoops_ray.pipelines.q_text import q_seq_pack
+
+    got = (
+        q_seq_pack(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _seq_pack_brute(pd.read_parquet(f"{SF}/documents.parquet"))
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64), check_dtype=False
+    )
+    # structural invariants: pack ids contiguous from 0; offsets within capacity
+    assert got["pack_id"].min() == 0
+    assert set(np.diff(np.unique(got["pack_id"]))) <= {1}
+    assert (got["pack_off"] >= 0).all() and (got["pack_off"] < 256).all()
+    assert got["pack_id"].max() > 0  # corpus genuinely spans many packs
