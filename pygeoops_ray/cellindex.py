@@ -145,3 +145,31 @@ def neighbor_ring(col: int, row: int, ring: int) -> list[tuple[int, int]]:
                 if c >= 0 and r >= 0:
                     out.append((c, r))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Morton (z-order) interleave — the multi-dimension clustering key for
+# RELATIONAL layout optimization (lakehouse OPTIMIZE ZORDER BY (a, b)): rows
+# sorted by z cluster into axis-aligned "cubes" of (a, b) space, so a 2-D
+# range predicate prunes whole files via per-file min/max stats on BOTH
+# columns. Classic bit-spreading (public: "Interleave bits by Binary Magic
+# Numbers", Stanford bit-twiddling hacks).
+# ---------------------------------------------------------------------------
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each value into the even bit positions."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_xy2z(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Morton code: interleave x (even bits) and y (odd bits)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    return (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)

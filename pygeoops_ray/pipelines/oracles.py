@@ -2481,3 +2481,22 @@ ORACLE_SQL["seq_pack"] = """
     )
     SELECT doc_id, pack_id, pack_off FROM pk
 """
+
+# zorder_scan: the layout is invisible to SQL — the oracle is the plain
+# (user x time) box aggregate the pruned read must reproduce exactly
+ORACLE_SQL["zorder_scan"] = """
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) // 3600000000 AS hh,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    b AS (SELECT min(hh) AS h0 FROM e)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS sum_value_c
+    FROM e, b
+    WHERE user_id >= 3 AND user_id < 7
+      AND hh >= h0 + 200 AND hh < h0 + 500
+    GROUP BY user_id
+"""

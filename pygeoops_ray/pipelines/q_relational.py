@@ -1446,3 +1446,101 @@ def q_late_events(sf_dir: str):
         ],
         n_rows_hint=n_rows,
     )
+
+
+def q_zorder_scan(sf_dir: str):
+    """Multi-dimension data layout (lakehouse OPTIMIZE ZORDER BY (user_id,
+    hour)) + 2-D range-pruned scan — the relational analogue of the Hilbert
+    spatial sink (q_spatial_pruned_read), proving the manifest pruning path
+    works on arbitrary column pairs, not just geometry.
+
+    Events are clustered by the Morton interleave of (user_id, hour-index)
+    and written as ~32 curve-range partitions whose manifest records each
+    file's [min, max] of BOTH dimensions (state/manifest.py stats_cols). A
+    (user × time) box query then drops whole files on the driver from the
+    few-KB manifest and pushes the residual predicate into parquet row
+    groups. Because z-clustered files are "cubes" in (user, hour) space, a
+    box selective in EITHER dimension prunes files — a time-sorted layout
+    only ever prunes on time (tests/test_wave4_ops.py measures exactly
+    this: z reads strictly fewer files than the hour-sorted layout for the
+    same box, same results).
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.cellindex import morton_xy2z
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
+
+    US_H = 3_600_000_000
+    N_PART = 32
+    U0, U1 = 3, 7  # user box
+    H_LO, H_HI = 200, 500  # hour box, relative to the corpus' first hour
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_rows = _table_rows(sf_dir, "events")
+    md = pq.read_metadata(events_path)
+    sch = md.schema.to_arrow_schema()
+    tcol = sch.get_field_index("ts")
+    ucol = sch.get_field_index("user_id")
+    tmins, umaxs = [], []
+    for g in range(md.num_row_groups):
+        tmins.append(md.row_group(g).column(tcol).statistics.min)
+        umaxs.append(md.row_group(g).column(ucol).statistics.max)
+    h0 = int(min(tmins).timestamp() * 1e6) // US_H  # == SQL min(hh), exact
+    u_max = int(max(umaxs))
+    span_h = (int(max(md.row_group(g).column(tcol).statistics.max
+                      for g in range(md.num_row_groups)).timestamp() * 1e6) // US_H) - h0
+    # range-normalize BOTH dims to 8 bits before interleaving (the standard
+    # z-order recipe) — otherwise an asymmetric pair (15 users x 720 hours)
+    # leaves the curve almost empty and the files degenerate to 1-D ranges.
+    # Quantization only shapes the LAYOUT; pruning stats stay exact values.
+    B = 256
+
+    def add_z(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        tus = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hh = tus // US_H
+        vc = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        xn = uid * B // (u_max + 1)
+        yn = (hh - h0) * B // (span_h + 1)
+        z = morton_xy2z(xn, yn)
+        return pa.Table.from_pydict(
+            {
+                "event_id": b["event_id"],
+                "user_id": pa.array(uid, pa.int64()),
+                "hh": pa.array(hh, pa.int64()),
+                "vc": pa.array(vc, pa.int64()),
+                "zpid": pa.array(z * N_PART // (B * B), pa.int64()),
+            }
+        )
+
+    key = hashlib.md5(
+        f"zorder:{os.path.abspath(sf_dir)}:{os.path.getmtime(events_path)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/zorder_sink_{key}"
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
+        ds = _read_blocked(
+            sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+        ).map_batches(add_z, batch_format="pyarrow")
+        write_partitioned(
+            ds, out_dir, "zpid", stage="zorder",
+            lineage={"sf_dir": sf_dir}, stats_cols=["user_id", "hh"],
+        )
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    pruned = read_pruned(
+        out_dir,
+        {"user_id": (U0, U1), "hh": (h0 + H_LO, h0 + H_HI)},
+        stage="zorder",
+    )
+    return grouped_agg(
+        pruned,
+        ["user_id"],
+        [("event_id", "size", "n_events"), ("vc", "sum", "sum_value_c")],
+        n_rows_hint=n_rows,
+    )

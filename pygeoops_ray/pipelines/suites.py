@@ -122,6 +122,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pq_codes",
         "ann_pq",
         "jsonl_scan",
+        "zorder_scan",
         "clip_score",
         "cdc_merge",
         "ann_ivf_append",
@@ -357,6 +358,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),
     "running_total": ("event_id", "user_id", "seq", "run_value_c"),
     "late_events": ("wnd_us", "n_events", "n_late", "ontime_value_c"),
+    "zorder_scan": ("user_id", "n_events", "sum_value_c"),
     "funnel": ("user_id", "view_ts", "click_ts", "purchase_ts", "stages"),
     "top_orders": ("o_orderkey", "c_name", "o_totalprice"),
     "topn_per_key": ("user_id", "event_id", "rnk"),

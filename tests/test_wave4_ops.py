@@ -115,3 +115,82 @@ def test_seq_pack_matches_sequential_greedy(ray_session):
     assert set(np.diff(np.unique(got["pack_id"]))) <= {1}
     assert (got["pack_off"] >= 0).all() and (got["pack_off"] < 256).all()
     assert got["pack_id"].max() > 0  # corpus genuinely spans many packs
+
+
+def _kept_files(out_dir, stage, ranges):
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    done = CheckpointManifest(out_dir, stage).completed()
+    n = 0
+    for rec in done.values():
+        st = rec.get("stats", {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            if col in st:
+                mn, mx = st[col]
+                if mx < lo or mn >= hi:
+                    keep = False
+                    break
+        if keep:
+            n += 1
+    return n, len(done)
+
+
+def test_zorder_scan_prunes_better_than_time_layout(ray_session, tmp_path):
+    """Same 2-D box, same data, two layouts: the z-clustered sink must read
+    strictly fewer files than an hour-range layout, and both reads must
+    produce identical aggregates (layout never changes answers)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from pygeoops_ray.pipelines.q_relational import q_zorder_scan
+    from pygeoops_ray.state.manifest import read_pruned, write_partitioned
+
+    got = q_zorder_scan(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    ep = os.path.join(SF, "events.parquet")
+    ev = pd.read_parquet(ep)
+    n_rows = len(ev)
+    key = hashlib.md5(
+        f"zorder:{os.path.abspath(SF)}:{os.path.getmtime(ep)}:{n_rows}".encode()
+    ).hexdigest()[:10]
+    z_dir = f"/tmp/pygeoops_ray_cache/zorder_sink_{key}"
+
+    tus = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hh = tus // US_H
+    h0 = int(hh.min())
+    ranges = {"user_id": (3, 7), "hh": (h0 + 200, h0 + 500)}
+    z_kept, z_total = _kept_files(z_dir, "zorder", ranges)
+
+    # comparison layout: 32 hour-range files, identical stats machinery
+    span = int(hh.max()) - h0 + 1
+    w = span // 32 + 1
+    ev2 = ev.assign(
+        hh=hh,
+        vc=np.floor(ev["value"].to_numpy() * 100).astype(np.int64),
+        tpid=(hh - h0) // w,
+    )
+    t_dir = str(tmp_path / "time_layout")
+    write_partitioned(
+        rd.from_pandas(ev2[["event_id", "user_id", "hh", "vc", "tpid"]]),
+        t_dir, "tpid", stage="time", stats_cols=["user_id", "hh"],
+    )
+    t_kept, t_total = _kept_files(t_dir, "time", ranges)
+
+    assert z_kept < t_kept, (z_kept, t_kept)
+    assert z_kept < z_total and t_total >= 16
+
+    # identical answers through the pruned read path
+    t_df = read_pruned(t_dir, ranges, stage="time").to_pandas()
+    t_agg = (
+        t_df.groupby("user_id")
+        .agg(n_events=("event_id", "size"), sum_value_c=("vc", "sum"))
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), t_agg.astype(np.int64), check_dtype=False
+    )
