@@ -2500,3 +2500,16 @@ ORACLE_SQL["zorder_scan"] = """
       AND hh >= h0 + 200 AND hh < h0 + 500
     GROUP BY user_id
 """
+
+# inverted_index: the bucketed layout is engine-internal — the oracle is the
+# postings list itself for the queried terms (tf per containing document)
+ORACLE_SQL["inverted_index"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term, doc_id, count(*) AS tf
+    FROM toks
+    WHERE term IN ('join', 'window', 'zzzabsent')
+    GROUP BY term, doc_id
+"""

@@ -657,3 +657,86 @@ def q_seq_pack(sf_dir: str):
         )
 
     return ds.groupby("g").map_groups(assign, batch_format="pandas")
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted index build + pruned term lookup — the
+    index-at-rest serving shape: postings land in hash(term)-bucketed
+    partition files once, and a term query reads ONLY the queried terms'
+    buckets (2 of 64 files here), never rescanning the corpus.
+
+    Build: one vectorized pass computes per-document term frequencies
+    (Arrow split → flatten → parent-index repeat → per-batch groupby — tf
+    is complete inside a batch because a document never spans batches),
+    assigns each term's md5 bucket, and writes a 64-partition resumable
+    sink (state/manifest.py). Serve: the driver hashes the query terms,
+    read_partitions() opens exactly those buckets with the term IN (...)
+    predicate pushed into parquet row groups, and the postings come back
+    as (term, doc_id, tf). Absent terms cost one manifest miss, zero I/O.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+    from pyarrow.dataset import field as _field
+
+    from pygeoops_ray.state.manifest import read_partitions, write_partitioned
+
+    N_BUCKETS = 64
+    TERMS = ("join", "window", "zzzabsent")
+
+    def _bucket_of(terms) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") % N_BUCKETS
+                for t in terms
+            ],
+            dtype=np.int64,
+        )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks).to_pandas()
+        parent = pc.list_parent_indices(toks).to_numpy()
+        did = batch["doc_id"].to_numpy()[parent]
+        df = (
+            pd.DataFrame({"term": flat, "doc_id": did})
+            .groupby(["term", "doc_id"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        uniq, inv = np.unique(df["term"].to_numpy(), return_inverse=True)
+        df["bucket"] = _bucket_of(uniq)[inv]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"invidx:{os.path.abspath(sf_dir)}:{os.path.getmtime(docs_path)}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/invidx_sink_{key}"
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            postings, batch_format="pyarrow"
+        )
+        write_partitioned(ds, out_dir, "bucket", stage="postings",
+                          lineage={"sf_dir": sf_dir})
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    pids = sorted(set(_bucket_of(TERMS).tolist()))
+    got, n_read, n_total = read_partitions(
+        out_dir, pids, stage="postings", filter=_field("term").isin(TERMS)
+    )
+    q_inverted_index._last_stats = (n_read, n_total)
+    if got is None:  # pragma: no cover - query buckets always exist here
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+        )
+    return got.select_columns(["term", "doc_id", "tf"])

@@ -123,6 +123,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_pq",
         "jsonl_scan",
         "zorder_scan",
+        "inverted_index",
         "clip_score",
         "cdc_merge",
         "ann_ivf_append",
@@ -359,6 +360,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "running_total": ("event_id", "user_id", "seq", "run_value_c"),
     "late_events": ("wnd_us", "n_events", "n_late", "ontime_value_c"),
     "zorder_scan": ("user_id", "n_events", "sum_value_c"),
+    "inverted_index": ("term", "doc_id", "tf"),
     "funnel": ("user_id", "view_ts", "click_ts", "purchase_ts", "stages"),
     "top_orders": ("o_orderkey", "c_name", "o_totalprice"),
     "topn_per_key": ("user_id", "event_id", "rnk"),

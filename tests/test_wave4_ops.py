@@ -194,3 +194,37 @@ def test_zorder_scan_prunes_better_than_time_layout(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype(np.int64), t_agg.astype(np.int64), check_dtype=False
     )
+
+
+def test_inverted_index_postings_and_pruning(ray_session):
+    """Postings equal a pandas ground truth; the lookup reads only the query
+    terms' hash buckets (pruning contract), and absent terms produce no rows."""
+    from pygeoops_ray.pipelines.q_text import q_inverted_index
+
+    got = (
+        q_inverted_index(SF)
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for t in text.split(" "):
+            if t in ("join", "window", "zzzabsent"):
+                rows.append((t, did))
+    want = (
+        pd.DataFrame(rows, columns=["term", "doc_id"])
+        .groupby(["term", "doc_id"])
+        .size()
+        .rename("tf")
+        .reset_index()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert "zzzabsent" not in set(got["term"])
+    # at most one bucket per query term is opened (the absent term's bucket
+    # may exist — other terms hash into it), and far fewer than the sink total
+    n_read, n_total = q_inverted_index._last_stats
+    assert n_read <= 3 < n_total, (n_read, n_total)
