@@ -1292,6 +1292,7 @@ def q_topk_scan(sf_dir: str):
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:rg32".encode()).hexdigest()[:10]
     path = f"/tmp/pygeoops_ray_cache/events_rg_{key}.parquet"
     if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pq.read_table(
             os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
         )
