@@ -2513,3 +2513,37 @@ ORACLE_SQL["inverted_index"] = """
     WHERE term IN ('join', 'window', 'zzzabsent')
     GROUP BY term, doc_id
 """
+
+# dataset_split: hash-stable train/val/test assignment; the per-(split,lang)
+# sums make any misassigned row flip the value hash
+ORACLE_SQL["dataset_split"] = """
+    WITH s AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 8
+                        THEN 'train'
+                    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 8
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split, lang
+"""
+
+# group_hll: per-language vocabulary HLL — register-exact (the per-group
+# generalization of the vocab_hll oracle)
+ORACLE_SQL["group_hll"] = """
+    WITH tok AS (
+        SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS wd
+        FROM documents
+    ),
+    h AS (SELECT lang, md5_number_lower(wd) AS hw FROM tok)
+    SELECT lang, CAST(hw >> 52 AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN (hw & 4503599627370495) = 0 THEN 53
+                    ELSE 53 - length(bin(hw & 4503599627370495)) END)
+                AS BIGINT) AS r
+    FROM h GROUP BY lang, bucket
+"""

@@ -740,3 +740,56 @@ def q_inverted_index(sf_dir: str):
             pd.DataFrame({"term": [], "doc_id": [], "tf": []})
         )
     return got.select_columns(["term", "doc_id", "tf"])
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split of the corpus: split =
+    md5(doc_id) mod 10 → 0-7 train / 8 val / 9 test, the standard
+    hash-assignment that is stable across reruns, partitionings and
+    appends (a new doc never moves an old one between splits). The output
+    is the per-(split, lang) membership aggregate — count plus sum(doc_id)
+    and sum(n_chars) — so any single row landing in the wrong split flips
+    the value hash.
+
+    Shape: one streaming pass; the split label is derived per batch and the
+    algebraic grouped aggregate ships one partial row per (batch, split,
+    lang) — no full-table exchange, no driver materialization.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["doc_id"].map(lambda i: md5_low64(str(i)) % 10)
+        df = df.copy()
+        df["split"] = b.map(lambda v: "train" if v < 8 else ("val" if v == 8 else "test"))
+        return df
+
+    out = grouped_agg(
+        docs.map_batches(label, batch_format="pandas"),
+        ["split", "lang"],
+        [("doc_id", "size", "n_docs"), ("doc_id", "sum", "sum_doc_id"), ("n_chars", "sum", "sum_chars")],
+        n_rows_hint=32,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "sum_doc_id", "sum_chars"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def q_group_hll(sf_dir: str):
+    """Per-LANGUAGE vocabulary HyperLogLog (stages/sketch.py:
+    hll_registers_by_group): one mergeable sketch per domain in a single
+    streaming pass — the per-group generalization of ``vocab_hll``. Every
+    (lang, bucket, r) register is integer-exact; the oracle recomputes the
+    full register table from md5_number_lower + bit arithmetic per lang."""
+    from pygeoops_ray.stages.sketch import hll_registers_by_group
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    return hll_registers_by_group(docs, "lang", "text", p=12)

@@ -74,6 +74,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "domain_mix",
         "bpe_train",
         "seq_pack",
+        "dataset_split",
+        "group_hll",
     ),
     "window_suite": (
         "events_window",
@@ -348,6 +350,8 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "topk_scan": ("event_id", "value_c", "rnk"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
+    "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),
+    "group_hll": ("lang", "bucket", "r"),
     "bm25_topk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk"),
     "semantic_dedup": ("a", "b"),
     "caption_search": ("i", "score", "rnk", "ihash"),

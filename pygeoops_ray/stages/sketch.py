@@ -112,6 +112,48 @@ def hll_tokens_batch(batch: pa.Table, p: int = 12) -> pa.Table:
     )
 
 
+def hll_registers_by_group(ds, group_col: str, text_col: str = "text", p: int = 12):
+    """Per-GROUP HLL register table: distinct-token sketch for every value of
+    ``group_col`` (e.g. vocabulary size per language/domain).
+
+    The distributed shape is the per-group generalization of
+    ``hll_registers``: each batch emits at most ``n_groups_in_batch × 2^p``
+    register partials (in practice far fewer — only touched buckets appear),
+    merged by a grouped max keyed on (group, bucket). Shuffle volume is
+    bounded by groups × 2^p REGARDLESS of corpus size — the canonical
+    mergeable-sketch contract that lets a 100-TB per-domain profile run as
+    one streaming pass."""
+    if p < 12:
+        raise ValueError("p >= 12 required (frexp exactness bound)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        by_group: dict[str, list[str]] = {}
+        for g, t in zip(groups, texts):
+            by_group.setdefault(g, []).extend(t.split(" "))
+        gs: list[str] = []
+        bs: list[np.ndarray] = []
+        rs: list[np.ndarray] = []
+        for g, vals in by_group.items():
+            bucket, rank = hll_partial(vals, p)
+            gs.extend([g] * len(bucket))
+            bs.append(bucket)
+            rs.append(rank)
+        b = np.concatenate(bs) if bs else np.empty(0, np.int64)
+        r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+        return pa.Table.from_pydict(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+                "r": pa.array(r, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, [group_col, "bucket"], [("r", "max", "r")], n_buckets=8)
+
+
 def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     """Flajolet 2007 estimator from a (bucket, r) register frame; buckets
     absent from the frame are zero registers."""

@@ -381,3 +381,73 @@ def test_bpe_train_matches_reference_bpe(ray_session):
             new_vocab[tuple(out)] += cnt
         vocab = new_vocab
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_dataset_split_brute_force(ray_session):
+    """The per-(split, lang) aggregate equals a row-by-row pandas replay of
+    the md5 split rule; splits partition the corpus (counts sum to N) and a
+    rerun is identical (hash-stability contract)."""
+    import duckdb
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.q_text import q_dataset_split
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dataset_split(sf).to_pandas()
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, n_chars FROM '{sf}/documents.parquet'"
+    ).df()
+    b = docs["doc_id"].map(lambda i: md5_low64(str(i)) % 10)
+    docs["split"] = b.map(lambda v: "train" if v < 8 else ("val" if v == 8 else "test"))
+    want = (
+        docs.groupby(["split", "lang"], as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_doc_id=("doc_id", "sum"), sum_chars=("n_chars", "sum"))
+    )
+    a = out.sort_values(["split", "lang"]).reset_index(drop=True)
+    w = want.sort_values(["split", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["split", "lang", "n_docs", "sum_doc_id", "sum_chars"]].astype(
+            {"n_docs": "int64", "sum_doc_id": "int64", "sum_chars": "int64"}
+        ),
+        w.astype({"n_docs": "int64", "sum_doc_id": "int64", "sum_chars": "int64"}),
+    )
+    assert out["n_docs"].sum() == len(docs)
+    again = q_dataset_split(sf).to_pandas().sort_values(["split", "lang"]).reset_index(drop=True)
+    assert a.equals(again)
+
+
+def test_group_hll_registers_brute_force(ray_session):
+    """Every (lang, bucket, r) register equals the single-machine HLL over
+    that language's distinct tokens; the estimator lands within the usual
+    1.04/sqrt(m) band of the exact per-lang vocabulary."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.q_text import q_group_hll
+    from pygeoops_ray.stages.sketch import hll_estimate, hll_partial
+
+    sf = "/root/testdata/sf0.001"
+    out = q_group_hll(sf).to_pandas()
+    docs = duckdb.connect().execute(
+        f"SELECT lang, text FROM '{sf}/documents.parquet'"
+    ).df()
+    frames = []
+    for lang, g in docs.groupby("lang"):
+        toks: list[str] = []
+        for t in g["text"]:
+            toks.extend(t.split(" "))
+        bucket, r = hll_partial(toks, 12)
+        frames.append(pd.DataFrame({"lang": lang, "bucket": bucket, "r": r}))
+        # estimator sanity per group
+        est = hll_estimate(pd.DataFrame({"bucket": bucket, "r": r}), 12)
+        exact = len(set(toks))
+        assert abs(est - exact) / exact < 5 * 1.04 / np.sqrt(4096)
+    want = pd.concat(frames, ignore_index=True)
+    a = out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+    w = want.sort_values(["lang", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.astype({"bucket": "int64", "r": "int64"}),
+        w.astype({"bucket": "int64", "r": "int64"}),
+    )
