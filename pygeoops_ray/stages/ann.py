@@ -154,7 +154,11 @@ def train_ivf_centroids(emb_ds, n_centroids: int = 16, iters: int = 8, sample: i
     At 100 TB the sample is a `random_sample` pushdown; the trained centroids
     are tiny and broadcast via ray.put.
     """
-    tab = emb_ds.limit(sample).to_pandas()
+    # canonical sample order: limit() returns blocks in completion order,
+    # which varies run-to-run — k-means init picks by POSITION, so without
+    # the sort the trained centroids (and every downstream probed-cell
+    # pruning contract) would differ across sessions on identical input
+    tab = emb_ds.limit(sample).to_pandas().sort_values("vec_id").reset_index(drop=True)
     ids = tab["vec_id"].to_numpy()
     m = np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"]])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
