@@ -2547,3 +2547,29 @@ ORACLE_SQL["group_hll"] = """
                 AS BIGINT) AS r
     FROM h GROUP BY lang, bucket
 """
+
+# aspect_bucket: integer ratio buckets + md5-ordered fixed-size batch packing
+# with drop-last per bucket (diffusion-training loader shape)
+ORACLE_SQL["aspect_bucket"] = f"""
+    WITH img AS ({_IMG}),
+    b AS (
+        SELECT i,
+               CASE WHEN (CAST(w AS BIGINT) * 1000) // CAST(h AS BIGINT) < 800
+                        THEN 'tall'
+                    WHEN (CAST(w AS BIGINT) * 1000) // CAST(h AS BIGINT) <= 1250
+                        THEN 'square'
+                    ELSE 'wide' END AS bucket,
+               md5(CAST(i AS VARCHAR)) AS hh
+        FROM img
+    ),
+    r AS (
+        SELECT i, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY hh, i) - 1 AS rk,
+               count(*) OVER (PARTITION BY bucket) AS n
+        FROM b
+    )
+    SELECT i, bucket,
+           CAST(rk // 32 AS BIGINT) AS batch_id,
+           CAST(rk % 32 AS BIGINT) AS slot
+    FROM r WHERE rk < (n // 32) * 32
+"""

@@ -603,3 +603,116 @@ def q_clip_score(sf_dir: str):
         concurrency=2,
         fn_constructor_kwargs={"tau_centi": 5},
     )
+
+
+def q_aspect_bucket(sf_dir: str):
+    """Aspect-ratio bucketed batch packing for image training: every image is
+    assigned to an aspect bucket (tall / square / wide by the integer ratio
+    ``w*1000 // h``), shuffled deterministically inside its bucket by
+    md5(ordinal), and packed into fixed-size training batches of 32 with the
+    trailing incomplete batch DROPPED per bucket — the standard
+    aspect-bucketing step of diffusion-model data loaders, made
+    rerun/partitioning-stable.
+
+    Shape: bucket labels are a per-batch map; the per-bucket rank reuses the
+    global_rank two-pass design — one range sort on (bucket, md5, i), a
+    metadata-sized per-(block, bucket) count summary cumsum'd on the driver
+    (rows = blocks × buckets, a few dozen), and a final whole-block map that
+    adds offsets and emits (batch_id, slot). No row leaves its block after
+    the sort; works unchanged when a bucket outspans many blocks.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.common import _images
+
+    B = 32
+
+    def label(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy()
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ratio_fp = w * 1000 // h
+        bucket = np.where(ratio_fp < 800, "tall", np.where(ratio_fp <= 1250, "square", "wide"))
+        hh = [hashlib.md5(str(v).encode()).hexdigest() for v in i]
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(i, pa.int64()),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+                "hh": pa.array(hh, pa.string()),
+            }
+        )
+
+    sorted_ds = (
+        _images(sf_dir)
+        .map_batches(label, batch_format="pyarrow")
+        .sort(["bucket", "hh", "i"])
+        .materialize()
+    )
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.string()),
+                    "min_hh": pa.array([], pa.string()),
+                    "min_i": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        df = batch.select(["bucket", "hh", "i"]).to_pandas()
+        g = df.groupby("bucket", sort=True, as_index=False).agg(
+            min_hh=("hh", "first"), min_i=("i", "first"), cnt=("i", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(g["bucket"].tolist(), pa.string()),
+                "min_hh": pa.array(g["min_hh"].tolist(), pa.string()),
+                "min_i": pa.array(g["min_i"].astype(int).tolist(), pa.int64()),
+                "cnt": pa.array(g["cnt"].astype(int).tolist(), pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["bucket", "min_hh", "min_i"])
+    )
+    # per-bucket rank offset for each (block, bucket) run + per-bucket totals
+    parts["off"] = parts.groupby("bucket")["cnt"].cumsum() - parts["cnt"]
+    totals = parts.groupby("bucket")["cnt"].sum().to_dict()
+    keep = {b: (int(n) // B) * B for b, n in totals.items()}
+    offsets = {
+        (r.bucket, r.min_hh, int(r.min_i)): int(r.off) for r in parts.itertuples()
+    }
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                    "batch_id": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                }
+            )
+        df = batch.to_pandas()
+        ranks = np.empty(len(df), dtype=np.int64)
+        for b, g in df.groupby("bucket", sort=False):
+            first = g.index[0]
+            key = (b, df.loc[first, "hh"], int(df.loc[first, "i"]))
+            ranks[g.index.to_numpy()] = offsets[key] + np.arange(len(g))
+        df["rk"] = ranks
+        df = df[df["rk"] < df["bucket"].map(keep)]
+        out = pd.DataFrame(
+            {
+                "i": df["i"].to_numpy(),
+                "bucket": df["bucket"].to_numpy(),
+                "batch_id": (df["rk"] // B).to_numpy(),
+                "slot": (df["rk"] % B).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return sorted_ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)

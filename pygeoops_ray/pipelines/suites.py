@@ -131,6 +131,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_ivf_append",
         "pip_polygon",
         "topk_scan",
+        "aspect_bucket",
     ),
 }
 
@@ -348,6 +349,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
     "pip_polygon": ("event_id", "s_suppkey"),
     "topk_scan": ("event_id", "value_c", "rnk"),
+    "aspect_bucket": ("i", "bucket", "batch_id", "slot"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

@@ -228,3 +228,52 @@ def test_inverted_index_postings_and_pruning(ray_session):
     # may exist — other terms hash into it), and far fewer than the sink total
     n_read, n_total = q_inverted_index._last_stats
     assert n_read <= 3 < n_total, (n_read, n_total)
+
+
+def test_aspect_bucket_invariants(ray_session):
+    """Every training batch is exactly 32 images of ONE bucket with slots
+    0..31; per-bucket drop-last discards < 32 rows; membership and packing
+    match the md5-order brute force; a rerun is identical."""
+    import hashlib
+
+    from pygeoops_ray.pipelines.q_media import q_aspect_bucket
+
+    out = q_aspect_bucket(SF).to_pandas()
+    # batch shape invariants
+    for (b, bid), g in out.groupby(["bucket", "batch_id"]):
+        assert len(g) == 32
+        assert sorted(g["slot"]) == list(range(32))
+    # brute force from the image-meta rule
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"]).to_pandas()
+    i = part["p_partkey"].to_numpy()
+    w = (64 + (i * 37) % 193).astype(np.int64)
+    h = (64 + (i * 53) % 151).astype(np.int64)
+    ratio = w * 1000 // h
+    bucket = np.where(ratio < 800, "tall", np.where(ratio <= 1250, "square", "wide"))
+    df = pd.DataFrame(
+        {
+            "i": i,
+            "bucket": bucket,
+            "hh": [hashlib.md5(str(v).encode()).hexdigest() for v in i],
+        }
+    ).sort_values(["bucket", "hh", "i"])
+    df["rk"] = df.groupby("bucket").cumcount()
+    keep = (df.groupby("bucket")["rk"].transform("size") // 32) * 32
+    want = df[df["rk"] < keep]
+    got = out.sort_values(["bucket", "batch_id", "slot"]).reset_index(drop=True)
+    exp = pd.DataFrame(
+        {
+            "i": want["i"].to_numpy(),
+            "bucket": want["bucket"].to_numpy(),
+            "batch_id": (want["rk"] // 32).to_numpy(),
+            "slot": (want["rk"] % 32).to_numpy(),
+        }
+    ).sort_values(["bucket", "batch_id", "slot"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"batch_id": "int64", "slot": "int64"}), exp)
+    again = (
+        q_aspect_bucket(SF)
+        .to_pandas()
+        .sort_values(["bucket", "batch_id", "slot"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(again.astype({"batch_id": "int64", "slot": "int64"}))
