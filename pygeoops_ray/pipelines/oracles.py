@@ -2573,3 +2573,56 @@ ORACLE_SQL["aspect_bucket"] = f"""
            CAST(rk % 32 AS BIGINT) AS slot
     FROM r WHERE rk < (n // 32) * 32
 """
+
+# time_travel: version 1 = the pre-append subset, version 2 = everything;
+# equality proves as-of reads reconstruct each snapshot exactly
+ORACLE_SQL["time_travel"] = """
+    WITH vc AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT CAST(1 AS BIGINT) AS version, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS BIGINT) AS sum_value_c
+    FROM vc WHERE event_id % 7 != 0 GROUP BY event_type
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), event_type,
+           CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+    FROM vc GROUP BY event_type
+"""
+
+# idw_grid: integer fixed-point IDW surface — 3x3 candidate tiles per point,
+# exact d^2 radius filter, w = 2^24 // d^2
+ORACLE_SQL["idw_grid"] = f"""
+    WITH pts AS (
+        SELECT event_id,
+               CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS BIGINT) AS px,
+               CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS BIGINT) AS py,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    cand AS (
+        SELECT p.px, p.py, p.vc,
+               p.px // 256 + dx.o AS tx,
+               p.py // 256 + dy.o AS ty
+        FROM pts p,
+             (SELECT unnest([-1, 0, 1]) AS o) dx,
+             (SELECT unnest([-1, 0, 1]) AS o) dy
+    ),
+    wtab AS (
+        SELECT tx, ty,
+               16777216 // greatest(
+                   (px - (tx * 256 + 128)) * (px - (tx * 256 + 128))
+                   + (py - (ty * 256 + 128)) * (py - (ty * 256 + 128)), 1) AS w,
+               vc
+        FROM cand
+        WHERE (px - (tx * 256 + 128)) * (px - (tx * 256 + 128))
+              + (py - (ty * 256 + 128)) * (py - (ty * 256 + 128)) <= 36864
+    )
+    SELECT tx, ty,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(w) AS BIGINT) AS wsum,
+           CAST(sum(w * vc) AS BIGINT) AS wvsum
+    FROM wtab GROUP BY tx, ty
+"""

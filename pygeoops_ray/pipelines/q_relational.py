@@ -1545,3 +1545,80 @@ def q_zorder_scan(sf_dir: str):
         [("event_id", "size", "n_events"), ("vc", "sum", "sum_value_c")],
         n_rows_hint=n_rows,
     )
+
+
+def q_time_travel(sf_dir: str):
+    """Snapshot time travel (state/snapshots.py): the events table is
+    committed as version 1 (event_id % 7 != 0) and an append lands as
+    version 2 (the rest); the query aggregates the SAME store as-of both
+    versions — per event_type row counts + value sums — proving version-1
+    reads stay byte-identical after later appends (reader isolation) and
+    version selection is metadata-only (each read lists only its chain's
+    files).
+
+    Shape: commits stream through the resumable partitioned writer (8 hash
+    buckets per commit); each as-of read is one read task per listed file
+    feeding the algebraic grouped aggregate — no driver materialization,
+    and time travel costs zero data I/O beyond the files in the chosen
+    chain.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.state.snapshots import SnapshotStore
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(ev_path)}:snap".encode()
+    ).hexdigest()[:10]
+    store = SnapshotStore(f"/tmp/pygeoops_ray_cache/snap_{key}")
+
+    def prep(keep_delta: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy()
+            m = eid % 7 == 0
+            sel = batch.filter(pa.array(m if keep_delta else ~m))
+            bucket = sel["event_id"].to_numpy() % 8
+            return sel.append_column("bucket", pa.array(bucket, pa.int64()))
+
+        return fn
+
+    if store.latest_version() < 2:
+        ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        if store.latest_version() < 1:
+            store.commit(ev.map_batches(prep(False), batch_format="pyarrow"), "bucket")
+        store.commit(ev.map_batches(prep(True), batch_format="pyarrow"), "bucket")
+
+    def agg_asof(version: int):
+        ds = store.read_asof(version, columns=["event_type", "value"])
+
+        def vc(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            v = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+            return pa.Table.from_pydict(
+                {"event_type": batch["event_type"], "vc": pa.array(v, pa.int64())}
+            )
+
+        out = grouped_agg(
+            ds.map_batches(vc, batch_format="pyarrow"),
+            ["event_type"],
+            [("vc", "size", "n_rows"), ("vc", "sum", "sum_value_c")],
+            n_rows_hint=16,
+        )
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df.insert(0, "version", int(version))
+            df["version"] = df["version"].astype("int64")
+            df["n_rows"] = df["n_rows"].astype("int64")
+            df["sum_value_c"] = df["sum_value_c"].astype("int64")
+            return df
+
+        return out.map_batches(fin, batch_format="pandas")
+
+    return agg_asof(1).union(agg_asof(2))

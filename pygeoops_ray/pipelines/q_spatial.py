@@ -349,3 +349,75 @@ def q_pip_polygon(sf_dir: str):
         polys, pts, n_rows_hint=n_events + n_supp * 2, out_poly="s_suppkey"
     )
     return out
+
+
+def q_idw_grid(sf_dir: str):
+    """Inverse-distance-weighted interpolation of event values onto the tile
+    grid (the raster-from-points geostatistics op): every tile center
+    collects the points within radius 192 of it, weighted w = 2^24 // d²
+    (integer fixed point, so the surface is bit-reproducible and the oracle
+    replays it in SQL). Output per touched tile: contributor count, weight
+    sum and weighted-value sum — the numerator/denominator pair of the IDW
+    estimate, kept separate to stay in exact integers.
+
+    Shape: each point expands to at most its 3×3 neighboring tile centers
+    (bounded fan-out, no all-pairs), the d² <= R² filter runs vectorized in
+    the same map, and the algebraic grouped aggregate ships one partial row
+    per (batch, tile) — the same bounded-replication + cogroup pattern as
+    the PIP join, with zero driver-side work.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+    from pygeoops_ray.pipelines.common import _read_blocked
+
+    R2 = 192 * 192
+    SCALE = 1 << 24
+
+    def expand(batch: pa.Table) -> pa.Table:
+        pts = sp.points_from_events(batch)
+        px = pts["px"].to_numpy().astype(np.int64)
+        py = pts["py"].to_numpy().astype(np.int64)
+        vc = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        tx0 = px // 256
+        ty0 = py // 256
+        n = len(px)
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        # 9 candidate tiles per point, then the exact-radius filter
+        tx = np.broadcast_to(
+            (tx0[:, None] + off[None, :])[:, :, None], (n, 3, 3)
+        ).reshape(n, 9)
+        ty = np.broadcast_to(
+            (ty0[:, None] + off[None, :])[:, None, :], (n, 3, 3)
+        ).reshape(n, 9)
+        dx = px[:, None] - (tx * 256 + 128)
+        dy = py[:, None] - (ty * 256 + 128)
+        d2 = dx * dx + dy * dy
+        keep = d2 <= R2
+        w = SCALE // np.maximum(d2, 1)
+        vcol = np.broadcast_to(vc[:, None], (n, 9))
+        return pa.Table.from_pydict(
+            {
+                "tx": pa.array(tx[keep], pa.int64()),
+                "ty": pa.array(ty[keep], pa.int64()),
+                "w": pa.array(w[keep], pa.int64()),
+                "wv": pa.array((w * vcol)[keep], pa.int64()),
+            }
+        )
+
+    pairs = _read_blocked(sf_dir, "events", columns=["event_id", "value"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    out = grouped_agg(
+        pairs,
+        ["tx", "ty"],
+        [("w", "size", "n_pts"), ("w", "sum", "wsum"), ("wv", "sum", "wvsum")],
+    )
+
+    def fin(df):
+        for c in ("n_pts", "wsum", "wvsum"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

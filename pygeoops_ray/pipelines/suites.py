@@ -132,6 +132,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pip_polygon",
         "topk_scan",
         "aspect_bucket",
+        "time_travel",
+        "idw_grid",
     ),
 }
 
@@ -350,6 +352,8 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "pip_polygon": ("event_id", "s_suppkey"),
     "topk_scan": ("event_id", "value_c", "rnk"),
     "aspect_bucket": ("i", "bucket", "batch_id", "slot"),
+    "time_travel": ("version", "event_type", "n_rows", "sum_value_c"),
+    "idw_grid": ("tx", "ty", "n_pts", "wsum", "wvsum"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

@@ -277,3 +277,89 @@ def test_aspect_bucket_invariants(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(again.astype({"batch_id": "int64", "slot": "int64"}))
+
+
+def test_snapshot_store_isolation_resume_pruning(ray_session, tmp_path):
+    """Time travel semantics: (1) a v1 reader is byte-identical before and
+    after the v2 append; (2) a commit that died mid-write resumes without
+    rewriting finished partition files; (3) as-of file listing is the
+    version's chain only (metadata-level pruning)."""
+    import os
+
+    import ray.data as rd
+
+    from pygeoops_ray.state.snapshots import SnapshotStore
+
+    root = str(tmp_path / "snap")
+    store = SnapshotStore(root)
+    df1 = pd.DataFrame({"k": np.arange(40) % 4, "x": np.arange(40, dtype=np.int64)})
+    v1 = store.commit(rd.from_pandas(df1), "k")
+    assert v1 == 1 and store.versions() == [1]
+    before = store.read_asof(1).to_pandas().sort_values("x").reset_index(drop=True)
+
+    df2 = pd.DataFrame({"k": np.arange(20) % 4, "x": np.arange(100, 120, dtype=np.int64)})
+    v2 = store.commit(rd.from_pandas(df2), "k")
+    assert v2 == 2
+    after = store.read_asof(1).to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)  # reader isolation
+
+    both = store.read_asof(2).to_pandas()
+    assert len(both) == 60 and set(both["x"]) == set(df1["x"]) | set(df2["x"])
+
+    # as-of listing = chain only
+    f1 = store.files_asof(1)
+    f2 = store.files_asof(2)
+    assert len(f1) == 4 and len(f2) == 8 and set(f1) < set(f2)
+
+    # crash resume: delete the snapshot json (simulates dying before publish)
+    # but keep data files; recommit must skip finished partitions
+    os.remove(os.path.join(root, "snapshot-v2.json"))
+    mtimes = {f: os.path.getmtime(f) for f in f2 if "commit-2" in f}
+    v2b = store.commit(rd.from_pandas(df2), "k")
+    assert v2b == 2 and store.files_asof(2) == f2
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m  # untouched: manifest resume skipped it
+    pd.testing.assert_frame_equal(
+        store.read_asof(2).to_pandas().sort_values("x").reset_index(drop=True),
+        both.sort_values("x").reset_index(drop=True),
+    )
+
+
+def test_idw_grid_brute_force(ray_session):
+    """The distributed IDW surface equals a row-at-a-time numpy replay of the
+    fixed-point rule; spot invariants: tiles only where contributors exist,
+    weights bounded by 2^24, and the estimate wvsum/wsum stays inside the
+    contributors' value range (IDW is a convex combination)."""
+    from pygeoops_ray.pipelines.q_spatial import q_idw_grid
+
+    got = (
+        q_idw_grid(SF).to_pandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    e = ev["event_id"].to_numpy()
+    px = (e % 1000) * 256 + (e * 7) % 256
+    py = ((e // 1000) % 20) * 256 + (e * 13) % 256
+    vc = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    rows = {}
+    vals_per_tile = {}
+    for x, y, v in zip(px, py, vc):
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                tx, ty = x // 256 + ox, y // 256 + oy
+                dx, dy = x - (tx * 256 + 128), y - (ty * 256 + 128)
+                d2 = dx * dx + dy * dy
+                if d2 <= 192 * 192:
+                    w = (1 << 24) // max(d2, 1)
+                    n, ws, wv = rows.get((tx, ty), (0, 0, 0))
+                    rows[(tx, ty)] = (n + 1, ws + w, wv + w * v)
+                    vals_per_tile.setdefault((tx, ty), []).append(v)
+    want = pd.DataFrame(
+        [(tx, ty, n, ws, wv) for (tx, ty), (n, ws, wv) in sorted(rows.items())],
+        columns=["tx", "ty", "n_pts", "wsum", "wvsum"],
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    assert (got["n_pts"] > 0).all()
+    est = got["wvsum"] / got["wsum"]
+    lo = [min(vals_per_tile[(tx, ty)]) for tx, ty in zip(got["tx"], got["ty"])]
+    hi = [max(vals_per_tile[(tx, ty)]) for tx, ty in zip(got["tx"], got["ty"])]
+    assert (est >= np.array(lo) - 1e-9).all() and (est <= np.array(hi) + 1e-9).all()
