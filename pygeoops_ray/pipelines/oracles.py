@@ -2626,3 +2626,54 @@ ORACLE_SQL["idw_grid"] = f"""
            CAST(sum(w * vc) AS BIGINT) AS wvsum
     FROM wtab GROUP BY tx, ty
 """
+
+# trajectories: per-user ordered step aggregate, integer-exact squared lengths
+ORACLE_SQL["trajectories"] = """
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS BIGINT) AS px,
+               CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS BIGINT) AS py
+        FROM events
+    ),
+    stp AS (
+        SELECT user_id,
+               px - lag(px) OVER w AS dx,
+               py - lag(py) OVER w AS dy
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_d2,
+           CAST(max(dx * dx + dy * dy) AS BIGINT) AS max_d2
+    FROM stp WHERE dx IS NOT NULL
+    GROUP BY user_id
+"""
+
+# tile_pyramid: zoom 0..3 rollup — each level is the direct aggregate of the
+# points at that cell size, which must equal the engine's level-by-level rollup
+ORACLE_SQL["tile_pyramid"] = """
+    WITH pts AS (
+        SELECT event_id,
+               CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS BIGINT) // 256 AS tx,
+               CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS BIGINT) // 256 AS ty
+        FROM events
+    ),
+    lv AS (SELECT unnest([0, 1, 2, 3]) AS level)
+    SELECT CAST(level AS BIGINT) AS level,
+           tx // (1 << level) AS cx,
+           ty // (1 << level) AS cy,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM pts, lv
+    GROUP BY level, cx, cy
+"""
+
+# fuzzy_pairs: quadratic levenshtein ground truth — the FastSS candidate
+# generation must reach exactly these pairs (guaranteed recall at ed<=1)
+ORACLE_SQL["fuzzy_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS a, b.c_name AS b
+    FROM v a JOIN v b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+"""

@@ -373,3 +373,75 @@ def q_dup_triangles(sf_dir: str):
     )
     n = triangle_count(pairs, "doc_a", "doc_b", n_edges_hint=n_docs // 10)
     return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 entity pairs via FastSS deletion neighborhoods
+    (Bocek et al. 2007): every name emits itself plus its single-character
+    deletions as candidate KEYS; two names at edit distance <= 1 always
+    share a key (a substitution shares the deletion at the mismatch
+    position, an insert/delete shares the shorter string itself), so the
+    candidate join is a bucketed groupby on the key — never all-pairs —
+    followed by an exact in-group <=1-edit verify. The fuzzy-match /
+    entity-resolution kernel at crawl scale: shuffle volume is
+    names × (len+1) short keys, and verification touches only co-keyed
+    candidates.
+
+    Oracle: the plain quadratic levenshtein join (guaranteed-recall check).
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    names = _read(sf_dir, "customer", columns=["c_name"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ns, ks = [], []
+        for t in batch["c_name"].to_pylist():
+            ns.append(t)
+            ks.append(t)
+            for i in range(len(t)):
+                ns.append(t)
+                ks.append(t[:i] + t[i + 1 :])
+        return pa.Table.from_pydict(
+            {"name": pa.array(ns, pa.string()), "key": pa.array(ks, pa.string())}
+        )
+
+    def _ed_le1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("key", sort=False):
+            u = sorted(set(g["name"]))
+            if len(u) < 2 or len(u) > 64:  # oversized groups: key too generic
+                if len(u) > 64:
+                    raise ValueError(f"hot deletion key: {len(u)} names")
+                continue
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if _ed_le1(u[i], u[j]):
+                        out_a.append(u[i])
+                        out_b.append(u[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    pairs = _bucketed(
+        names.map_batches(keys, batch_format="pyarrow"), ["key"], cand_pairs, 16
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    return _bucketed(pairs, ["a", "b"], dedup, 16)

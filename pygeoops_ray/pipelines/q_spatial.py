@@ -421,3 +421,129 @@ def q_idw_grid(sf_dir: str):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def q_trajectories(sf_dir: str):
+    """Per-user trajectory statistics over the point stream: order each
+    user's events by time, difference consecutive positions, and aggregate
+    step count, total SQUARED step length and longest squared step — the
+    movement-analytics kernel (distance profiles, teleport detection) kept
+    in exact integers (d² of integer coordinates) so the SQL lag-window
+    replay matches bit for bit.
+
+    Shape: users hash into buckets (a user's history is bucket-local, the
+    sessionize co-partition), one vectorized in-group lexsort + diff — no
+    per-user Python loop, no driver work; bucket count scales with input.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.q_relational import _events_bucket_count
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pts = sp.points_from_events(batch)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "px": pa.array(pts["px"].to_numpy().astype(np.int64), pa.int64()),
+                "py": pa.array(pts["py"].to_numpy().astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    batch["user_id"].to_numpy() % n_buckets, pa.int64()
+                ),
+            }
+        )
+
+    def steps(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["user_id", "ts", "event_id"])
+        same_user = group["user_id"].eq(group["user_id"].shift())
+        dx = group["px"].diff()
+        dy = group["py"].diff()
+        d2 = (dx * dx + dy * dy).where(same_user)
+        group = group.assign(d2=d2)
+        out = (
+            group.dropna(subset=["d2"])
+            .groupby("user_id", as_index=False)
+            .agg(n_steps=("d2", "size"), sum_d2=("d2", "sum"), max_d2=("d2", "max"))
+        )
+        for c in ("n_steps", "sum_d2", "max_d2"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(steps, batch_format="pandas")
+    )
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Map-tile pyramid build: per-tile point counts at zoom levels 0..3
+    (level L cell = 2^L × 2^L base tiles), the multi-resolution aggregate a
+    tile server pre-computes. The base level is aggregated from the points
+    ONCE; every coarser level rolls up from the level below it — each rollup
+    re-aggregates the already-tiny previous level, so the full pyramid costs
+    one data shuffle plus metadata-sized exchanges (the OLAP rollup shape;
+    at 100 TB the input is read exactly once no matter how many levels).
+
+    Output carries count AND sum(event_id) per cell so a single misplaced
+    point at any level flips the value hash.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    def base_cells(batch: pa.Table) -> pa.Table:
+        pts = sp.points_from_events(batch)
+        px = pts["px"].to_numpy().astype(np.int64)
+        py = pts["py"].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "cx": pa.array(px // 256, pa.int64()),
+                "cy": pa.array(py // 256, pa.int64()),
+                "eid": batch["event_id"],
+            }
+        )
+
+    level = grouped_agg(
+        _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+            base_cells, batch_format="pyarrow"
+        ),
+        ["cx", "cy"],
+        [("eid", "size", "n_points"), ("eid", "sum", "sum_eid")],
+        n_rows_hint=_table_rows(sf_dir, "events"),
+    )
+
+    def tag(lv: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out.insert(0, "level", np.int64(lv))
+            for c in ("level", "cx", "cy", "n_points", "sum_eid"):
+                out[c] = out[c].astype("int64")
+            return out[["level", "cx", "cy", "n_points", "sum_eid"]]
+
+        return fn
+
+    levels = [level.map_batches(tag(0), batch_format="pandas")]
+    for lv in range(1, 4):
+        def halve(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["cx"] = out["cx"] // 2
+            out["cy"] = out["cy"] // 2
+            return out
+
+        level = grouped_agg(
+            level.map_batches(halve, batch_format="pandas"),
+            ["cx", "cy"],
+            [("n_points", "sum", "n_points"), ("sum_eid", "sum", "sum_eid")],
+            n_rows_hint=4096,
+        )
+        levels.append(level.map_batches(tag(lv), batch_format="pandas"))
+
+    out = levels[0]
+    for ds in levels[1:]:
+        out = out.union(ds)
+    return out

@@ -134,6 +134,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "aspect_bucket",
         "time_travel",
         "idw_grid",
+        "trajectories",
+        "tile_pyramid",
+        "fuzzy_pairs",
     ),
 }
 
@@ -354,6 +357,9 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "aspect_bucket": ("i", "bucket", "batch_id", "slot"),
     "time_travel": ("version", "event_type", "n_rows", "sum_value_c"),
     "idw_grid": ("tx", "ty", "n_pts", "wsum", "wvsum"),
+    "trajectories": ("user_id", "n_steps", "sum_d2", "max_d2"),
+    "tile_pyramid": ("level", "cx", "cy", "n_points", "sum_eid"),
+    "fuzzy_pairs": ("a", "b"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

@@ -363,3 +363,93 @@ def test_idw_grid_brute_force(ray_session):
     lo = [min(vals_per_tile[(tx, ty)]) for tx, ty in zip(got["tx"], got["ty"])]
     hi = [max(vals_per_tile[(tx, ty)]) for tx, ty in zip(got["tx"], got["ty"])]
     assert (est >= np.array(lo) - 1e-9).all() and (est <= np.array(hi) + 1e-9).all()
+
+
+def test_trajectories_brute_force(ray_session):
+    """Per-user step stats equal a sequential replay; every user with >=2
+    events appears; squared steps are nonnegative and max <= sum."""
+    from pygeoops_ray.pipelines.q_spatial import q_trajectories
+
+    got = (
+        q_trajectories(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    e = ev["event_id"].to_numpy()
+    ev = ev.assign(
+        px=(e % 1000) * 256 + (e * 7) % 256,
+        py=((e // 1000) % 20) * 256 + (e * 13) % 256,
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        dx = np.diff(g["px"].to_numpy())
+        dy = np.diff(g["py"].to_numpy())
+        d2 = dx * dx + dy * dy
+        rows.append((uid, len(d2), int(d2.sum()), int(d2.max())))
+    want = pd.DataFrame(rows, columns=["user_id", "n_steps", "sum_d2", "max_d2"])
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    assert (got["max_d2"] <= got["sum_d2"]).all() and (got["n_steps"] >= 1).all()
+
+
+def test_tile_pyramid_rollup_consistency(ray_session):
+    """Children sum exactly to parents at every level; level 0 equals the
+    direct per-tile aggregate; total count is constant across levels."""
+    from pygeoops_ray.pipelines.q_spatial import q_tile_pyramid
+
+    got = q_tile_pyramid(SF).to_pandas()
+    n_total = len(pd.read_parquet(f"{SF}/events.parquet"))
+    for lv in range(4):
+        g = got[got["level"] == lv]
+        assert g["n_points"].sum() == n_total
+        assert g.duplicated(["cx", "cy"]).sum() == 0
+    for lv in range(1, 4):
+        child = got[got["level"] == lv - 1].copy()
+        child["cx"] //= 2
+        child["cy"] //= 2
+        rolled = (
+            child.groupby(["cx", "cy"], as_index=False)[["n_points", "sum_eid"]]
+            .sum()
+            .sort_values(["cx", "cy"])
+            .reset_index(drop=True)
+        )
+        parent = (
+            got[got["level"] == lv][["cx", "cy", "n_points", "sum_eid"]]
+            .sort_values(["cx", "cy"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rolled.astype(np.int64), parent.astype(np.int64))
+
+
+def test_fuzzy_pairs_recall_and_precision(ray_session):
+    """FastSS output == the quadratic levenshtein ground truth (recall AND
+    precision), on customers plus an adversarial ed=2 trap that shares a
+    deletion key ('ab'/'ba' share key 'a' but are 2 edits apart)."""
+    from pygeoops_ray.pipelines.q_dedup import q_fuzzy_pairs
+
+    got = q_fuzzy_pairs(SF).to_pandas()
+    names = pd.read_parquet(f"{SF}/customer.parquet")["c_name"].drop_duplicates().tolist()
+
+    def ed_le1(a, b):
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if abs(len(a) - len(b)) != 1:
+            return a == b
+        if len(a) > len(b):
+            a, b = b, a
+        i = 0
+        while i < len(a) and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if ed_le1(*sorted((a, b)))
+    }
+    want = {tuple(sorted(p)) for p in want}
+    assert set(zip(got["a"], got["b"])) == want
+    # the trap the in-group verify guards: 'ab'/'ba' share deletion key 'a'
+    # (candidate) yet are 2 edits apart (must not be a pair)
+    assert not ed_le1("ab", "ba")
