@@ -162,6 +162,19 @@ def run_bench() -> dict:
         "ann_ivf_append",
         "topk_scan",
         "bpe_train",
+        "late_events",
+        "seq_pack",
+        "zorder_scan",
+        "inverted_index",
+        # round-3 wave-4 operators
+        "dataset_split",
+        "group_hll",
+        "aspect_bucket",
+        "time_travel",
+        "idw_grid",
+        "trajectories",
+        "tile_pyramid",
+        "fuzzy_pairs",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

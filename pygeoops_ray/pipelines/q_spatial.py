@@ -508,6 +508,11 @@ def q_tile_pyramid(sf_dir: str):
             }
         )
 
+    # each level feeds TWO consumers (its tagged output branch and the next
+    # rollup); Ray re-executes a shared lazy subplan once per consumer, so
+    # without the materialize the base data aggregation would run 4x. The
+    # materialized object is the POST-aggregate level (bounded by the tile
+    # count, ~20k rows), never the input — the one-data-pass contract holds.
     level = grouped_agg(
         _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
             base_cells, batch_format="pyarrow"
@@ -515,7 +520,7 @@ def q_tile_pyramid(sf_dir: str):
         ["cx", "cy"],
         [("eid", "size", "n_points"), ("eid", "sum", "sum_eid")],
         n_rows_hint=_table_rows(sf_dir, "events"),
-    )
+    ).materialize()
 
     def tag(lv: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -540,7 +545,7 @@ def q_tile_pyramid(sf_dir: str):
             ["cx", "cy"],
             [("n_points", "sum", "n_points"), ("sum_eid", "sum", "sum_eid")],
             n_rows_hint=4096,
-        )
+        ).materialize()
         levels.append(level.map_batches(tag(lv), batch_format="pandas"))
 
     out = levels[0]
