@@ -2677,3 +2677,26 @@ ORACLE_SQL["fuzzy_pairs"] = """
     FROM v a JOIN v b
       ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
 """
+
+# skyline: analytic Pareto formulation — a row survives iff its ts is its
+# value-group minimum AND strictly precedes every greater-value group's min
+ORACLE_SQL["skyline"] = """
+    WITH t AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS vc,
+               CAST(epoch_us(ts) AS BIGINT) AS tus
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               min(tus) OVER (PARTITION BY event_type, vc) AS min_tus_eq,
+               min(tus) OVER (
+                   PARTITION BY event_type ORDER BY vc DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS min_tus_gt
+        FROM t
+    )
+    SELECT event_type, event_id, vc, tus
+    FROM m
+    WHERE tus = min_tus_eq AND (min_tus_gt IS NULL OR tus < min_tus_gt)
+"""

@@ -1622,3 +1622,70 @@ def q_time_travel(sf_dir: str):
         return out.map_batches(fin, batch_format="pandas")
 
     return agg_asof(1).union(agg_asof(2))
+
+
+def q_skyline(sf_dir: str):
+    """Per-type Pareto skyline (maximize value, minimize ts): the events of
+    each type not dominated by another (dominance = value >= AND ts <=, one
+    strict). The multi-objective-ranking operator, in exact integers
+    (vc = floor(value*100), microsecond ts).
+
+    Scale shape: the skyline is ALGEBRAIC under union — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so every block is reduced to its
+    local skyline BEFORE the shuffle (the per-block partial prunes the vast
+    majority of rows) and the per-type reducer re-runs the same O(n log n)
+    sweep on the tiny survivor set. Both passes share one vectorized
+    kernel: sort by (value desc, ts asc), keep rows whose ts equals their
+    value-group minimum and strictly precedes every greater-value group's
+    running minimum.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        vc = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        tus = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "vc": pa.array(vc, pa.int64()),
+                "tus": tus,
+            }
+        )
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(
+            ["event_type", "vc", "tus", "event_id"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g_eq = df.groupby(["event_type", "vc"], sort=False)
+        min_tus_eq = g_eq["tus"].transform("min")
+        # running min of tus over STRICTLY greater vc within the type:
+        # group-cummin shifted down one vc-group
+        first_of_vc = g_eq.cumcount() == 0
+        grp_min = df.loc[first_of_vc, ["event_type", "vc", "tus"]].copy()
+        grp_min["run"] = grp_min.groupby("event_type", sort=False)["tus"].cummin()
+        grp_min["min_tus_gt"] = grp_min.groupby("event_type", sort=False)[
+            "run"
+        ].shift(1)
+        df = df.merge(
+            grp_min[["event_type", "vc", "min_tus_gt"]],
+            on=["event_type", "vc"],
+            how="left",
+        )
+        keep = (df["tus"] == min_tus_eq.to_numpy()) & (
+            df["min_tus_gt"].isna() | (df["tus"] < df["min_tus_gt"])
+        )
+        return df.loc[keep, ["event_type", "event_id", "vc", "tus"]]
+
+    ds = (
+        _read_blocked(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+        .map_batches(to_int, batch_format="pyarrow")
+        .map_batches(local_skyline, batch_format="pandas")  # per-block partial
+    )
+    return _bucketed(ds, ["event_type"], local_skyline, 4)

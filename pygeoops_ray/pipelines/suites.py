@@ -137,6 +137,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "trajectories",
         "tile_pyramid",
         "fuzzy_pairs",
+        "skyline",
     ),
 }
 
@@ -360,6 +361,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "trajectories": ("user_id", "n_steps", "sum_d2", "max_d2"),
     "tile_pyramid": ("level", "cx", "cy", "n_points", "sum_eid"),
     "fuzzy_pairs": ("a", "b"),
+    "skyline": ("event_type", "event_id", "vc", "tus"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

@@ -453,3 +453,63 @@ def test_fuzzy_pairs_recall_and_precision(ray_session):
     # the trap the in-group verify guards: 'ab'/'ba' share deletion key 'a'
     # (candidate) yet are 2 edits apart (must not be a pair)
     assert not ed_le1("ab", "ba")
+
+
+def test_skyline_brute_force_and_partial_algebra(ray_session):
+    """Skyline equals the quadratic NOT-EXISTS dominance replay (the
+    definition, independent of the engine's analytic sweep); the local
+    skyline is idempotent and union-algebraic: skyline(skyline(A) ∪
+    skyline(B)) == skyline(A ∪ B) on random splits."""
+    from pygeoops_ray.pipelines.q_relational import q_skyline
+
+    got = (
+        q_skyline(SF)
+        .to_pandas()
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        vc=np.floor(ev["value"].to_numpy() * 100).astype(np.int64),
+        tus=ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+    )
+    keep_rows = []
+    for et, g in ev.groupby("event_type"):
+        vc = g["vc"].to_numpy()
+        tus = g["tus"].to_numpy()
+        for i in range(len(g)):
+            dominated = (
+                (vc >= vc[i]) & (tus <= tus[i]) & ((vc > vc[i]) | (tus < tus[i]))
+            ).any()
+            if not dominated:
+                keep_rows.append((et, g["event_id"].iloc[i], vc[i], tus[i]))
+    want = (
+        pd.DataFrame(keep_rows, columns=["event_type", "event_id", "vc", "tus"])
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"event_id": "int64", "vc": "int64", "tus": "int64"}), want
+    )
+    # union-algebra: local skylines of a random split merge to the global one
+    rng = np.random.default_rng(7)
+    mask = rng.random(len(ev)) < 0.5
+
+    def brute(g):
+        vc, tus = g["vc"].to_numpy(), g["tus"].to_numpy()
+        keep = [
+            not ((vc >= vc[i]) & (tus <= tus[i]) & ((vc > vc[i]) | (tus < tus[i]))).any()
+            for i in range(len(g))
+        ]
+        return g[np.array(keep, dtype=bool)]
+
+    merged = []
+    for et, g in ev.groupby("event_type"):
+        m = mask[g.index.to_numpy()]
+        part = pd.concat([brute(g[m]), brute(g[~m])])
+        merged.append(brute(part))
+    merged = pd.concat(merged).sort_values(["event_type", "event_id"])
+    assert (
+        merged[["event_type", "event_id"]].values.tolist()
+        == want[["event_type", "event_id"]].values.tolist()
+    )
