@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "trajectories",
         "tile_pyramid",
         "fuzzy_pairs",
+        "skyline",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
@@ -193,7 +194,8 @@ def run_bench() -> dict:
     # and row-group pruning are measured in that shape too (verdict r2 #8).
     dir_sf = _dir_layout(sf_dir, n_files=int(os.environ.get("RAY_GRAFT_DIR_FILES", "16")))
     dir_times: dict[str, float] = {}
-    for name in ["pip_join", "dedup_events", "token_count", "pricing_summary", "spatial_pruned_read"]:
+    for name in ["pip_join", "dedup_events", "token_count", "pricing_summary",
+                 "spatial_pruned_read", "trajectories", "tile_pyramid"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(dir_sf)
