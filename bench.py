@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "tile_pyramid",
         "fuzzy_pairs",
         "skyline",
+        "image_histogram",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

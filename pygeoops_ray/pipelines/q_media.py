@@ -716,3 +716,17 @@ def q_aspect_bucket(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return sorted_ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def q_image_histogram(sf_dir: str):
+    """Per-image 8-bin luminance histogram over REAL decoded pixels
+    (stages/multimodal.histogram_batch): the image-QA profiling pass that
+    screens exposure/contrast before training. Pure flat map — one decode +
+    one bincount per image, no shuffle; the oracle replays decode per pixel
+    in SQL and aggregates the same bins."""
+    from pygeoops_ray.stages.multimodal import histogram_batch
+
+    ds, _ = _image_ds(sf_dir)
+    return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        histogram_batch, batch_format="pyarrow", batch_size=1024
+    )

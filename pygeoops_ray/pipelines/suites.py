@@ -138,6 +138,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "tile_pyramid",
         "fuzzy_pairs",
         "skyline",
+        "image_histogram",
     ),
 }
 
@@ -362,6 +363,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "tile_pyramid": ("level", "cx", "cy", "n_points", "sum_eid"),
     "fuzzy_pairs": ("a", "b"),
     "skyline": ("event_type", "event_id", "vc", "tus"),
+    "image_histogram": ("i", "bin", "n_px"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

@@ -482,3 +482,34 @@ class ClipScoreStage:
                 "keep": pa.array(keeps, pa.int64()),
             }
         )
+
+
+def histogram_batch(batch: pa.Table, n_bins: int = 8) -> pa.Table:
+    """Per-image luminance histogram: gray = r+g+b (0..765), bin = gray//96.
+
+    The image-QA profiling kernel (exposure/contrast screening before
+    training): one decode per row, one vectorized bincount — no shuffle at
+    all, the histogram is image-local. Zero bins are omitted so the output
+    matches the SQL GROUP BY exactly. Expects image_id/bytes/fmt columns.
+    """
+    import pyarrow.compute as pc
+
+    ids = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()).to_numpy()
+    i_out, b_out, n_out = [], [], []
+    for k, (data, fmt) in enumerate(
+        zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+    ):
+        pix = decode_any(data, fmt)
+        gray = pix.astype(np.int64).sum(axis=2)
+        counts = np.bincount((gray // 96).ravel(), minlength=n_bins)
+        nz = np.nonzero(counts)[0]
+        i_out.extend([int(ids[k])] * len(nz))
+        b_out.extend(nz.tolist())
+        n_out.extend(counts[nz].tolist())
+    return pa.Table.from_pydict(
+        {
+            "i": pa.array(i_out, pa.int64()),
+            "bin": pa.array(b_out, pa.int64()),
+            "n_px": pa.array(n_out, pa.int64()),
+        }
+    )

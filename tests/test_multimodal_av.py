@@ -255,3 +255,42 @@ def test_clip_score_matches_float_cosine():
         cos = dot / (np.linalg.norm(a.astype(float)) * np.linalg.norm(b.astype(float)))
         if abs(cos - 0.05) > 1e-9:
             assert bool(out.loc[row, "keep"]) == (cos >= 0.05), (row, cos)
+
+
+def test_image_histogram_brute_force(ray_session):
+    """Histogram equals a per-image numpy replay over the same decoded
+    pixels; bins partition every image's pixel count (sum == w*h)."""
+    import numpy as np
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.q_media import q_image_histogram
+    from pygeoops_ray.pipelines.common import _image_ds
+    from pygeoops_ray.stages.multimodal import decode_any
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_image_histogram(sf)
+        .to_pandas()
+        .sort_values(["i", "bin"])
+        .reset_index(drop=True)
+    )
+    ds, n = _image_ds(sf)
+    rows = ds.select_columns(["image_id", "bytes", "fmt", "w", "h"]).take_all()
+    want_rows = []
+    total_px = {}
+    for r in rows:
+        i = int(r["image_id"][4:])
+        pix = decode_any(r["bytes"], r["fmt"])
+        gray = pix.astype(np.int64).sum(axis=2)
+        counts = np.bincount((gray // 96).ravel(), minlength=8)
+        total_px[i] = gray.size
+        for b in np.nonzero(counts)[0]:
+            want_rows.append((i, int(b), int(counts[b])))
+    want = (
+        pd.DataFrame(want_rows, columns=["i", "bin", "n_px"])
+        .sort_values(["i", "bin"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    per_img = got.groupby("i")["n_px"].sum()
+    assert all(per_img[i] == total_px[i] for i in per_img.index)
