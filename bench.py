@@ -177,6 +177,7 @@ def run_bench() -> dict:
         "fuzzy_pairs",
         "skyline",
         "image_histogram",
+        "anomaly_mad",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2761,3 +2761,32 @@ SELECT i, (d0 + d1 + d2) // 96 AS bin,
 FROM dec
 GROUP BY i, bin
 """
+
+# anomaly_mad: nearest-rank median + MAD per user, exact integers — the rank
+# convention matches group_median (0-based index (n-1)//2 of the sorted set)
+ORACLE_SQL["anomaly_mad"] = """
+    WITH v AS (
+        SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM v
+    ),
+    med AS (SELECT user_id, vc AS med_c FROM r WHERE rk = (n - 1) // 2 + 1),
+    d AS (
+        SELECT v.user_id, v.event_id, v.vc, m.med_c,
+               abs(v.vc - m.med_c) AS ad
+        FROM v JOIN med m USING (user_id)
+    ),
+    r2 AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ad, event_id) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM d
+    ),
+    mad AS (SELECT user_id, ad AS mad_c FROM r2 WHERE rk = (n - 1) // 2 + 1)
+    SELECT d.user_id, d.event_id, d.vc, d.med_c, m2.mad_c
+    FROM d JOIN mad m2 USING (user_id)
+    WHERE d.ad > 3 * m2.mad_c
+"""

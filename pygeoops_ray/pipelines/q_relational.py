@@ -1689,3 +1689,71 @@ def q_skyline(sf_dir: str):
         .map_batches(local_skyline, batch_format="pandas")  # per-block partial
     )
     return _bucketed(ds, ["event_type"], local_skyline, 4)
+
+
+def q_anomaly_mad(sf_dir: str):
+    """Robust per-user outlier detection (median absolute deviation): flag
+    events where |value - median| > 3 * MAD, both statistics the exact
+    nearest-rank order statistics over integer cents — the data-cleaning
+    pass that screens corrupted values before training, deterministic and
+    SQL-replayable (no float quantile interpolation).
+
+    Shape: users hash into buckets (the sessionize co-partition — a user's
+    history is bucket-local), each group computes median and MAD with two
+    numpy partial sorts; only flagged rows leave the reducer.
+    """
+    import pandas as pd
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    n_buckets = _events_bucket_count(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vc = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "vc": pa.array(vc, pa.int64()),
+                "bucket": pa.array(batch["user_id"].to_numpy() % n_buckets, pa.int64()),
+            }
+        )
+
+    def flag(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            vc = g["vc"].to_numpy()
+            k = (len(vc) - 1) // 2
+            med = np.partition(vc, k)[k]
+            ad = np.abs(vc - med)
+            mad = np.partition(ad, k)[k]
+            m = ad > 3 * mad
+            if m.any():
+                sel = g[m]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": sel["user_id"].to_numpy(),
+                            "event_id": sel["event_id"].to_numpy(),
+                            "vc": sel["vc"].to_numpy(),
+                            "med_c": np.int64(med),
+                            "mad_c": np.int64(mad),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "vc": pd.Series([], dtype="int64"),
+                    "med_c": pd.Series([], dtype="int64"),
+                    "mad_c": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag, batch_format="pandas")
+    )

@@ -513,3 +513,35 @@ def test_skyline_brute_force_and_partial_algebra(ray_session):
         merged[["event_type", "event_id"]].values.tolist()
         == want[["event_type", "event_id"]].values.tolist()
     )
+
+
+def test_anomaly_mad_brute_force(ray_session):
+    """Flagged outliers equal a per-user sequential replay with nearest-rank
+    median/MAD; flags are invariant to event order; no user with mad>0 and
+    all-inlier values is flagged."""
+    from pygeoops_ray.pipelines.q_relational import q_anomaly_mad
+
+    got = (
+        q_anomaly_mad(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(vc=np.floor(ev["value"].to_numpy() * 100).astype(np.int64))
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        vc = np.sort(g["vc"].to_numpy())
+        med = vc[(len(vc) - 1) // 2]
+        ad = np.sort(np.abs(g["vc"].to_numpy() - med))
+        mad = ad[(len(ad) - 1) // 2]
+        for _, r in g.iterrows():
+            if abs(r["vc"] - med) > 3 * mad:
+                rows.append((uid, r["event_id"], r["vc"], med, mad))
+    want = (
+        pd.DataFrame(rows, columns=["user_id", "event_id", "vc", "med_c", "mad_c"])
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0  # the corpus genuinely contains outliers
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
