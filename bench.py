@@ -178,6 +178,7 @@ def run_bench() -> dict:
         "skyline",
         "image_histogram",
         "anomaly_mad",
+        "nearest_rect",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2790,3 +2790,45 @@ ORACLE_SQL["anomaly_mad"] = """
     FROM d JOIN mad m2 USING (user_id)
     WHERE d.ad > 3 * m2.mad_c
 """
+
+# nearest_rect: ring-bounded nearest footprint — candidates via the dilated
+# covering-tile expansion (equi-join on tile), exact integer point-rect d²,
+# ties to the smallest ordinal
+ORACLE_SQL["nearest_rect"] = f"""
+    WITH img AS ({_IMG}),
+    imgd AS (
+        SELECT i, CAST(minx AS BIGINT) AS minx, CAST(miny AS BIGINT) AS miny,
+               CAST(maxx AS BIGINT) AS maxx, CAST(maxy AS BIGINT) AS maxy,
+               CAST(minx AS BIGINT) // 256 - 1 AS tx_lo,
+               (CAST(maxx AS BIGINT) - 1) // 256 + 1 AS tx_hi,
+               CAST(miny AS BIGINT) // 256 - 1 AS ty_lo,
+               (CAST(maxy AS BIGINT) - 1) // 256 + 1 AS ty_hi
+        FROM img
+    ),
+    cand AS (
+        SELECT m.*, txs.tx, tys.ty
+        FROM imgd m,
+             LATERAL (SELECT unnest(generate_series(m.tx_lo, m.tx_hi)) AS tx) txs,
+             LATERAL (SELECT unnest(generate_series(m.ty_lo, m.ty_hi)) AS ty) tys
+    ),
+    pts AS (
+        SELECT event_id,
+               CAST((event_id % 1000) * 256 + (event_id * 7) % 256 AS BIGINT) AS px,
+               CAST(((event_id // 1000) % 20) * 256 + (event_id * 13) % 256 AS BIGINT) AS py
+        FROM events
+    ),
+    j AS (
+        SELECT p.event_id, c.i,
+               greatest(c.minx - p.px, p.px - c.maxx, 0) AS dx,
+               greatest(c.miny - p.py, p.py - c.maxy, 0) AS dy
+        FROM pts p JOIN cand c ON c.tx = p.px // 256 AND c.ty = p.py // 256
+    ),
+    d AS (
+        SELECT event_id, i, CAST(dx * dx + dy * dy AS BIGINT) AS d2,
+               row_number() OVER (
+                   PARTITION BY event_id ORDER BY dx * dx + dy * dy, i
+               ) AS rk
+        FROM j
+    )
+    SELECT event_id, i, d2 FROM d WHERE rk = 1
+"""

@@ -552,3 +552,116 @@ def q_tile_pyramid(sf_dir: str):
     for ds in levels[1:]:
         out = out.union(ds)
     return out
+
+
+def q_nearest_rect(sf_dir: str):
+    """Ring-bounded nearest-footprint join: every event point finds its
+    nearest image rectangle among those overlapping the 3×3 tile ring
+    around the point's home tile (squared point-to-rect distance, exact
+    integers, ties to the smallest ordinal; points with an empty ring are
+    omitted). The proximity-enrichment complement of the PIP join — "which
+    image is this observation closest to" — with the search bounded by the
+    ring so candidate volume per point stays constant at any corpus size.
+
+    Shape: rects replicate to their covering tiles DILATED by one ring
+    (bounded fan-out, (w/256+3)×(h/256+3) tiles per rect); points land in
+    their home tile; one cogrouped shuffle, and the per-group distance
+    matrix + argmin is a single numpy broadcast.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    def rect_side(batch: pa.Table) -> pa.Table:
+        minx = batch["minx"].to_numpy().astype(np.int64)
+        miny = batch["miny"].to_numpy().astype(np.int64)
+        maxx = batch["maxx"].to_numpy().astype(np.int64)
+        maxy = batch["maxy"].to_numpy().astype(np.int64)
+        i = batch["i"].to_numpy()
+        tx_lo, tx_hi = minx // 256 - 1, (maxx - 1) // 256 + 1
+        ty_lo, ty_hi = miny // 256 - 1, (maxy - 1) // 256 + 1
+        nx = (tx_hi - tx_lo + 1).astype(np.int64)
+        ny = (ty_hi - ty_lo + 1).astype(np.int64)
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(i)), reps)
+        # per-rect local tile offsets, flattened
+        off = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, np.int64)
+        loc_ny = ny[idx]
+        tx = tx_lo[idx] + off // loc_ny
+        ty = ty_lo[idx] + off % loc_ny
+        return pa.Table.from_pydict(
+            {
+                "tkey": pa.array((tx + 8) * 4096 + (ty + 8), pa.int64()),
+                "i": pa.array(i[idx], pa.int64()),
+                "minx": pa.array(minx[idx], pa.int64()),
+                "miny": pa.array(miny[idx], pa.int64()),
+                "maxx": pa.array(maxx[idx], pa.int64()),
+                "maxy": pa.array(maxy[idx], pa.int64()),
+                "event_id": pa.array(np.full(len(idx), -1), pa.int64()),
+                "px": pa.array(np.zeros(len(idx), np.int64), pa.int64()),
+                "py": pa.array(np.zeros(len(idx), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(idx), np.int64), pa.int64()),
+            }
+        )
+
+    def point_side(batch: pa.Table) -> pa.Table:
+        pts = sp.points_from_events(batch)
+        px = pts["px"].to_numpy().astype(np.int64)
+        py = pts["py"].to_numpy().astype(np.int64)
+        e = pts["event_id"].to_numpy()
+        n = len(e)
+        return pa.Table.from_pydict(
+            {
+                "tkey": pa.array((px // 256 + 8) * 4096 + (py // 256 + 8), pa.int64()),
+                "i": pa.array(np.full(n, -1), pa.int64()),
+                "minx": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "miny": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "maxx": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "maxy": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "event_id": pa.array(e, pa.int64()),
+                "px": pa.array(px, pa.int64()),
+                "py": pa.array(py, pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def nearest(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("tkey", sort=False):
+            rects = g[g["side"] == 0]
+            pts = g[g["side"] == 1]
+            if not len(rects) or not len(pts):
+                continue
+            px = pts["px"].to_numpy()[:, None]
+            py = pts["py"].to_numpy()[:, None]
+            dx = np.maximum(
+                np.maximum(rects["minx"].to_numpy()[None, :] - px,
+                           px - rects["maxx"].to_numpy()[None, :]), 0
+            )
+            dy = np.maximum(
+                np.maximum(rects["miny"].to_numpy()[None, :] - py,
+                           py - rects["maxy"].to_numpy()[None, :]), 0
+            )
+            d2 = dx * dx + dy * dy
+            key = d2 * (1 << 21) + rects["i"].to_numpy()[None, :]
+            best = key.argmin(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pts["event_id"].to_numpy(),
+                        "i": rects["i"].to_numpy()[best],
+                        "d2": d2[np.arange(len(pts)), best],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("event_id", "i", "d2")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    rects = _images(sf_dir).map_batches(rect_side, batch_format="pyarrow")
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        point_side, batch_format="pyarrow"
+    )
+    return _bucketed(rects.union(pts), ["tkey"], nearest, 16)

@@ -545,3 +545,52 @@ def test_anomaly_mad_brute_force(ray_session):
     )
     assert len(want) > 0  # the corpus genuinely contains outliers
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_nearest_rect_brute_force(ray_session):
+    """The ring-bounded nearest equals a sequential replay: for every point,
+    the (d2, i)-lexicographic minimum over rects whose dilated covering
+    tiles include the point's home tile; inside-a-rect points get d2=0."""
+    from pygeoops_ray.pipelines.q_spatial import q_nearest_rect
+
+    got = (
+        q_nearest_rect(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"]).to_pandas()
+    i = part["p_partkey"].to_numpy()
+    w = 64 + (i * 37) % 193
+    h = 64 + (i * 53) % 151
+    minx = (i % 1000) * 256
+    miny = (i // 1000) * 256
+    maxx, maxy = minx + w, miny + h
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    e = ev["event_id"].to_numpy()
+    px = (e % 1000) * 256 + (e * 7) % 256
+    py = ((e // 1000) % 20) * 256 + (e * 13) % 256
+    rows = []
+    for k in range(len(e)):
+        tx, ty = px[k] // 256, py[k] // 256
+        cand = (
+            (minx // 256 - 1 <= tx) & (tx <= (maxx - 1) // 256 + 1)
+            & (miny // 256 - 1 <= ty) & (ty <= (maxy - 1) // 256 + 1)
+        )
+        if not cand.any():
+            continue
+        dx = np.maximum(np.maximum(minx[cand] - px[k], px[k] - maxx[cand]), 0)
+        dy = np.maximum(np.maximum(miny[cand] - py[k], py[k] - maxy[cand]), 0)
+        d2 = dx * dx + dy * dy
+        ii = i[cand]
+        best = np.lexsort((ii, d2))[0]
+        rows.append((e[k], ii[best], d2[best]))
+    want = (
+        pd.DataFrame(rows, columns=["event_id", "i", "d2"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    # containment sanity: any point inside a footprint must report d2 = 0
+    inside = got[got["d2"] == 0]
+    assert len(inside) > 0
