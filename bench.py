@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "image_histogram",
         "anomaly_mad",
         "nearest_rect",
+        "dbscan",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

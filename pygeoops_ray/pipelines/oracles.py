@@ -2832,3 +2832,78 @@ ORACLE_SQL["nearest_rect"] = f"""
     )
     SELECT event_id, i, d2 FROM d WHERE rk = 1
 """
+
+# dbscan: full replay — point derivation, grid-candidate neighbor counts,
+# core graph, recursive min-label closure (cluster = min CORE member),
+# border = min core-neighbor label. MATERIALIZED hints keep the recursive
+# step from replaying the candidate joins every iteration.
+ORACLE_SQL["dbscan"] = """
+    WITH RECURSIVE
+    par AS (SELECT greatest(1, (SELECT count(*) FROM events) // 8000) AS t),
+    pts AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0
+                         OR (event_id // 97) % (SELECT t FROM par) != 0
+                    THEN (event_id * 9973) % 1000000
+                    ELSE ((event_id % 97) % 40) * 512 + 128 +
+                         CASE WHEN event_id % 11 = 0
+                              THEN 96 + (event_id * 7) % 32
+                              ELSE (event_id * 7) % 64 END
+               END AS pxd,
+               CASE WHEN event_id % 13 = 0
+                         OR (event_id // 97) % (SELECT t FROM par) != 0
+                    THEN 30000 + (event_id * 31) % 5000
+                    ELSE ((event_id % 97) // 40) * 512 + 128 +
+                         CASE WHEN event_id % 11 = 0
+                              THEN 96 + (event_id * 13) % 32
+                              ELSE (event_id * 13) % 64 END
+               END AS pyd
+        FROM events
+    ),
+    c AS MATERIALIZED (
+        SELECT event_id, CAST(pxd AS BIGINT) AS px, CAST(pyd AS BIGINT) AS py,
+               CAST(pxd AS BIGINT) // 128 AS cx, CAST(pyd AS BIGINT) // 128 AS cy
+        FROM pts
+    ),
+    nb AS MATERIALIZED (
+        SELECT a.event_id, count(*) AS n
+        FROM c a JOIN c b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         AND (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= 16384
+        GROUP BY a.event_id
+    ),
+    core AS MATERIALIZED (
+        SELECT c.* FROM c JOIN nb USING (event_id) WHERE nb.n >= 6
+    ),
+    e1 AS MATERIALIZED (
+        SELECT a.event_id AS s, b.event_id AS d
+        FROM core a JOIN core b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         AND a.event_id < b.event_id
+         AND (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= 16384
+    ),
+    edges AS MATERIALIZED (
+        SELECT s, d FROM e1 UNION ALL SELECT d, s FROM e1
+    ),
+    reach(node, r) AS (
+        SELECT event_id, event_id FROM core
+        UNION
+        SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    cc AS MATERIALIZED (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT core.event_id, CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           'core' AS role
+    FROM core JOIN cc ON cc.node = core.event_id
+    UNION ALL
+    SELECT a.event_id, CAST(min(cc.cluster_id) AS BIGINT), 'border'
+    FROM c a
+    JOIN core b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= 16384
+    JOIN cc ON cc.node = b.event_id
+    WHERE a.event_id NOT IN (SELECT event_id FROM core)
+    GROUP BY a.event_id
+"""

@@ -665,3 +665,234 @@ def q_nearest_rect(sf_dir: str):
         point_side, batch_format="pyarrow"
     )
     return _bucketed(rects.union(pts), ["tkey"], nearest, 16)
+
+
+def q_dbscan(sf_dir: str):
+    """Grid-accelerated DBSCAN (eps=128, minPts=6) over a deterministic
+    blob+noise point derivation — density-based spatial clustering, the
+    geo-ML operator, exact end to end.
+
+    Point rule (pure event_id arithmetic, replayed verbatim in SQL): events
+    scatter into 97 tight blob boxes on a 512-spaced grid (64-px jitter;
+    every 11th member lands in a far corner at offset 96..127 so
+    neighbor counts genuinely vary inside a blob), every 13th event — and,
+    past 15k events, all but every T-th (T = n//15000) — goes to a sparse
+    noise strip instead, so blob sizes stay bounded at every scale.
+
+    Distributed shape (the textbook two-pass grid DBSCAN):
+      A. points replicate to their 3×3 eps-cell ring (bounded fan-out), one
+         cogroup counts eps-neighbors per home point → core = n >= minPts;
+      B. core flags rejoin the points (bucketed cogroup on event_id), a
+         second cell cogroup emits core–core edges (home-side a<b, so each
+         edge exactly once);
+      C. connected components over the core graph (stages/graph.py, the
+         bounded per-round min-label propagation) label clusters by their
+         smallest member;
+      D. labels rejoin the cores, a final cell cogroup assigns every
+         non-core point with a core neighbor to the MIN core-neighbor label
+         (border); everything else is noise and is omitted.
+    Output: (event_id, cluster_id, role) with role core|border.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.graph import connected_components
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    EPS, EPS2, MINPTS = 128, 128 * 128, 6
+    n_events = _table_rows(sf_dir, "events")
+    T = max(1, n_events // 8000)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy()
+        c = e % 97
+        far = e % 11 == 0
+        dx = np.where(far, 96 + (e * 7) % 32, (e * 7) % 64)
+        dy = np.where(far, 96 + (e * 13) % 32, (e * 13) % 64)
+        noise = (e % 13 == 0) | ((e // 97) % T != 0)
+        px = np.where(noise, (e * 9973) % 1_000_000, (c % 40) * 512 + 128 + dx)
+        py = np.where(noise, 30_000 + (e * 31) % 5_000, (c // 40) * 512 + 128 + dy)
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "px": pa.array(px.astype(np.int64), pa.int64()),
+                "py": pa.array(py.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rep9(extra: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            px = batch["px"].to_numpy()
+            py = batch["py"].to_numpy()
+            n = len(px)
+            off = np.array([-1, 0, 1], dtype=np.int64)
+            cx = np.broadcast_to(
+                (px // EPS)[:, None, None] + off[None, :, None], (n, 3, 3)
+            ).reshape(n, 9)
+            cy = np.broadcast_to(
+                (py // EPS)[:, None, None] + off[None, None, :], (n, 3, 3)
+            ).reshape(n, 9)
+            home = np.zeros((n, 9), dtype=np.int64)
+            home[:, 4] = 1  # offset (0, 0)
+            idx = np.repeat(np.arange(n), 9)
+            cols = {
+                "ckey": pa.array(((cx + 8) * 4096 + cy + 8).ravel(), pa.int64()),
+                "home": pa.array(home.ravel(), pa.int64()),
+                "px": pa.array(px[idx], pa.int64()),
+                "py": pa.array(py[idx], pa.int64()),
+            }
+            for col in ["event_id", *extra]:
+                cols[col] = pa.array(batch[col].to_numpy()[idx], pa.int64())
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    pts = _read_blocked(sf_dir, "events", columns=["event_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+    # -- pass A: eps-neighbor counts -> core flags --------------------------
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized cell self-MERGE instead of a python loop per cell:
+        # the noise strip alone makes ~1e5 near-singleton cells per 0.1 sf,
+        # and iterating them dominated the first version 30x
+        homes = df.loc[df["home"] == 1, ["ckey", "event_id", "px", "py"]]
+        m = homes.merge(df[["ckey", "px", "py"]], on="ckey", suffixes=("", "_b"))
+        dx = m["px"].to_numpy() - m["px_b"].to_numpy()
+        dy = m["py"].to_numpy() - m["py_b"].to_numpy()
+        hit = (dx * dx + dy * dy) <= EPS2
+        out = (
+            m.loc[hit]
+            .groupby("event_id", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = _bucketed(pts.map_batches(rep9([]), batch_format="pyarrow"),
+                       ["ckey"], count_group, 16)
+
+    # -- join core flags back onto points (bucketed cogroup on event_id) ----
+    def attach(cols_from: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            p = df[df["side"] == 0]
+            f = df[df["side"] == 1]
+            out = p.merge(f[["event_id", cols_from]], on="event_id", how="inner")
+            return out.drop(columns=["side"])
+
+        return fn
+
+    def tag(ds, side: int, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keep].copy()
+            out["side"] = np.int64(side)
+            for c in ("px", "py", "n", "core", "cluster_id"):
+                if c not in out.columns:
+                    out[c] = np.int64(0)
+            return out[["event_id", "px", "py", "n", "core", "cluster_id", "side"]]
+
+        return fn
+
+    def core_flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["core"] = (df["n"] >= MINPTS).astype(np.int64)
+        return df
+
+    flagged = _bucketed(
+        pts.map_batches(tag(None, 0, ["event_id", "px", "py"]), batch_format="pandas").union(
+            counts.map_batches(core_flag, batch_format="pandas").map_batches(
+                tag(None, 1, ["event_id", "n", "core"]), batch_format="pandas"
+            )
+        ),
+        ["event_id"],
+        lambda df: df[df["side"] == 0][["event_id", "px", "py"]].merge(
+            df[df["side"] == 1][["event_id", "core"]], on="event_id"
+        ),
+        16,
+    )
+
+    # -- pass B: core-core edges --------------------------------------------
+    def edge_group(df: pd.DataFrame) -> pd.DataFrame:
+        cores = df[df["core"] == 1]
+        homes = cores.loc[cores["home"] == 1, ["ckey", "event_id", "px", "py"]]
+        m = homes.merge(
+            cores[["ckey", "event_id", "px", "py"]], on="ckey", suffixes=("", "_b")
+        )
+        dx = m["px"].to_numpy() - m["px_b"].to_numpy()
+        dy = m["py"].to_numpy() - m["py_b"].to_numpy()
+        hit = ((dx * dx + dy * dy) <= EPS2) & (
+            m["event_id"].to_numpy() < m["event_id_b"].to_numpy()
+        )
+        out = m.loc[hit, ["event_id", "event_id_b"]].rename(
+            columns={"event_id": "a", "event_id_b": "b"}
+        )
+        return out.astype({"a": "int64", "b": "int64"})
+
+    edges = _bucketed(
+        flagged.map_batches(rep9(["core"]), batch_format="pyarrow"),
+        ["ckey"], edge_group, 16,
+    )
+    labels = connected_components(edges, "a", "b", n_edges_hint=n_events * 8)
+
+    # -- pass D: borders ------------------------------------------------------
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["side"] == 0][["event_id", "px", "py", "core"]]
+        l = df[df["side"] == 1][["event_id", "cluster_id"]]
+        out = p.merge(l, on="event_id", how="left")
+        # a core with no core NEIGHBOR is a singleton cluster of itself;
+        # an unlabeled non-core is border/noise material (-1 until pass D)
+        own = np.where(out["core"].to_numpy() == 1, out["event_id"].to_numpy(), -1)
+        out["cluster_id"] = out["cluster_id"].fillna(pd.Series(own, index=out.index))
+        return out.astype({"cluster_id": "int64"})
+
+    labeled = _bucketed(
+        flagged.map_batches(
+            tag(None, 0, ["event_id", "px", "py", "core"]), batch_format="pandas"
+        ).union(
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "event_id"}),
+                batch_format="pandas",
+            ).map_batches(tag(None, 1, ["event_id", "cluster_id"]), batch_format="pandas")
+        ),
+        ["event_id"],
+        relabel,
+        16,
+    )
+
+    def border_group(df: pd.DataFrame) -> pd.DataFrame:
+        homes = df.loc[
+            (df["home"] == 1) & (df["core"] == 0), ["ckey", "event_id", "px", "py"]
+        ]
+        cores = df.loc[df["core"] == 1, ["ckey", "px", "py", "cluster_id"]]
+        m = homes.merge(cores, on="ckey", suffixes=("", "_b"))
+        dx = m["px"].to_numpy() - m["px_b"].to_numpy()
+        dy = m["py"].to_numpy() - m["py_b"].to_numpy()
+        hit = (dx * dx + dy * dy) <= EPS2
+        out = (
+            m.loc[hit]
+            .groupby("event_id", sort=False)["cluster_id"]
+            .min()
+            .reset_index()
+        )
+        return out.astype({"event_id": "int64", "cluster_id": "int64"})
+
+    borders = _bucketed(
+        labeled.map_batches(rep9(["core", "cluster_id"]), batch_format="pyarrow"),
+        ["ckey"], border_group, 16,
+    )
+
+    def as_role(role: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["event_id", "cluster_id"]].copy()
+            out["role"] = role
+            return out
+
+        return fn
+
+    core_rows = labeled.map_batches(
+        lambda df: df[df["core"] == 1][["event_id", "cluster_id"]],
+        batch_format="pandas",
+    ).map_batches(as_role("core"), batch_format="pandas")
+    border_rows = borders.map_batches(as_role("border"), batch_format="pandas")
+    return core_rows.union(border_rows)

@@ -141,6 +141,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "image_histogram",
         "anomaly_mad",
         "nearest_rect",
+        "dbscan",
     ),
 }
 
@@ -368,6 +369,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "image_histogram": ("i", "bin", "n_px"),
     "anomaly_mad": ("user_id", "event_id", "vc", "med_c", "mad_c"),
     "nearest_rect": ("event_id", "i", "d2"),
+    "dbscan": ("event_id", "cluster_id", "role"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

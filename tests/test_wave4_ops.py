@@ -594,3 +594,76 @@ def test_nearest_rect_brute_force(ray_session):
     # containment sanity: any point inside a footprint must report d2 = 0
     inside = got[got["d2"] == 0]
     assert len(inside) > 0
+
+
+def _dbscan_brute(SF_dir, eps=128, minpts=6):
+    ev = pd.read_parquet(f"{SF_dir}/events.parquet")
+    e = ev["event_id"].to_numpy()
+    n = len(e)
+    T = max(1, n // 8000)
+    c = e % 97
+    far = e % 11 == 0
+    dx = np.where(far, 96 + (e * 7) % 32, (e * 7) % 64)
+    dy = np.where(far, 96 + (e * 13) % 32, (e * 13) % 64)
+    noise = (e % 13 == 0) | ((e // 97) % T != 0)
+    px = np.where(noise, (e * 9973) % 1_000_000, (c % 40) * 512 + 128 + dx)
+    py = np.where(noise, 30_000 + (e * 31) % 5_000, (c // 40) * 512 + 128 + dy)
+    # quadratic neighbor counts (ground truth, no grid)
+    d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+    nb = d2 <= eps * eps
+    counts = nb.sum(axis=1)
+    core = counts >= minpts
+    # union-find over core-core eps edges
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii, jj = np.nonzero(nb & core[:, None] & core[None, :])
+    for a, b in zip(ii, jj):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = []
+    for k in range(n):
+        if core[k]:
+            comp = find(k)
+            members = [e[m] for m in range(n) if core[m] and find(m) == comp]
+            rows.append((e[k], min(members), "core"))
+    core_label = {r[0]: r[1] for r in rows}
+    for k in range(n):
+        if core[k]:
+            continue
+        labs = [core_label[e[m]] for m in np.nonzero(nb[k] & core)[0] if e[m] in core_label]
+        if labs:
+            rows.append((e[k], min(labs), "border"))
+    return pd.DataFrame(rows, columns=["event_id", "cluster_id", "role"])
+
+
+def test_dbscan_brute_force(ray_session):
+    """Grid DBSCAN equals the quadratic no-grid union-find replay at
+    sf0.001; the corpus yields real clusters AND at least one border or
+    omitted-noise point, so all three roles are exercised."""
+    from pygeoops_ray.pipelines.q_spatial import q_dbscan
+
+    SF_dir = SF
+    got = (
+        q_dbscan(SF_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype({"event_id": "int64", "cluster_id": "int64"})
+    )
+    want = (
+        _dbscan_brute(SF_dir)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype({"event_id": "int64", "cluster_id": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    n_events = len(pd.read_parquet(f"{SF_dir}/events.parquet"))
+    assert got["cluster_id"].nunique() > 10  # real clusters
+    assert len(got) < n_events  # noise exists and is omitted
