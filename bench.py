@@ -180,6 +180,7 @@ def run_bench() -> dict:
         "anomaly_mad",
         "nearest_rect",
         "dbscan",
+        "ann_hnsw",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2907,3 +2907,9 @@ ORACLE_SQL["dbscan"] = """
     WHERE a.event_id NOT IN (SELECT event_id FROM core)
     GROUP BY a.event_id
 """
+
+# ann_hnsw: recall-contract row (same weak-oracle shape as ann_lsh/ann_ivf)
+ORACLE_SQL["ann_hnsw"] = """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok
+"""

@@ -318,3 +318,16 @@ def q_ann_ivf_append(sf_dir: str):
             "append_ok": pa.array([int(delta_rows == n_delta)], pa.int64()),
         }
     )
+
+
+def q_ann_hnsw(sf_dir: str):
+    """Sharded deterministic HNSW (stages/ann.hnsw_topk) recall gate: mean
+    recall@10 >= 60% against exact brute force (measured 96-100% at
+    sf0.001/0.01/0.1, M=8 efC=32 efS=48, 4 shards). Levels draw from
+    md5(vec_id) — no RNG state — so the graph, the search path and the
+    recall are bit-stable across sessions and partitionings."""
+    return _ann_recall_summary(
+        sf_dir,
+        lambda emb, q_ids, qm, k: ann_stages.hnsw_topk(emb, q_ids, qm, k=k),
+        min_mean_recall_pct=60,
+    )

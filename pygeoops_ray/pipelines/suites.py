@@ -142,6 +142,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "anomaly_mad",
         "nearest_rect",
         "dbscan",
+        "ann_hnsw",
     ),
 }
 
@@ -370,6 +371,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "anomaly_mad": ("user_id", "event_id", "vc", "med_c", "mad_c"),
     "nearest_rect": ("event_id", "i", "d2"),
     "dbscan": ("event_id", "cluster_id", "role"),
+    "ann_hnsw": ("n_queries", "k", "recall_ok"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

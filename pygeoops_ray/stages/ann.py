@@ -474,3 +474,158 @@ def ivf_disk_topk_layers(
     emb_ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
     topk = _probed_topk(emb_ds, np.asarray(q_ids, np.int64), qn, cent, probe, k)
     return topk, stats
+
+
+# ---------------------------------------------------------------------------
+# sharded deterministic HNSW (Malkov & Yashunin 2016)
+# ---------------------------------------------------------------------------
+
+
+def _hnsw_level(vid: int, mL: float) -> int:
+    """Deterministic level draw: U from md5 of the id (no RNG state, so the
+    index is bit-stable across sessions and partitionings)."""
+    import hashlib
+    import math
+    import struct
+
+    u64 = struct.unpack("<Q", hashlib.md5(str(vid).encode()).digest()[:8])[0]
+    u = (u64 + 1) / 2.0**64
+    return int(-math.log(u) * mL)
+
+
+def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
+    """Build one shard's HNSW graph (insert in ascending id order) and search
+    every query; returns (q_id, vec_id, sim) rows of the per-shard top-k.
+
+    Pure numpy/heapq; cosine similarity on normalized vectors. Neighbor
+    lists prune to M per level (2M at level 0) by similarity.
+    """
+    import heapq
+    import math
+
+    n = len(ids)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = mat[order]
+    mL = 1.0 / math.log(M)
+    levels = np.array([_hnsw_level(int(v), mL) for v in ids])
+    max_lvl = -1
+    entry = -1
+    # adjacency: per level, dict[node] -> list[node]
+    graphs: list[dict[int, list[int]]] = []
+
+    def sim_to(vec, nodes):
+        return mat[nodes] @ vec
+
+    def beam(vec, start, lvl, ef):
+        g = graphs[lvl]
+        visited = {start}
+        s0 = float(mat[start] @ vec)
+        cand = [(-s0, start)]
+        best = [(s0, start)]
+        while cand:
+            negs, u = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            nbrs = [v for v in g.get(u, ()) if v not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            sims = sim_to(vec, nbrs)
+            for v, sv in zip(nbrs, sims):
+                sv = float(sv)
+                if len(best) < ef or sv > best[0][0]:
+                    heapq.heappush(best, (sv, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-sv, v))
+        return sorted(best, key=lambda t: (-t[0], ids[t[1]]))
+
+    for i in range(n):
+        l = int(levels[i])
+        while len(graphs) <= l:
+            graphs.append({})
+        if entry < 0:
+            entry, max_lvl = i, l
+            for lv in range(l + 1):
+                graphs[lv][i] = []
+            continue
+        vec = mat[i]
+        ep = entry
+        for lv in range(max_lvl, l, -1):
+            ep = beam(vec, ep, lv, 1)[0][1]
+        for lv in range(min(l, max_lvl), -1, -1):
+            found = beam(vec, ep, lv, ef_c)
+            cap = 2 * M if lv == 0 else M
+            nbrs = [v for _, v in found[:M]]
+            graphs[lv][i] = nbrs
+            for v in nbrs:
+                lst = graphs[lv].setdefault(v, [])
+                lst.append(i)
+                if len(lst) > cap:
+                    sims = sim_to(mat[v], lst)
+                    keep = np.argsort(-sims)[:cap]
+                    graphs[lv][v] = [lst[j] for j in keep]
+            ep = found[0][1]
+        if l > max_lvl:
+            entry, max_lvl = i, l
+
+    rows_q, rows_v, rows_s = [], [], []
+    for qi, q in enumerate(q_ids):
+        vec = qn[qi]
+        ep = entry
+        for lv in range(max_lvl, 0, -1):
+            ep = beam(vec, ep, lv, 1)[0][1]
+        found = beam(vec, ep, 0, max(ef_s, k))[:k]
+        for s, v in found:
+            rows_q.append(int(q))
+            rows_v.append(int(ids[v]))
+            rows_s.append(float(s))
+    return rows_q, rows_v, rows_s
+
+
+def hnsw_topk(emb_ds, q_ids, q_matrix, k: int = 10, n_shards: int = 4,
+              M: int = 8, ef_c: int = 32, ef_s: int = 48):
+    """Sharded HNSW approximate top-k: the corpus hash-partitions into
+    ``n_shards`` shards, each shard builds its own deterministic HNSW graph
+    in ONE task (graph build is inherently sequential-per-shard — the
+    distributed axis is shards, the standard production layout), every
+    query searches all shards, and a final tiny per-query merge keeps the
+    global top-k. At 100 TB: shards = hundreds, each worker builds/holds
+    one graph; queries fan out and the merge stays queries × shards × k.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+
+    qm = np.asarray(q_matrix, np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_arr = np.asarray(q_ids, np.int64)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard", pa.array(batch["vec_id"].to_numpy() % n_shards, pa.int64())
+        )
+
+    def build_and_search(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        rq, rv, rs = _hnsw_build_search(ids, m, q_arr, qn, k, M, ef_c, ef_s)
+        return pd.DataFrame({"q_id": rq, "vec_id": rv, "sim": rs})
+
+    per_shard = (
+        emb_ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_and_search, batch_format="pandas")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+            .groupby("q_id", sort=False)
+            .head(k)
+        )
+        return out[["q_id", "vec_id", "sim"]]
+
+    return _bucketed(per_shard, ["q_id"], merge, 4)

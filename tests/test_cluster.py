@@ -254,3 +254,30 @@ def test_ivf_append_layers_complete_and_resumable(ray_session, tmp_path):
         a = set(got.loc[got["q_id"] == qid, "vec_id"])
         assert e == a
     assert all(r == t_ for r, t_ in stats)  # nprobe=all: every file read
+
+
+def test_hnsw_recall_and_determinism(ray_session):
+    """Sharded HNSW: mean recall@10 well above the 60%% gate floor on the
+    real table; identical neighbor lists on a rerun (md5-drawn levels, no
+    RNG state); every query returns exactly k rows."""
+    import numpy as np
+
+    from pygeoops_ray.pipelines.common import _read
+    from pygeoops_ray.pipelines.q_ann import _query_vectors
+    from pygeoops_ray.stages import ann as ann_stages
+
+    sf = "/root/testdata/sf0.001"
+    q_ids, qm = _query_vectors(sf)
+    emb = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=10).to_pandas()
+    ap = ann_stages.hnsw_topk(emb, q_ids, qm, k=10).to_pandas()
+    assert (ap.groupby("q_id").size() == 10).all()
+    recs = [
+        len(set(exact[exact.q_id == q].vec_id) & set(ap[ap.q_id == q].vec_id)) / 10
+        for q in q_ids
+    ]
+    assert np.mean(recs) >= 0.8
+    ap2 = ann_stages.hnsw_topk(emb, q_ids, qm, k=10).to_pandas()
+    a = ap.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    b = ap2.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    assert a[["q_id", "vec_id"]].equals(b[["q_id", "vec_id"]])
