@@ -299,3 +299,54 @@ def test_ring_is_simple_binned_equals_dense():
     spiral = np.column_stack([r2 * np.cos(4 * th), r2 * np.sin(4 * th)])
     spiral = np.concatenate([spiral, spiral[:1]])  # closing chord crosses arms
     assert _ring_is_simple(spiral) is False
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=2, max_size=12
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_fastss_candidate_completeness_property(words):
+    """FastSS recall proof, property-tested: any two strings at TRUE edit
+    distance <= 1 (full DP Levenshtein) share a key in {s} ∪ del1(s); and
+    the in-group verifier used by q_fuzzy_pairs agrees with the DP exactly
+    on distance <= 1."""
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev, d[j] = d[j], cur
+        return d[n]
+
+    def keys(s):
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    def ed_le1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    uniq = sorted(set(words))
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1 :]:
+            d = lev(a, b)
+            assert ed_le1(a, b) == (d <= 1)
+            if d <= 1:
+                assert keys(a) & keys(b), (a, b)
