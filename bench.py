@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "nearest_rect",
         "dbscan",
         "ann_hnsw",
+        "group_corr",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -2913,3 +2913,21 @@ ORACLE_SQL["ann_hnsw"] = """
     SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
            CAST(1 AS BIGINT) AS recall_ok
 """
+
+# group_corr: exact integer Pearson sufficient statistics per event type
+ORACLE_SQL["group_corr"] = """
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS x,
+               CAST(epoch_us(ts) AS BIGINT) // 3600000000 % 24 AS y
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM m GROUP BY event_type
+"""

@@ -1757,3 +1757,52 @@ def q_anomaly_mad(sf_dir: str):
         .groupby("bucket")
         .map_groups(flag, batch_format="pandas")
     )
+
+
+def q_group_corr(sf_dir: str):
+    """Single-pass correlation moments per event type: n, Σx, Σy, Σx², Σy²,
+    Σxy for x = value cents and y = hour-of-day — the exact integer
+    sufficient statistics of Pearson r (and of a least-squares fit),
+    computed as algebraic per-block partials so the full profile of a
+    100-TB table is one streaming aggregate. The float r rides on top in
+    the caller; the driver-checked payload is the exact moments.
+    """
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def mom(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        tus = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        y = tus // 3_600_000_000 % 24
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(mom, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            ("x", "size", "n"),
+            ("x", "sum", "sx"),
+            ("y", "sum", "sy"),
+            ("xx", "sum", "sxx"),
+            ("yy", "sum", "syy"),
+            ("xy", "sum", "sxy"),
+        ],
+        n_rows_hint=16,
+    )
+
+    def fin(df):
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

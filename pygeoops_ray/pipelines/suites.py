@@ -143,6 +143,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "nearest_rect",
         "dbscan",
         "ann_hnsw",
+        "group_corr",
     ),
 }
 
@@ -372,6 +373,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "nearest_rect": ("event_id", "i", "d2"),
     "dbscan": ("event_id", "cluster_id", "role"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),
+    "group_corr": ("event_type", "n", "sx", "sy", "sxx", "syy", "sxy"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),
     "seq_pack": ("doc_id", "pack_id", "pack_off"),
     "dataset_split": ("split", "lang", "n_docs", "sum_doc_id", "sum_chars"),

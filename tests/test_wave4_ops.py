@@ -667,3 +667,53 @@ def test_dbscan_brute_force(ray_session):
     n_events = len(pd.read_parquet(f"{SF_dir}/events.parquet"))
     assert got["cluster_id"].nunique() > 10  # real clusters
     assert len(got) < n_events  # noise exists and is omitted
+
+
+def test_group_corr_moments_brute_force(ray_session):
+    """Moments equal a pandas replay; the derived Pearson r from the integer
+    moments matches numpy.corrcoef on the raw columns."""
+    from pygeoops_ray.pipelines.q_relational import q_group_corr
+
+    got = (
+        q_group_corr(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        x=np.floor(ev["value"].to_numpy() * 100).astype(np.int64),
+        y=ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        // 3_600_000_000
+        % 24,
+    )
+    want = (
+        ev.groupby("event_type")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "n": len(g),
+                    "sx": g["x"].sum(),
+                    "sy": g["y"].sum(),
+                    "sxx": (g["x"] ** 2).sum(),
+                    "syy": (g["y"] ** 2).sum(),
+                    "sxy": (g["x"] * g["y"]).sum(),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    pd.testing.assert_frame_equal(
+        got[["event_type", *cols]].astype({c: "int64" for c in cols}),
+        want.astype({c: "int64" for c in cols}),
+    )
+    for _, r in got.iterrows():
+        g = ev[ev["event_type"] == r["event_type"]]
+        num = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+        den = np.sqrt(float(r["n"] * r["sxx"] - r["sx"] ** 2)) * np.sqrt(
+            float(r["n"] * r["syy"] - r["sy"] ** 2)
+        )
+        if den > 0:
+            r_true = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(num / den - r_true) < 1e-9
