@@ -131,6 +131,10 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_ivf_append",
         "pip_polygon",
         "topk_scan",
+    ),
+    # round-3 fourth/fifth-wave operators: their own gate slot so neither
+    # suite grows past ~20 members (per-row latency at the driver)
+    "wave_suite": (
         "aspect_bucket",
         "time_travel",
         "idw_grid",
@@ -183,9 +187,9 @@ HEAD: tuple[str, ...] = (
     # graph
     "dup_clusters",
     "dup_triangles",
-    # images
+    # images (image_pyramid lives in the sweep tail — the family keeps four
+    # other head representatives)
     "image_features",
-    "image_pyramid",
     "zonal_stats",
     "image_augment",
     "image_curation",
@@ -212,6 +216,7 @@ HEAD: tuple[str, ...] = (
     "join_suite",
     "audio_suite",
     "variants_suite",
+    "wave_suite",
     # round-3 additions fill the remaining head slots (kept < 50 total)
 )
 
