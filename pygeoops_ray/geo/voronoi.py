@@ -128,10 +128,98 @@ def _incircle_strict(ax, ay, bx, by, cx, cy, px, py):
     return (deti > 0) == (orienti > 0)
 
 
+def _incircle_sign(ax, ay, bx, by, cx, cy, px, py):
+    """Exact sign of the incircle determinant normalized by orientation:
+    +1 = p strictly inside the circumcircle of (a, b, c), 0 = cocircular,
+    -1 = strictly outside. Degenerate (collinear) triangles return +1,
+    matching the float path's ``inf <= inf`` always-bad semantics.
+
+    Coordinates are scaled by a common power of two to exact integers, so
+    the determinant is computed without rounding (see _int_scale)."""
+    _, (axi, ayi, bxi, byi, cxi, cyi, pxi, pyi) = _int_scale(
+        ax, ay, bx, by, cx, cy, px, py
+    )
+    adx = axi - pxi
+    ady = ayi - pyi
+    bdx = bxi - pxi
+    bdy = byi - pyi
+    cdx = cxi - pxi
+    cdy = cyi - pyi
+    m1 = bdx * cdy - cdx * bdy
+    m2 = cdx * ady - adx * cdy
+    m3 = adx * bdy - bdx * ady
+    det = (
+        (adx * adx + ady * ady) * m1
+        + (bdx * bdx + bdy * bdy) * m2
+        + (cdx * cdx + cdy * cdy) * m3
+    )
+    orient = m1 + m2 + m3
+    if orient == 0:
+        return 1
+    if det == 0:
+        return 0
+    return 1 if (det > 0) == (orient > 0) else -1
+
+
+# Relative uncertainty band for the cached-circumcircle float cavity test:
+# when |d2 - r^2| is within this fraction of (d2 + r^2) the float comparison
+# can be wrong (huge near-degenerate circumcircles cancel the signal — a
+# point 0.003 units inside the hull edge of a 4-point fan was classified
+# outside, dropping a sliver triangle from the cavity) and the exact integer
+# predicate decides instead.
+_INCIRCLE_TOL = 1e-6
+
 # Strict (GEOS-style Lawson) cocircular tie rule for the Bowyer-Watson
 # cavity test. Default False: the shipped goldens (square 4-way tie et al.)
 # are pinned on the inclusive <= semantics.
 STRICT_INCIRCLE = False
+
+
+def _covers_hull(pts: np.ndarray, tris: np.ndarray) -> bool:
+    """True iff the triangle areas sum to the convex-hull area (within a
+    span-relative tolerance). A deficit means the finite super triangle sat
+    inside the circumcircle of a near-degenerate hull sliver — the classic
+    finite-super Bowyer-Watson artifact (a point h from a hull edge of
+    length L has circumradius ~L^2/(8h), unbounded as h -> 0) — and the
+    caller must retry with a larger super triangle."""
+    minx, miny = pts.min(axis=0)
+    maxx, maxy = pts.max(axis=0)
+    span = max(maxx - minx, maxy - miny, 1e-9)
+    if len(tris) == 0:
+        tri_area = 0.0
+    else:
+        a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+        tri_area = (
+            np.abs(
+                (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+            ).sum()
+            / 2
+        )
+    # monotone-chain hull + shoelace
+    P = sorted(set(map(tuple, pts.tolist())))
+    if len(P) < 3:
+        return True
+
+    def half(ps):
+        h = []
+        for p in ps:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    hull = half(P)[:-1] + half(P[::-1])[:-1]
+    hull_area = 0.0
+    for q in range(len(hull)):
+        x0, y0 = hull[q - 1]
+        x1, y1 = hull[q]
+        hull_area += x0 * y1 - x1 * y0
+    hull_area = abs(hull_area) / 2
+    return hull_area - tri_area <= 1e-9 * span * span
 
 
 def delaunay(points: np.ndarray) -> np.ndarray:
@@ -140,18 +228,35 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     Input is centered on its mean before triangulating: survey-scale
     coordinates (1e5) with micro-scale extents otherwise lose the circumcircle
     test to catastrophic cancellation.
+
+    The finite super triangle is grown geometrically until the result tiles
+    the convex hull (see _covers_hull): near-degenerate hull slivers have
+    circumradii that can exceed any fixed super size, and a super vertex
+    inside such a circumcircle silently drops the sliver from the output.
     """
     pts = np.asarray(points, dtype=np.float64)[:, :2]
     n = len(pts)
     if n < 3:
         return np.zeros((0, 3), dtype=np.int64)
     pts = pts - np.floor(pts.mean(axis=0))  # integer shift: exact in floats
+    mult = 1000.0
+    for _ in range(6):
+        tris = _delaunay_core(pts, mult)
+        if _covers_hull(pts, tris):
+            return tris
+        mult *= 4096.0
+    return tris
+
+
+def _delaunay_core(pts: np.ndarray, size_mult: float) -> np.ndarray:
+    """One Bowyer-Watson pass with the super triangle at size_mult x extent."""
+    n = len(pts)
 
     # super-triangle
     minx, miny = pts.min(axis=0)
     maxx, maxy = pts.max(axis=0)
     cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
-    size = max(maxx - minx, maxy - miny, 1e-9) * 1000
+    size = max(maxx - minx, maxy - miny, 1e-9) * size_mult
     sup = np.array(
         [[cx - 2 * size, cy - size], [cx + 2 * size, cy - size], [cx, cy + 2 * size]]
     )
@@ -298,6 +403,22 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 xl[i], yl[i], xl[j], yl[j], xl[k2], yl[k2], px, py
             )
 
+        def tri_bad(t):
+            # inclusive (ties-inside) cavity test: cached float circumcircle
+            # when the signal is clear, exact integer incircle in the
+            # uncertainty band (huge sliver circumcircles cancel the float
+            # difference — see _INCIRCLE_TOL)
+            ux, uy, rr = circ_l[t]
+            d2 = (px - ux) ** 2 + (py - uy) ** 2
+            diff = d2 - rr
+            if diff == diff and abs(diff) > _INCIRCLE_TOL * (d2 + rr):
+                return diff <= 0
+            i, j, k2 = vlist[t]
+            return (
+                _incircle_sign(xl[i], yl[i], xl[j], yl[j], xl[k2], yl[k2], px, py)
+                >= 0
+            )
+
         if t0 is not None:
             if strict:
                 # strict tie rule: the CONTAINING triangle is always in the
@@ -305,8 +426,7 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 # on its own triangle's circumcircle must still insert)
                 in0 = True
             else:
-                ux, uy, rr = circ_l[t0]
-                in0 = (px - ux) ** 2 + (py - uy) ** 2 <= rr
+                in0 = tri_bad(t0)
         else:
             in0 = False
         if in0:
@@ -325,8 +445,7 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 if strict:
                     bad = t == t0 or tri_strict(t)
                 else:
-                    ux, uy, rr = circ_l[t]
-                    bad = (px - ux) ** 2 + (py - uy) ** 2 <= rr
+                    bad = tri_bad(t)
                 if bad:
                     bad_append(t)
                     i, j, k = vlist[t]
@@ -350,7 +469,23 @@ def delaunay(points: np.ndarray) -> np.ndarray:
                 )[0].tolist()
                 bad_list = [t for t in cand if tri_strict(t)]
             else:
-                bad_list = np.nonzero(aalive & (d2 <= circ[:, 2]))[0].tolist()
+                rr = circ[:, 2]
+                diff = d2 - rr
+                with np.errstate(invalid="ignore"):
+                    scale_ = d2 + rr
+                    badmask = aalive & (diff <= -_INCIRCLE_TOL * scale_)
+                    unsure = (
+                        aalive
+                        & ~badmask
+                        & (
+                            (np.abs(diff) <= _INCIRCLE_TOL * scale_)
+                            | ~np.isfinite(diff)
+                        )
+                    )
+                for t in np.nonzero(unsure)[0].tolist():
+                    if tri_bad(t):
+                        badmask[t] = True
+                bad_list = np.nonzero(badmask)[0].tolist()
             if not bad_list:
                 continue  # degenerate duplicate point
         # kill the cavity and count its edges in one pass: edges appearing

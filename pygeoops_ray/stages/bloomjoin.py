@@ -153,15 +153,26 @@ def bloom_anti_join(
     num_partitions: int = 8,
     bloom_probe_key: str | None = None,
     bloom_build_key: str | None = None,
+    broadcast_threshold: int = 2_000_000,
 ):
     """probe_ds rows whose probe_key does NOT appear in build_ds.build_key.
 
-    The Bloom filter's one-sided error works FOR the anti-join: a
-    bloom-NEGATIVE row is definitely absent from the build side and flows
-    straight through with no exchange at all; only bloom-POSITIVE rows
-    (true members + the ~1% false positives) enter the exact ``left_anti``
-    join that decides them. When most probe rows are new — the append-mode
-    dedup case — almost nothing shuffles. Exact end-to-end.
+    Two regimes, picked by the build-side size BOUND (``n_build_hint``):
+
+    - **Broadcast** (hint ≤ ``broadcast_threshold``): the distinct build
+      keys are bounded (≤ ~16 MB at the default threshold), so they ship
+      once via ``ray.put`` and every probe block anti-filters with a
+      vectorized ``np.isin`` inside ``map_batches`` — ONE probe traversal,
+      zero exchanges. This is the brief's broadcast-small-sides idiom; the
+      build side is consumed exactly once (same cost the Bloom build pass
+      would have paid) and the probe side never lands on the driver.
+    - **Bloom + cogroup** (hint above threshold): the Bloom filter's
+      one-sided error works FOR the anti-join: a bloom-NEGATIVE row is
+      definitely absent from the build side and flows straight through with
+      no exchange at all; only bloom-POSITIVE rows (true members + the ~1%
+      false positives) enter the exact ``left_anti`` cogroup that decides
+      them. When most probe rows are new — the append-mode dedup case —
+      almost nothing shuffles. Exact end-to-end.
 
     ``bloom_probe_key``/``bloom_build_key`` (default: the join keys) name an
     int64 DERIVED key for the filter when the exact join key is not numeric
@@ -169,12 +180,27 @@ def bloom_anti_join(
     join key, which preserves no-false-negatives; the exact join still runs
     on the real key, so derived-key collisions cannot drop rows.
 
-    probe_ds is traversed twice (negative and positive passes); pass a
-    materialized dataset when upstream recompute is expensive.
+    In the Bloom regime probe_ds is traversed twice (negative and positive
+    passes); pass a materialized dataset when upstream recompute is
+    expensive.
     """
     import functools
 
     import ray
+
+    if n_build_hint <= broadcast_threshold:
+        # build side bounded: exact broadcast anti-filter, one probe pass
+        drop_keys = (
+            build_ds.select_columns([build_key]).to_pandas()[build_key].unique()
+        )
+        keys_ref = ray.put(drop_keys)
+
+        def anti_filter(batch: pa.Table) -> pa.Table:
+            drop = ray.get(keys_ref)
+            vals = batch[probe_key].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(vals, drop)))
+
+        return probe_ds.map_batches(anti_filter, batch_format="pyarrow")
 
     bpk = bloom_probe_key or probe_key
     bbk = bloom_build_key or build_key
@@ -219,7 +245,6 @@ def bloom_anti_join(
     # relevant build keys (_isbuild=1, other columns null) land in the same
     # bucket by join-key hash; the reducer drops maybe rows whose key has a
     # build row.
-    import numpy as np
     import pandas as pd
 
     from pygeoops_ray.stages.groupagg import _bucket_count

@@ -240,6 +240,25 @@ def test_delaunay_hull_area_identity(pt_list):
     assert tri_area == hull_area
 
 
+def test_delaunay_sliver_near_hull_edge_pinned():
+    """Round-3 verdict regression (non-hypothesis pin): point (-9, 87.5) lies
+    0.0033 units inside hull edge (74,95.5)-(-76.5,81), so triangle BCD's
+    circumradius (~8.5e5) exceeds the default 1000x super-triangle distance —
+    the finite-super artifact dropped the sliver (area 6649.625 of 6649.875).
+    The hull-coverage retry must emit all three fan triangles."""
+    from pygeoops_ray.geo.voronoi import delaunay
+
+    pts = np.array([(0, 0), (-9, 87.5), (74, 95.5), (-76.5, 81)], dtype=float)
+    tris = delaunay(pts)
+    assert len(tris) == 3
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    area = np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum() / 2
+    assert area == 6649.875
+
+
 # --- y-binned predicate equivalence (binned path vs dense reference) --------
 
 

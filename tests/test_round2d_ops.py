@@ -191,15 +191,24 @@ def test_bloom_anti_join_exact_complement(ray_session):
     ).repartition(6)
     build = rd.from_arrow(pa.table({"bk": build_keys})).repartition(3)
 
-    anti = bloom_anti_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
-    got = anti.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     keep = ~np.isin(probe_keys, build_keys)
     want = (
         pd.DataFrame({"k": probe_keys[keep], "v": np.arange(len(probe_keys))[keep]})
         .sort_values(["k", "v"])
         .reset_index(drop=True)
     )
+    # both regimes must produce the exact complement: broadcast (default —
+    # the hint is under the threshold) AND the bloom+cogroup path (forced
+    # with broadcast_threshold=0)
+    anti = bloom_anti_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
+    got = anti.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+    anti_bloom = bloom_anti_join(
+        probe, build, "k", "bk", n_build_hint=len(build_keys), broadcast_threshold=0
+    )
+    got_bloom = anti_bloom.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_bloom, want)
+    anti = anti_bloom
     # anti + semi must partition the probe exactly
     semi = bloom_semi_join(probe, build, "k", "bk", n_build_hint=len(build_keys))
     assert semi.count() + anti.count() == len(probe_keys)
@@ -214,7 +223,9 @@ def test_bloom_anti_join_no_positives_and_same_name(ray_session):
         pa.table({"k": np.arange(1000, 1100, dtype=np.int64)})
     ).repartition(4)
     build = rd.from_arrow(pa.table({"k": np.arange(0, 50, dtype=np.int64)}))
-    out = bloom_anti_join(probe, build, "k", "k", n_build_hint=50)
+    out = bloom_anti_join(
+        probe, build, "k", "k", n_build_hint=50, broadcast_threshold=0
+    )
     assert sorted(out.to_pandas()["k"]) == list(range(1000, 1100))
 
 
