@@ -423,13 +423,23 @@ def q_fuzzy_pairs(sf_dir: str):
         return a[i:] == b[i + 1 :]
 
     def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         out_a, out_b = [], []
-        for _, g in df.groupby("key", sort=False):
+        for key, g in df.groupby("key", sort=False):
             u = sorted(set(g["name"]))
-            if len(u) < 2 or len(u) > 64:  # oversized groups: key too generic
-                if len(u) > 64:
-                    raise ValueError(f"hot deletion key: {len(u)} names")
+            if len(u) < 2:
                 continue
+            if len(u) > 64:
+                # dense id spaces (e.g. zero-padded numeric names) make a
+                # deletion key collect every single-position variant — up
+                # to ~90 names. The exact ed<=1 verify bounds the work to
+                # |u|^2 short-string compares, so process the group anyway
+                # and just log the hot key (raising here crashed the query
+                # on dense corpora).
+                logging.getLogger(__name__).warning(
+                    "fuzzy_pairs: hot deletion key %r collects %d names", key, len(u)
+                )
             for i in range(len(u)):
                 for j in range(i + 1, len(u)):
                     if _ed_le1(u[i], u[j]):

@@ -459,15 +459,32 @@ def q_trajectories(sf_dir: str):
 
     def steps(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["user_id", "ts", "event_id"])
-        same_user = group["user_id"].eq(group["user_id"].shift())
-        dx = group["px"].diff()
-        dy = group["py"].diff()
-        d2 = (dx * dx + dy * dy).where(same_user)
-        group = group.assign(d2=d2)
-        out = (
-            group.dropna(subset=["d2"])
-            .groupby("user_id", as_index=False)
-            .agg(n_steps=("d2", "size"), sum_d2=("d2", "sum"), max_d2=("d2", "max"))
+        # integer-exact deltas: pandas .diff() promotes int64 to float64,
+        # and a float sum_d2 cast back to int64 can differ from the exact
+        # BIGINT sum past 2^53 (~70k steps/user). np.diff on the int64
+        # arrays + a same-user mask keeps the whole kernel in int64.
+        uid = group["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("user_id", "n_steps", "sum_d2", "max_d2")
+                }
+            )
+        px = group["px"].to_numpy()
+        py = group["py"].to_numpy()
+        same_user = np.empty(len(uid), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        dx = np.empty(len(px), dtype=np.int64)
+        dy = np.empty(len(py), dtype=np.int64)
+        dx[0] = dy[0] = 0
+        dx[1:] = np.diff(px)
+        dy[1:] = np.diff(py)
+        d2 = dx * dx + dy * dy
+        sub = pd.DataFrame({"user_id": uid[same_user], "d2": d2[same_user]})
+        out = sub.groupby("user_id", as_index=False).agg(
+            n_steps=("d2", "size"), sum_d2=("d2", "sum"), max_d2=("d2", "max")
         )
         for c in ("n_steps", "sum_d2", "max_d2"):
             out[c] = out[c].astype("int64")
@@ -643,8 +660,16 @@ def q_nearest_rect(sf_dir: str):
                            py - rects["maxy"].to_numpy()[None, :]), 0
             )
             d2 = dx * dx + dy * dy
-            key = d2 * (1 << 21) + rects["i"].to_numpy()[None, :]
-            best = key.argmin(axis=1)
+            # lexicographic (d2, i) argmin WITHOUT packing both into one
+            # int64 (a d2*(1<<21)+i key breaks once i >= 2^21 — the part
+            # table passes 2M rows around sf10 and large ordinals would
+            # bleed into the d2 bits): min d2 per row, then min i among
+            # the d2-minimal columns.
+            ri = rects["i"].to_numpy()
+            dmin = d2.min(axis=1, keepdims=True)
+            best = np.where(d2 == dmin, ri[None, :], np.iinfo(np.int64).max).argmin(
+                axis=1
+            )
             outs.append(
                 pd.DataFrame(
                     {

@@ -148,6 +148,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dbscan",
         "ann_hnsw",
         "group_corr",
+        "image_pyramid",
     ),
 }
 
@@ -187,8 +188,8 @@ HEAD: tuple[str, ...] = (
     # graph
     "dup_clusters",
     "dup_triangles",
-    # images (image_pyramid lives in the sweep tail — the family keeps four
-    # other head representatives)
+    # images (image_pyramid rides wave_suite since round 4; the family keeps
+    # four other head representatives)
     "image_features",
     "zonal_stats",
     "image_augment",
@@ -377,6 +378,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "anomaly_mad": ("user_id", "event_id", "vc", "med_c", "mad_c"),
     "nearest_rect": ("event_id", "i", "d2"),
     "dbscan": ("event_id", "cluster_id", "role"),
+    "image_pyramid": ("i", "level", "w", "h", "sum_rgb", "sum_sq", "pyramid_ok"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),
     "group_corr": ("event_type", "n", "sx", "sy", "sxx", "syy", "sxy"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),

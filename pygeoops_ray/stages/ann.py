@@ -568,6 +568,12 @@ def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
                     graphs[lv][v] = [lst[j] for j in keep]
             ep = found[0][1]
         if l > max_lvl:
+            # promoted entry point: initialize its adjacency at the newly
+            # created levels (mirroring the first-node path) — otherwise
+            # upper-level descent degenerates to the bare entry point and
+            # silently degrades graph quality
+            for lv in range(max_lvl + 1, l + 1):
+                graphs[lv].setdefault(i, [])
             entry, max_lvl = i, l
 
     rows_q, rows_v, rows_s = [], [], []
