@@ -311,14 +311,20 @@ def run_scaling():
             "def pts(b):\n"
             "    b = b.rename_columns(['event_id'])\n"
             "    return sp.points_from_events(b)\n"
-            f"points = rd.range({n_images}).map_batches(pts, batch_format='pyarrow')\n"
+            # ~1 block/core from the source: the sort's partition count
+            # follows input block count, and pre-sized blocks beat the
+            # operator's own coalesce pass (no extra 400 MB repartition)
+            f"points = rd.range({n_images}, override_num_blocks=max(8, ncpu))"
+            ".map_batches(pts, batch_format='pyarrow')\n"
             "rects.materialize(); points.materialize()\n"  # warm generators
             "t0 = time.time()\n"
-            f"points = rd.range({n_images}).map_batches(pts, batch_format='pyarrow')\n"
+            f"points = rd.range({n_images}, override_num_blocks=max(8, ncpu))"
+            ".map_batches(pts, batch_format='pyarrow')\n"
             "n = sp.pip_join_rects_points(\n"
             "    image_table_ds(200_000, columns=['image_id', 'w', 'h'])"
             ".map_batches(add_footprint, batch_format='pyarrow'),\n"
-            "    points, strategy='groupby', salt_hot=True).count()\n"
+            "    points, strategy='groupby', salt_hot=True,"
+            " coalesce_blocks=0).count()\n"
             "print('RESULT', round(time.time() - t0, 3))\n"
             "ray.shutdown()\n"
         )

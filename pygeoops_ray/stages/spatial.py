@@ -179,6 +179,7 @@ def pip_join_rects_points(
     salt_factor: int = 8,
     points_broadcast=None,
     join_type: str = "inner",
+    coalesce_blocks: int | None = None,
 ):
     """Distributed point-in-polygon join, co-partitioned on the Hilbert cell id.
 
@@ -309,23 +310,30 @@ def pip_join_rects_points(
     # sub-keys: each point goes to exactly one salt (hash of its id), the rect
     # side is REPLICATED to every salt of that bucket — every pair still meets
     # exactly once, but no single group exceeds ~hot_threshold points.
+    grid = CellGrid(TILE)
     hot: dict[int, int] = {}
     if salt_hot:
-        counts_df = (
-            pcells.map_batches(
-                lambda b: pa.Table.from_pydict(
-                    {"bucket": pa.array(b["cell_id"].to_numpy() >> coarse_bits, pa.int64())}
-                ),
-                batch_format="pyarrow",
+        # per-block PARTIAL bucket counts before the groupby: the exchange
+        # moves blocks x distinct-buckets-per-block rows, not one row per
+        # point (the full-column shuffle here was itself a scaling cost)
+        def bucket_partial(b: pa.Table) -> pa.Table:
+            cell = grid.cell_id(b["px"].to_numpy(), b["py"].to_numpy())
+            u, c = np.unique(cell >> coarse_bits, return_counts=True)
+            return pa.Table.from_pydict(
+                {"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
             )
+
+        counts_df = (
+            points_ds.map_batches(bucket_partial, batch_format="pyarrow")
             .groupby("bucket")
-            .count()
+            .sum("n")
             .to_pandas()
         )
+        ncol = [c for c in counts_df.columns if c != "bucket"][0]
         thr = hot_threshold
         if thr is None:
-            thr = max(int(4 * counts_df["count()"].mean()), 10_000)
-        for _, row in counts_df[counts_df["count()"] > thr].iterrows():
+            thr = max(int(4 * counts_df[ncol].mean()), 10_000)
+        for _, row in counts_df[counts_df[ncol] > thr].iterrows():
             hot[int(row["bucket"])] = salt_factor
     MAXSALT = 64
 
@@ -333,32 +341,79 @@ def pip_join_rects_points(
         z = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return ((z >> np.uint64(33)) ^ z).astype(np.int64)
 
+    # --- narrow exchange schema ----------------------------------------------
+    # Bytes per exchanged row are the scaling currency of this all-to-all:
+    # instead of unioning both sides' full-width schemas (null columns in
+    # Arrow still ship their value buffers), the two sides SHARE column
+    # slots — f0/f1 carry (px,py) or (minx,miny), f2/f3 carry (maxx,maxy)
+    # (null on the big point side), int64 id columns pair up in k{j} slots —
+    # and cell_id never ships at all: the reducer recomputes point cells
+    # from (px,py) and rect covering cells from the bbox, so the rect side
+    # also dedupes to one row per (rect, BUCKET, salt) instead of one per
+    # covering cell. skey is int32 (bucket < 2^(2*order-coarse_bits) and
+    # MAXSALT=64 keep it under 2^31 for any order <= 17). Measured on the
+    # bench shuffle workload: 85 -> ~45 B/point-row.
+    n_k = max(len(pnames), sum(1 for c in rnames if rect_id_types[c] == pa.int64()))
+    r_int64 = [c for c in rnames if rect_id_types[c] == pa.int64()]
+    r_other = [c for c in rnames if rect_id_types[c] != pa.int64()]
+    skey_t = pa.int32() if (2 * grid.order - coarse_bits + 6) < 31 else pa.int64()
+    skey_np = np.int32 if skey_t == pa.int32() else np.int64
+
     def rside(b: pa.Table) -> pa.Table:
-        bucket = b["cell_id"].to_numpy() >> coarse_bits
+        if b.num_rows == 0:  # _covering_expansion can't repeat over 0 rects
+            cols = {
+                "skey": pa.array([], skey_t),
+                "side": pa.array([], pa.int8()),
+                **{f: pa.array([], pa.float64()) for f in ("f0", "f1", "f2", "f3")},
+                **{f"k{j}": pa.array([], pa.int64()) for j in range(n_k)},
+                **{c: pa.array([], rect_id_types[c]) for c in r_other},
+            }
+            return pa.Table.from_pydict(cols)
+        minx = b["minx"].to_numpy()
+        miny = b["miny"].to_numpy()
+        maxx = b["maxx"].to_numpy()
+        maxy = b["maxy"].to_numpy()
+        row_idx, tx, ty = _covering_expansion(minx, miny, maxx, maxy, TILE)
+        bucket = grid.cell_id_of_colrow(tx, ty) >> coarse_bits
+        # dedupe to one row per (rect, bucket)
+        order = np.lexsort((bucket, row_idx))
+        row_idx, bucket = row_idx[order], bucket[order]
+        first = np.empty(len(row_idx), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = (row_idx[1:] != row_idx[:-1]) | (bucket[1:] != bucket[:-1])
+        row_idx, bucket = row_idx[first], bucket[first]
         if hot:
             reps = np.array([hot.get(int(x), 1) for x in bucket], dtype=np.int64)
             idx = np.repeat(np.arange(len(bucket)), reps)
             offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
             salt = np.arange(int(reps.sum())) - np.repeat(offs, reps)
-            b = b.take(pa.array(idx))
+            row_idx = row_idx[idx]
             bucket = bucket[idx]
         else:
             salt = np.zeros(len(bucket), dtype=np.int64)
+        b = b.take(pa.array(row_idx))
+        n = len(bucket)
         cols = {
-            "skey": pa.array(bucket * MAXSALT + salt, pa.int64()),
-            "cell_id": b["cell_id"],
-            "side": pa.array(np.zeros(len(b), np.int8)),
+            "skey": pa.array((bucket * MAXSALT + salt).astype(skey_np), skey_t),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "f0": b["minx"],
+            "f1": b["miny"],
+            "f2": b["maxx"],
+            "f3": b["maxy"],
         }
-        for c in rnames + ["minx", "miny", "maxx", "maxy"]:
+        for j in range(n_k):
+            cols[f"k{j}"] = (
+                b[r_int64[j]] if j < len(r_int64) else pa.nulls(n, pa.int64())
+            )
+        for c in r_other:
             cols[c] = b[c]
-        for c in pnames:
-            cols[c] = pa.nulls(len(b), pa.int64())
-        cols["px"] = pa.nulls(len(b), pa.float64())
-        cols["py"] = pa.nulls(len(b), pa.float64())
         return pa.Table.from_pydict(cols)
 
     def pside(b: pa.Table) -> pa.Table:
-        bucket = b["cell_id"].to_numpy() >> coarse_bits
+        px = b["px"].to_numpy()
+        py = b["py"].to_numpy()
+        bucket = grid.cell_id(px, py) >> coarse_bits
         if hot:
             factors = np.array([hot.get(int(x), 1) for x in bucket], dtype=np.int64)
             salt = np.where(
@@ -366,24 +421,55 @@ def pip_join_rects_points(
             )
         else:
             salt = np.zeros(len(bucket), dtype=np.int64)
+        n = len(bucket)
         cols = {
-            "skey": pa.array(bucket * MAXSALT + salt, pa.int64()),
-            "cell_id": b["cell_id"],
-            "side": pa.array(np.ones(len(b), np.int8)),
+            "skey": pa.array((bucket * MAXSALT + salt).astype(skey_np), skey_t),
+            "side": pa.array(np.ones(n, np.int8)),
+            "f0": b["px"],
+            "f1": b["py"],
+            "f2": pa.nulls(n, pa.float64()),
+            "f3": pa.nulls(n, pa.float64()),
         }
-        for c in rnames:
-            cols[c] = pa.nulls(len(b), rect_id_types[c])
-        for c in ("minx", "miny", "maxx", "maxy"):
-            cols[c] = pa.nulls(len(b), pa.float64())
-        for c in pnames + ["px", "py"]:
-            cols[c] = b[c]
+        for j in range(n_k):
+            cols[f"k{j}"] = b[pnames[j]] if j < len(pnames) else pa.nulls(n, pa.int64())
+        for c in r_other:
+            cols[c] = pa.nulls(n, rect_id_types[c])
         return pa.Table.from_pydict(cols)
 
     import pandas as pd
 
-    both = rcells.map_batches(rside, batch_format="pyarrow").union(
-        pcells.map_batches(pside, batch_format="pyarrow")
+    rcells_g = rects_ds.map_batches(
+        lambda b: b.select(list(rect_cols) + ["minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+        batch_size=None,
     )
+    pcells_g = points_ds.map_batches(
+        lambda b: b.select(list(point_cols) + ["px", "py"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    both = rcells_g.map_batches(rside, batch_format="pyarrow").union(
+        pcells_g.map_batches(pside, batch_format="pyarrow")
+    )
+    # Coalesce before the all-to-all: sort partition count follows input
+    # block count, so B input blocks cost B^2 shuffle objects. Upstream
+    # reads routinely arrive at 60-80 blocks -> ~6000 tiny objects whose
+    # per-object fixed cost dominated the exchange wall (measured 5.7 s of
+    # a 6.9 s join at 8 cpus with ~1.2 s of actual compute). ~1 block per
+    # core keeps objects MB-sized; no-shuffle repartition is a local
+    # split/merge, not an exchange. coalesce_blocks=0 disables (callers
+    # that already size their upstream blocks skip the extra pass).
+    if coalesce_blocks != 0:
+        if coalesce_blocks is None:
+            import ray as _ray
+
+            ncpu = (
+                int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized()
+                else 8
+            )
+            coalesce_blocks = max(8, ncpu)
+        both = both.repartition(coalesce_blocks)
 
     anti = join_type == "anti"
     # Emit TYPED ARROW from the group reducer (not pandas): zero-row pandas
@@ -402,6 +488,10 @@ def pip_join_rects_points(
             schema=out_schema,
         )
 
+    # name of the k-slot (or unshared column) carrying each output id column
+    p_slot = {c: f"k{j}" for j, c in enumerate(pnames)}
+    r_slot = {c: f"k{r_int64.index(c)}" if c in r_int64 else c for c in rnames}
+
     def join_group(grp: pd.DataFrame) -> pa.Table:
         side = grp["side"].to_numpy()
         r = grp[side == 0]
@@ -412,31 +502,38 @@ def pip_join_rects_points(
             # a point lands in exactly one group, so "no rects here" means
             # globally uncovered — the anti output is the whole point side
             if anti:
-                return _emit({c: p[c].to_numpy() for c in pnames})
+                return _emit({c: p[p_slot[c]].to_numpy() for c in pnames})
             return empty_out
-        # vectorized per-cell candidate expansion: rects sorted by cell_id,
-        # searchsorted gives each point its candidate rect range
-        rc = r["cell_id"].to_numpy()
+        bucket = int(grp["skey"].iloc[0]) // MAXSALT
+        # rebuild the (rect, covering-cell) pairs the exchange elided: same
+        # _covering_expansion + hilbert id as the classic pipeline, filtered
+        # to this group's bucket
+        rminx = r["f0"].to_numpy()
+        rminy = r["f1"].to_numpy()
+        rmaxx = r["f2"].to_numpy()
+        rmaxy = r["f3"].to_numpy()
+        rrow, tx, ty = _covering_expansion(rminx, rminy, rmaxx, rmaxy, TILE)
+        cell = grid.cell_id_of_colrow(tx, ty)
+        keep = (cell >> coarse_bits) == bucket
+        rrow, rc = rrow[keep], cell[keep]
         order = np.argsort(rc, kind="stable")
         rc = rc[order]
-        rminx = r["minx"].to_numpy()[order]
-        rminy = r["miny"].to_numpy()[order]
-        rmaxx = r["maxx"].to_numpy()[order]
-        rmaxy = r["maxy"].to_numpy()[order]
-        pc_ = p["cell_id"].to_numpy()
-        px = p["px"].to_numpy()
-        py = p["py"].to_numpy()
+        rrow = rrow[order]
+        px = p["f0"].to_numpy()
+        py = p["f1"].to_numpy()
+        pc_ = grid.cell_id(px, py)
         starts = np.searchsorted(rc, pc_, side="left")
         ends = np.searchsorted(rc, pc_, side="right")
         counts = ends - starts
         if counts.sum() == 0:
             if anti:
-                return _emit({c: p[c].to_numpy() for c in pnames})
+                return _emit({c: p[p_slot[c]].to_numpy() for c in pnames})
             return empty_out
         pi = np.repeat(np.arange(len(pc_)), counts)
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
         local = np.arange(int(counts.sum())) - np.repeat(offs, counts)
-        ri = np.repeat(starts, counts) + local
+        ci = np.repeat(starts, counts) + local
+        ri = rrow[ci]
         hit = (
             (px[pi] >= rminx[ri])
             & (px[pi] < rmaxx[ri])
@@ -448,11 +545,11 @@ def pip_join_rects_points(
         if anti:
             covered = np.zeros(len(pc_), dtype=bool)
             covered[pi] = True
-            return _emit({c: p[c].to_numpy()[~covered] for c in pnames})
+            return _emit({c: p[p_slot[c]].to_numpy()[~covered] for c in pnames})
         if len(ri) == 0:
             return empty_out
-        out = {c: r[c].to_numpy()[order][ri] for c in rnames}
-        out.update({c: p[c].to_numpy()[pi] for c in pnames})
+        out = {c: r[r_slot[c]].to_numpy()[ri] for c in rnames}
+        out.update({c: p[p_slot[c]].to_numpy()[pi] for c in pnames})
         return _emit(out)
 
     joined = both.groupby("skey").map_groups(join_group, batch_format="pandas")
