@@ -200,8 +200,13 @@ def run_bench() -> dict:
     # and row-group pruning are measured in that shape too (verdict r2 #8).
     dir_sf = _dir_layout(sf_dir, n_files=int(os.environ.get("RAY_GRAFT_DIR_FILES", "16")))
     dir_times: dict[str, float] = {}
+    # incl. the shuffle-heavy family (verdict r3 #7): jaccard_pairs /
+    # dup_clusters / pagerank / dbscan stress the exchange over per-file
+    # read tasks, near_dup_pairs adds the LSH band shuffle
     for name in ["pip_join", "dedup_events", "token_count", "pricing_summary",
-                 "spatial_pruned_read", "trajectories", "tile_pyramid"]:
+                 "spatial_pruned_read", "trajectories", "tile_pyramid",
+                 "jaccard_pairs", "dup_clusters", "pagerank", "dbscan",
+                 "near_dup_pairs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(dir_sf)

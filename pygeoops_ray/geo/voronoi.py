@@ -174,6 +174,14 @@ _INCIRCLE_TOL = 1e-6
 # are pinned on the inclusive <= semantics.
 STRICT_INCIRCLE = False
 
+# Insertion order. "brio" (default): randomized geometric rounds + Hilbert
+# order within rounds (Amenta-Choi-Rote) — the performance-correct order.
+# "lex": lexicographic (x, y) site order, replaying JTS/GEOS's
+# DelaunayTriangulationBuilder (sites are unique'd through a sorted set and
+# inserted in iteration order) — an experiment knob for golden parity on
+# insertion-order-dependent degenerate fans (SURVEY §8.3.1).
+INSERTION_ORDER = "brio"
+
 
 def _covers_hull(pts: np.ndarray, tris: np.ndarray) -> bool:
     """True iff the triangle areas sum to the convex-hull area (within a
@@ -379,11 +387,14 @@ def _delaunay_core(pts: np.ndarray, size_mult: float) -> np.ndarray:
     from pygeoops_ray.cellindex import hilbert_xy2d
 
     span = max(maxx - minx, maxy - miny, 1e-9)
-    hx = ((pts[:, 0] - minx) / span * 1023).astype(np.int64).clip(0, 1023)
-    hy = ((pts[:, 1] - miny) / span * 1023).astype(np.int64).clip(0, 1023)
-    hkey = hilbert_xy2d(10, hx, hy)
-    rounds = np.random.default_rng(0).geometric(0.5, size=n)
-    order = np.lexsort((hkey, -rounds))
+    if INSERTION_ORDER == "lex":
+        order = np.lexsort((pts[:, 1], pts[:, 0]))
+    else:
+        hx = ((pts[:, 0] - minx) / span * 1023).astype(np.int64).clip(0, 1023)
+        hy = ((pts[:, 1] - miny) / span * 1023).astype(np.int64).clip(0, 1023)
+        hkey = hilbert_xy2d(10, hx, hy)
+        rounds = np.random.default_rng(0).geometric(0.5, size=n)
+        order = np.lexsort((hkey, -rounds))
     seen_xy: set[tuple[float, float]] = set()
     for p in order.tolist():
         px = xl[p]

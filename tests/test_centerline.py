@@ -285,6 +285,30 @@ def test_centerline_points_very_close_together_structural():
     ext = np.ptp(g.get_coordinates(poly)[:, :2], axis=0)
     span = np.ptp(c[:, :2], axis=0)
     assert span[0] > 0.5 * ext[0] and span[1] > 0.5 * ext[1]
+    # CLOSED-WONTFIX band (round 4): the deviation is pinned, not open.
+    # Experiments: (a) exact strict-Lawson incircle (round 3) and (b)
+    # lexicographic site insertion replaying JTS DelaunayTriangulationBuilder
+    # (round 4, voronoi.INSERTION_ORDER="lex") BOTH leave the output
+    # bit-identical — the engine's medial graph on this fan is stable across
+    # every tie/order regime, so verbatim GEOS parity is not reachable by
+    # order/tie replay. Banded containment: every golden vertex lies within
+    # 5e-4 of an engine vertex (the golden 3-part axis is a substructure of
+    # the engine's 16-part one) and the extra ridge branches add < 30%
+    # length. Part count pinned as a regression tripwire.
+    gold = wkt.loads(
+        re.search(
+            r'"Points very close together",\s*-?[\d.]+,\s*"POLYGON \(\(.*?\)\)",'
+            r'.*?"(MULTILINESTRING \(.*?\)\))"',
+            poly_wkt,
+            re.S,
+        ).group(1)
+    )
+    cg = g.get_coordinates(gold)[:, :2]
+    cc2 = c[:, :2]
+    d_ge = np.sqrt(((cg[:, None, :] - cc2[None, :, :]) ** 2).sum(-1)).min(1)
+    assert d_ge.max() < 5e-4
+    assert gold.length <= cl.length < 1.3 * gold.length
+    assert len(cl.geoms) == 16
     # vertices stay inside the polygon's bbox (RDP simplification may step
     # slightly outside the concave boundary itself — the reference's DP
     # simplify does the same), and the output is finite and bounded
@@ -326,6 +350,34 @@ def test_strict_incircle_delaunay_valid_on_cocircular():
                 assert not _incircle_strict(
                     a[0], a[1], b[0], b[1], c[0], c[1], p[0], p[1]
                 ), (t, i, strict)
+
+
+def test_lex_insertion_order_valid_delaunay():
+    """voronoi.INSERTION_ORDER="lex" (the JTS DelaunayTriangulationBuilder
+    replay knob used by the SURVEY §8.3.1 experiment) must still produce a
+    valid Delaunay triangulation — checked with the exact predicate."""
+    import numpy as np
+
+    from pygeoops_ray.geo import voronoi
+    from pygeoops_ray.geo.voronoi import _incircle_strict, delaunay
+
+    rng = np.random.default_rng(11)
+    pts = np.round(rng.random((40, 2)) * 50, 1)
+    pts = np.unique(pts, axis=0)
+    voronoi.INSERTION_ORDER = "lex"
+    try:
+        tris = delaunay(pts)
+    finally:
+        voronoi.INSERTION_ORDER = "brio"
+    assert len(tris) > 0
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        for i, p in enumerate(pts):
+            if i in t:
+                continue
+            assert not _incircle_strict(
+                a[0], a[1], b[0], b[1], c[0], c[1], p[0], p[1]
+            ), (t, i)
 
 
 def test_strict_incircle_exact_tie_rule():
