@@ -2931,3 +2931,63 @@ ORACLE_SQL["group_corr"] = """
            CAST(sum(x * y) AS BIGINT) AS sxy
     FROM m GROUP BY event_type
 """
+
+# cms_sketch: every Count-Min register recomputed from scratch — row r's
+# hash of a term is md5_number_lower(term || '#' || r) % 1024 (the exact
+# Ray-side value), register = SUM of term counts landing in the cell
+ORACLE_SQL["cms_sketch"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    h AS (
+        SELECT r.r, CAST(md5_number_lower(c.term || '#' || r.r) % 1024 AS BIGINT) AS j,
+               c.n
+        FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+    )
+    SELECT CAST(r AS BIGINT) AS r, j, CAST(sum(n) AS BIGINT) AS cnt
+    FROM h GROUP BY r, j
+"""
+
+# weighted_sample: the Efraimidis-Spirakis exponential race replayed in SQL —
+# u = (md5_number_lower(id)+1)/2^64 rounded to DOUBLE identically to the
+# numpy side (h+1 rounds once), clock s = -ln(u)/weight, 50 smallest win
+ORACLE_SQL["weighted_sample"] = """
+    WITH v AS (
+        SELECT event_id, CAST(floor(value * 100) AS BIGINT) + 1 AS wgt FROM events
+    ),
+    k AS (
+        SELECT event_id, wgt,
+               -ln(CAST(md5_number_lower(CAST(event_id AS VARCHAR)) + 1
+                        AS DOUBLE) / 18446744073709551616.0) / wgt AS s
+        FROM v
+    )
+    SELECT event_id, wgt,
+           CAST(row_number() OVER (ORDER BY s, event_id) AS BIGINT) AS rk
+    FROM k ORDER BY s, event_id LIMIT 50
+"""
+
+# image_quality: pixel re-derivation (shared generator CTEs) + total-
+# variation edge sums via positional self-joins on (i, x+1, y) / (i, x, y+1)
+ORACLE_SQL["image_quality"] = f"""
+WITH {_IMG_IHASH_CTES},
+g AS (SELECT i, w, h, x, y, d0 + d1 + d2 AS gray FROM dec),
+base AS (
+    SELECT i, max(w) AS w, max(h) AS h,
+           sum(gray) AS sum_g, sum(gray * gray) AS sum_sq
+    FROM g GROUP BY i
+),
+ex AS (
+    SELECT a.i, sum(abs(b.gray - a.gray)) AS e
+    FROM g a JOIN g b ON a.i = b.i AND b.y = a.y AND b.x = a.x + 1
+    GROUP BY a.i
+),
+ey AS (
+    SELECT a.i, sum(abs(b.gray - a.gray)) AS e
+    FROM g a JOIN g b ON a.i = b.i AND b.x = a.x AND b.y = a.y + 1
+    GROUP BY a.i
+)
+SELECT base.i, CAST(base.w AS BIGINT) AS w, CAST(base.h AS BIGINT) AS h,
+       CAST(base.sum_g AS BIGINT) AS sum_g, CAST(base.sum_sq AS BIGINT) AS sum_sq,
+       CAST(COALESCE(ex.e, 0) AS BIGINT) AS edge_x,
+       CAST(COALESCE(ey.e, 0) AS BIGINT) AS edge_y
+FROM base LEFT JOIN ex ON base.i = ex.i LEFT JOIN ey ON base.i = ey.i
+"""

@@ -730,3 +730,43 @@ def q_image_histogram(sf_dir: str):
     return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
         histogram_batch, batch_format="pyarrow", batch_size=1024
     )
+
+
+def q_image_quality(sf_dir: str):
+    """Per-image quality statistics over REAL decoded pixels: gray sum /
+    sum-of-squares (contrast = variance, derivable) and total-variation
+    edge energy along both axes (sharpness proxy) — the image-QA screening
+    pass a diffusion-training pipeline runs before filtering. One decode
+    per image, integer-exact outputs, no shuffle (image-local flat map);
+    the oracle re-derives every pixel from the generator rule in SQL and
+    replays the |∇| sums with positional self-joins."""
+    ds, _ = _image_ds(sf_dir)
+
+    def quality(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from pygeoops_ray.stages.multimodal import decode_any
+
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+        ).to_numpy()
+        out = {k: [] for k in ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y")}
+        for k, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            pix = decode_any(data, fmt)
+            gray = pix.astype(np.int64).sum(axis=2)
+            out["i"].append(int(ids[k]))
+            out["h"].append(gray.shape[0])
+            out["w"].append(gray.shape[1])
+            out["sum_g"].append(int(gray.sum()))
+            out["sum_sq"].append(int((gray * gray).sum()))
+            out["edge_x"].append(int(np.abs(np.diff(gray, axis=1)).sum()))
+            out["edge_y"].append(int(np.abs(np.diff(gray, axis=0)).sum()))
+        return pa.Table.from_pydict(
+            {c: pa.array(v, pa.int64()) for c, v in out.items()}
+        )
+
+    return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        quality, batch_format="pyarrow", batch_size=1024
+    )

@@ -1806,3 +1806,48 @@ def q_group_corr(sf_dir: str):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential-clocks form): each row draws a reproducible uniform
+    u from md5 of its id and races with clock s = -ln(u)/weight; the 50
+    smallest clocks are the sample — exactly a weighted draw without
+    replacement. The distributed shape is bounded-partial selection: each
+    block keeps its local top-50 (≤50 rows leave any block), one tiny
+    sort+limit picks the winners — no full shuffle, the 100-TB sampling
+    shape. Deterministic end-to-end (md5 hashing), so the oracle replays
+    the identical race in SQL (md5_number_lower + ln) and the integer
+    output (event_id, weight, rank) hash-matches."""
+    ds = _read_blocked(sf_dir, "events", columns=["event_id", "value"])
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    K = 50
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy()
+        wgt = np.floor(b["value"].to_numpy() * 100).astype(np.int64) + 1
+        h = np.fromiter(
+            (md5_low64(str(int(x))) for x in e), dtype=np.uint64, count=len(e)
+        )
+        # identical rounding to DuckDB: round h+1 to double, then divide
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        s = -np.log(u) / wgt
+        order = np.lexsort((e, s))[:K]
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e[order], pa.int64()),
+                "wgt": pa.array(wgt[order], pa.int64()),
+                "s": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["s", "event_id"])
+        .limit(K)
+        .to_pandas()
+    )
+    top = top.sort_values(["s", "event_id"]).reset_index(drop=True)
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.drop(columns=["s"])

@@ -793,3 +793,19 @@ def q_group_hll(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["lang", "text"])
     return hll_registers_by_group(docs, "lang", "text", p=12)
+
+
+def q_cms_sketch(sf_dir: str):
+    """Count-Min frequency sketch over the corpus vocabulary
+    (stages/sketch.py: cms_registers): the SUM-merged sibling of the HLL
+    register table. Each block contributes at most d×w register partials, so
+    the exchange is bounded by the sketch size regardless of corpus volume —
+    the mergeable-sketch contract for approximate term frequency at 100 TB.
+    Registers are md5-deterministic integers; the oracle recomputes the full
+    (r, j, cnt) table from scratch in SQL (md5_number_lower hashing), so the
+    driver value-checks every counter. ``cms_estimate`` (pytest) proves the
+    point-estimate upper-bound contract against exact counts."""
+    from pygeoops_ray.stages.sketch import cms_registers
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return cms_registers(docs, "text", d=4, w=1024, tokenize=True)

@@ -149,6 +149,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_hnsw",
         "group_corr",
         "image_pyramid",
+        "cms_sketch",
+        "weighted_sample",
+        "image_quality",
     ),
 }
 
@@ -379,6 +382,9 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "nearest_rect": ("event_id", "i", "d2"),
     "dbscan": ("event_id", "cluster_id", "role"),
     "image_pyramid": ("i", "level", "w", "h", "sum_rgb", "sum_sq", "pyramid_ok"),
+    "cms_sketch": ("r", "j", "cnt"),
+    "weighted_sample": ("event_id", "wgt", "rk"),
+    "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),
     "group_corr": ("event_type", "n", "sx", "sy", "sxx", "syy", "sxy"),
     "bpe_train": ("rnk", "lft", "rgt", "c"),

@@ -42,6 +42,9 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "heavy_hitters",
+    "cms_partial",
+    "cms_registers",
+    "cms_estimate",
 ]
 
 
@@ -152,6 +155,84 @@ def hll_registers_by_group(ds, group_col: str, text_col: str = "text", p: int = 
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_agg(parts, [group_col, "bucket"], [("r", "max", "r")], n_buckets=8)
+
+
+def cms_partial(counts: dict[str, int], d: int, w: int) -> tuple[np.ndarray, ...]:
+    """(row, col, n) Count-Min register partial for one batch's term counts.
+
+    Row r's hash of a term is ``md5_low64(term + "#" + str(r)) % w`` — the
+    exact integer DuckDB's ``md5_number_lower(term || '#' || r) % w``
+    computes, so the merged register table is value-checkable in SQL.
+    """
+    if not counts:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    terms = list(counts)
+    ns = np.fromiter((counts[t] for t in terms), dtype=np.int64, count=len(terms))
+    rows: list[np.ndarray] = []
+    cols: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    for r in range(d):
+        h = np.fromiter(
+            (md5_low64(f"{t}#{r}") for t in terms),
+            dtype=np.uint64,
+            count=len(terms),
+        )
+        j = (h % np.uint64(w)).astype(np.int64)
+        df = pd.DataFrame({"j": j, "n": ns})
+        g = df.groupby("j", sort=False, as_index=False)["n"].sum()
+        rows.append(np.full(len(g), r, dtype=np.int64))
+        cols.append(g["j"].to_numpy())
+        vals.append(g["n"].to_numpy())
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
+
+
+def cms_registers(ds, col: str = "text", d: int = 4, w: int = 1024, tokenize: bool = True):
+    """Distributed Count-Min sketch over a string column (or its tokens).
+
+    The mergeable-sketch contract for approximate frequency at 100 TB: each
+    block emits at most d×w register partials (merge = grouped SUM — counts
+    are additive), so the exchange is bounded by d×w regardless of corpus
+    size, and ``est(term) = min_r reg[r][h_r(term)]`` upper-bounds the true
+    count with classic (eps, delta) guarantees. Registers are integer-exact
+    and deterministic (md5 hashing), so the merged table value-checks
+    against a from-scratch SQL re-derivation — the vocab_hll pattern for a
+    SUM-merged sketch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for v in batch[col].to_pylist():
+            if tokenize:
+                c.update(v.split(" "))
+            else:
+                c[str(v)] += 1
+        r, j, n = cms_partial(c, d, w)
+        return pa.Table.from_pydict(
+            {
+                "r": pa.array(r, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "cnt": pa.array(n, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, ["r", "j"], [("cnt", "sum", "cnt")], n_buckets=4)
+
+
+def cms_estimate(registers: pd.DataFrame, term: str, d: int = 4, w: int = 1024) -> int:
+    """Point frequency estimate from a merged (r, j, cnt) register frame."""
+    est = None
+    reg = {
+        (int(a), int(b)): int(c)
+        for a, b, c in zip(registers["r"], registers["j"], registers["cnt"])
+    }
+    for r in range(d):
+        j = int(md5_low64(f"{term}#{r}") % w)
+        v = reg.get((r, j), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)
 
 
 def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:

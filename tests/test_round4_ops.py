@@ -1,0 +1,115 @@
+"""Round-4 operators: Count-Min sketch, weighted sampling, image quality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_merge_algebra_and_upper_bound(ray_session):
+    """The merged register table must equal the single-block sketch (SUM
+    merge is exact), and every point estimate must upper-bound the true
+    count (the Count-Min one-sided error contract)."""
+    import ray.data as rd
+
+    from pygeoops_ray.stages.sketch import cms_estimate, cms_partial, cms_registers
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(400)
+    ]
+    from collections import Counter
+
+    exact = Counter()
+    for d in docs:
+        exact.update(d.split(" "))
+
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(7)
+    reg = cms_registers(ds, "text", d=4, w=256).to_pandas()
+
+    # single-shot sketch over the whole corpus == distributed merge
+    r1, j1, n1 = cms_partial(dict(exact), 4, 256)
+    one = (
+        pd.DataFrame({"r": r1, "j": j1, "cnt": n1})
+        .sort_values(["r", "j"])
+        .reset_index(drop=True)
+    )
+    got = reg.sort_values(["r", "j"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, one.astype("int64"))
+
+    # upper-bound contract for every term; equality for most (w >> vocab/row)
+    over = 0
+    for t, n in exact.items():
+        est = cms_estimate(reg, t, d=4, w=256)
+        assert est >= n, (t, est, n)
+        over += est > n
+    assert over < len(exact) * 0.5
+
+
+def test_weighted_sample_brute_force(ray_session):
+    """The distributed bounded-partial selection must equal the driver-side
+    exponential-clocks race computed in one numpy pass."""
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.q_relational import q_weighted_sample
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    e = t["event_id"].to_numpy()
+    wgt = np.floor(t["value"].to_numpy() * 100).astype(np.int64) + 1
+    h = np.fromiter((md5_low64(str(int(x))) for x in e), dtype=np.uint64, count=len(e))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    s = -np.log(u) / wgt
+    order = np.lexsort((e, s))[:50]
+    want = pd.DataFrame(
+        {
+            "event_id": e[order],
+            "wgt": wgt[order],
+            "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+        }
+    )
+    got = q_weighted_sample(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # a sample without replacement: ids unique
+    assert got["event_id"].is_unique
+    # weighting sanity: the sample over-represents heavy rows vs uniform
+    assert got["wgt"].mean() > wgt.mean()
+
+
+def test_image_quality_edge_sums_naive(ray_session):
+    """Edge-energy columns equal a naive per-pixel double loop on the first
+    few decoded images."""
+    from pygeoops_ray.pipelines.q_media import q_image_quality
+
+    out = q_image_quality(SF).to_pandas().set_index("i").sort_index()
+
+    from pygeoops_ray.pipelines.common import _image_ds
+    from pygeoops_ray.stages.multimodal import decode_any
+
+    ds, _ = _image_ds(SF)
+    rows = ds.select_columns(["image_id", "bytes", "fmt"]).limit(5).to_pandas()
+    for _, row in rows.iterrows():
+        i = int(row["image_id"][4:])
+        pix = decode_any(row["bytes"], row["fmt"])
+        gray = pix.astype(np.int64).sum(axis=2)
+        ex = sum(
+            abs(int(gray[y, x + 1]) - int(gray[y, x]))
+            for y in range(gray.shape[0])
+            for x in range(gray.shape[1] - 1)
+        )
+        ey = sum(
+            abs(int(gray[y + 1, x]) - int(gray[y, x]))
+            for y in range(gray.shape[0] - 1)
+            for x in range(gray.shape[1])
+        )
+        r = out.loc[i]
+        assert int(r["edge_x"]) == ex
+        assert int(r["edge_y"]) == ey
+        assert int(r["sum_g"]) == int(gray.sum())
+        assert int(r["sum_sq"]) == int((gray * gray).sum())
