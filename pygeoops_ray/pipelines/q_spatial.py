@@ -31,8 +31,12 @@ def q_tile_assignment(sf_dir: str):
 
 
 def q_pip_join(sf_dir: str):
-    """Point-in-polygon join, co-partitioned on the Hilbert cell id."""
-    return sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+    """Point-in-polygon join, co-partitioned on the Hilbert cell id.
+
+    coalesce_blocks=0: the _images/_points readers already size their
+    blocks (override_num_blocks ~ ncpu//4), so the operator's pre-sort
+    coalesce pass would only add a data copy."""
+    return sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir), coalesce_blocks=0)
 
 
 def q_pip_anti_join(sf_dir: str):
@@ -45,7 +49,7 @@ def q_pip_anti_join(sf_dir: str):
     driver-checked operator; oracle is the NOT EXISTS SQL.
     """
     return sp.pip_join_rects_points(
-        _images(sf_dir), _points(sf_dir), join_type="anti"
+        _images(sf_dir), _points(sf_dir), join_type="anti", coalesce_blocks=0
     )
 
 
@@ -55,7 +59,9 @@ def q_pip_join_agg(sf_dir: str):
     pandas path, see stages/groupagg.py)."""
     from pygeoops_ray.stages.groupagg import grouped_count
 
-    joined = sp.pip_join_rects_points(_images(sf_dir), _points(sf_dir))
+    joined = sp.pip_join_rects_points(
+        _images(sf_dir), _points(sf_dir), coalesce_blocks=0
+    )
     return grouped_count(
         joined, ["image_id"], "n_points", n_rows_hint=_table_rows(sf_dir, "events")
     )
