@@ -2991,3 +2991,12 @@ SELECT base.i, CAST(base.w AS BIGINT) AS w, CAST(base.h AS BIGINT) AS h,
        CAST(COALESCE(ey.e, 0) AS BIGINT) AS edge_y
 FROM base LEFT JOIN ex ON base.i = ex.i LEFT JOIN ey ON base.i = ey.i
 """
+
+
+# ann_ivf_pq: approximate by design — the recall floor is the contract row
+ORACLE_SQL["ann_ivf_pq"] = """
+    SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM embeddings
+"""

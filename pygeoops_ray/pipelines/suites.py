@@ -152,6 +152,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "cms_sketch",
         "weighted_sample",
         "image_quality",
+        "ann_ivf_pq",
     ),
 }
 
@@ -383,6 +384,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "dbscan": ("event_id", "cluster_id", "role"),
     "image_pyramid": ("i", "level", "w", "h", "sum_rgb", "sum_sq", "pyramid_ok"),
     "cms_sketch": ("r", "j", "cnt"),
+    "ann_ivf_pq": ("n_queries", "k", "recall_ok"),
     "weighted_sample": ("event_id", "wgt", "rk"),
     "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),

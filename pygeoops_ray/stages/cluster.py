@@ -357,3 +357,96 @@ def pq_adc_topk(
         return group[["q_id", "vec_id", "rnk"]]
 
     return partials.groupby("q_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_pq_topk(
+    emb_ds, q_ids, q_matrix, k: int = 10, n_centroids: int = 16, nprobe: int = 6,
+    subspaces: int = 16, kcent: int = 32, iters: int = 2, seed: int = 5,
+):
+    """IVF + PQ composite search — the billion-scale ANN memory layout
+    (Jégou et al. 2011 IVFADC, by_residual=False variant: PQ codebooks are
+    trained on the raw quantized vectors, the inverted file only restricts
+    the candidate set; FAISS exposes the same switch).
+
+    Coarse stage: queries probe their ``nprobe`` nearest of ``n_centroids``
+    inverted cells, so only ~nprobe/n_centroids of the corpus is scored at
+    all. Fine stage: scoring is PQ asymmetric distance — per-query distance
+    TABLES to every sub-codebook centroid (subspaces × kcent ints, computed
+    once), a candidate's distance is ``sum_s table[s, code_s]`` (lookups,
+    no d-dimensional math). At rest the codes + cell assignment are the
+    stored index (see pq_codes / build_ivf_disk_index for the two at-rest
+    halves); here both derive in-stream so the query is self-contained.
+    One partial top-k per batch, exact grouped merge, (d2 ASC, vec_id) ties.
+    Approximate by design: driver contract is the recall floor
+    (q_ann_ivf_pq), the weak-oracle pattern of ann_lsh / ann_ivf / ann_pq.
+    """
+    import ray
+
+    from pygeoops_ray.stages.ann import train_ivf_centroids
+
+    cent = train_ivf_centroids(emb_ds, n_centroids=n_centroids, seed=seed)
+    pq_cents = fit_pq_centroids(emb_ds, subspaces, kcent, iters)
+    w = pq_cents[0].shape[1]
+
+    qm = np.asarray(q_matrix, np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qq = (
+        np.floor(qm * QUANT_SCALE).astype(np.int64) + QUANT_SHIFT
+    )
+    dtab = []
+    for s in range(subspaces):
+        qs = qq[:, s * w : (s + 1) * w]
+        cs = pq_cents[s]
+        dtab.append(
+            (qs * qs).sum(1)[:, None] - 2 * (qs @ cs.T) + (cs * cs).sum(1)[None, :]
+        )
+    ref = ray.put((np.asarray(q_ids, np.int64), cent, pq_cents, dtab, probe))
+
+    def partial(batch: pa.Table, _ref=ref) -> pd.DataFrame:
+        qids, cent_, c, tabs, probe_ = ray.get(_ref)
+        ids, q = _quantize(batch)
+        raw, m = None, None
+        # coarse assignment in the normalized float space (same rule the
+        # coarse trainer used)
+        from pygeoops_ray.stages.ann import _embedding_matrix
+
+        rids, rm = _embedding_matrix(batch)
+        rn = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-12)
+        assign = (rn @ cent_.T).argmax(axis=1)
+
+        codes = np.empty((len(ids), len(c)), dtype=np.int64)
+        for s, cs in enumerate(c):
+            codes[:, s], _ = _nearest(q[:, s * w : (s + 1) * w], cs)
+
+        frames = []
+        for qi, qid in enumerate(qids):
+            cand = np.isin(assign, probe_[qi])
+            if not cand.any():
+                continue
+            cids = ids[cand]
+            d2 = np.zeros(len(cids), dtype=np.int64)
+            sub_codes = codes[cand]
+            for s in range(len(c)):
+                d2 += tabs[s][qi][sub_codes[:, s]]
+            kk = min(k, len(cids))
+            idx = (
+                np.argpartition(d2, kk - 1)[:kk] if kk < len(cids) else np.arange(len(cids))
+            )
+            frames.append(
+                pd.DataFrame({"q_id": qid, "vec_id": cids[idx], "d2": d2[idx]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {c_: pd.Series([], dtype="int64") for c_ in ("q_id", "vec_id", "d2")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["d2", "vec_id"], ascending=[True, True]).head(k).copy()
+        group["rnk"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["q_id", "vec_id", "rnk"]]
+
+    return partials.groupby("q_id").map_groups(merge, batch_format="pandas")

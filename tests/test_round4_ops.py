@@ -113,3 +113,36 @@ def test_image_quality_edge_sums_naive(ray_session):
         assert int(r["edge_y"]) == ey
         assert int(r["sum_g"]) == int(gray.sum())
         assert int(r["sum_sq"]) == int((gray * gray).sum())
+
+
+def test_ivf_pq_recall_and_determinism(ray_session):
+    """IVF+PQ composite: recall well above chance vs exact top-10, and two
+    runs over differently-partitioned input agree exactly (deterministic
+    training: canonical sample order + integer PQ fit)."""
+    from pygeoops_ray.pipelines.common import _read
+    from pygeoops_ray.pipelines.q_ann import _query_vectors
+    from pygeoops_ray.stages import ann as ann_stages
+    from pygeoops_ray.stages.cluster import ivf_pq_topk
+
+    q_ids, qm = _query_vectors(SF)
+    emb = _read(SF, "embeddings", columns=["vec_id", "embedding"])
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=10).to_pandas()
+    a1 = (
+        ivf_pq_topk(emb, q_ids, qm, k=10)
+        .to_pandas()
+        .sort_values(["q_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    a2 = (
+        ivf_pq_topk(emb.repartition(5), q_ids, qm, k=10)
+        .to_pandas()
+        .sort_values(["q_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a1, a2)
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(a1.loc[a1["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert float(np.mean(recalls)) >= 0.25
