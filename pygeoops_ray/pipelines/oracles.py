@@ -3000,3 +3000,34 @@ ORACLE_SQL["ann_ivf_pq"] = """
            CAST(1 AS BIGINT) AS recall_ok
     FROM embeddings
 """
+
+# lsh_disk: retrieval replayed as all-pairs 3-gram Jaccard restricted to the
+# 8 fixed query ordinals (recall of the banded index is complete on this
+# corpus — the same guarantee near_dup_pairs is gate-green on); short docs
+# (<3 tokens) collapse to a single whole-doc shingle, mirroring
+# _shingle_hashes' <shingle fallback
+ORACLE_SQL["lsh_disk"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                    THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END AS s
+        FROM tok
+    ),
+    n AS (SELECT count(*) AS cnt FROM documents),
+    qids AS (
+        SELECT unnest(generate_series(0, 7)) * ((SELECT cnt FROM n) // 8) AS q_id
+    ),
+    p AS (
+        SELECT q.q_id, b.doc_id AS cand_id,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) AS na, len(b.s) AS nb
+        FROM qids q JOIN sh a ON a.doc_id = q.q_id JOIN sh b ON true
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(100 * i // (na + nb - i) AS BIGINT) AS j_pct,
+           CAST(1 AS BIGINT) AS pruned_ok
+    FROM p WHERE 100 * i // (na + nb - i) >= 50
+"""

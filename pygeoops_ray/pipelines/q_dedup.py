@@ -455,3 +455,181 @@ def q_fuzzy_pairs(sf_dir: str):
         return df.drop_duplicates(["a", "b"])
 
     return _bucketed(pairs, ["a", "b"], dedup, 16)
+
+
+def q_lsh_disk(sf_dir: str):
+    """Disk-persisted MinHash-LSH near-dup index + point-lookup retrieval —
+    the text sibling of ``ann_ivf_disk``: the index is a DATA LAYOUT and a
+    lookup's I/O is its buckets, not the corpus.
+
+    Build (once per table, resumable through the checkpoint manifest):
+      - band sink: every doc's 16 (band_id, band_hash) LSH keys, one parquet
+        partition per ``band_id*64 + band_hash%64`` (≤1024 files);
+      - sig sink: per-doc sorted-shingle-hash signature blobs, partitioned
+        by ``doc_id % 32``.
+    Retrieval (8 fixed query ordinals): the queries' band hashes select
+    bucket PARTITIONS on the driver from the few-KB manifest (unmatched
+    buckets cost zero I/O and zero tasks; an isin filter on band_hash prunes
+    row groups inside survivors), candidates resolve by exact (band_id,
+    band_hash) equality, and only the candidates' sig partitions are read
+    for the exact shingle-Jaccard verify (broadcast query sigs, one
+    map_batches pass). Output: (q_id, cand_id, j_pct) for J≥50% — the query
+    doc itself always qualifies (J=100), so retrieval is exercised even for
+    dup-free queries — plus pruned_ok asserting BOTH sinks actually pruned.
+
+    Oracle: all-pairs shingle-Jaccard restricted to the 8 query docs (the
+    corpus' J≥0.5 pairs all share a band — the same guarantee near_dup_pairs
+    is gate-green on at every scale).
+    """
+    import hashlib
+    import os
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from pygeoops_ray.stages.dedup import _MinHasher, _shingle_hashes
+    from pygeoops_ray.state.manifest import read_partitions, write_partitioned
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _table_rows(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(docs_path)}:lshdisk:v1".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/lsh_index_{key}"
+    bands_dir = os.path.join(out_dir, "bands")
+    sigs_dir = os.path.join(out_dir, "sigs")
+
+    done_marker = os.path.join(out_dir, "_complete")
+    if not os.path.exists(done_marker):
+        docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+        bands = docs.map_batches(_MinHasher(), batch_format="pyarrow")
+
+        def add_pkey(b: pa.Table) -> pa.Table:
+            pk = (
+                b["band_id"].to_numpy() * 64
+                + (b["band_hash"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                    np.int64
+                )
+            )
+            return b.append_column("pkey", pa.array(pk, pa.int64()))
+
+        write_partitioned(
+            bands.map_batches(add_pkey, batch_format="pyarrow"),
+            bands_dir, "pkey", stage="bands", lineage={"sf_dir": sf_dir},
+        )
+
+        def sig_rows(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            sigs = [
+                np.unique(_shingle_hashes(t)).astype(np.int64).tobytes()
+                for t in b["text"].to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "bucket": pa.array(ids % 32, pa.int64()),
+                    "sig": pa.array(sigs, pa.binary()),
+                }
+            )
+
+        write_partitioned(
+            docs.map_batches(sig_rows, batch_format="pyarrow"),
+            sigs_dir, "bucket", stage="sigs", lineage={"sf_dir": sf_dir},
+        )
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    # --- retrieval ---------------------------------------------------------
+    q_ords = [i * (n_docs // 8) for i in range(8)]
+    import pyarrow.parquet as pq
+
+    q_docs = pq.read_table(
+        docs_path, columns=["doc_id", "text"],
+        filters=[("doc_id", "in", q_ords)],
+    ).to_pandas()
+    mh = _MinHasher()
+    q_bands = mh(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(q_docs["doc_id"].to_numpy(), pa.int64()),
+                "text": pa.array(q_docs["text"].tolist(), pa.string()),
+            }
+        )
+    ).to_pandas()
+    q_keyset = set(
+        zip(q_bands["band_id"].tolist(), q_bands["band_hash"].tolist())
+    )
+    pids = sorted(
+        {int(bid) * 64 + int(np.uint64(bh) % np.uint64(64)) for bid, bh in q_keyset}
+    )
+    hash_list = sorted({int(bh) for _, bh in q_keyset})
+    cand_ds, bfiles_read, bfiles_total = read_partitions(
+        bands_dir, pids, stage="bands",
+        filter=pads.field("band_hash").isin(hash_list),
+    )
+    qk_ref = ray.put(q_keyset)
+
+    def exact_bucket(b: pa.Table) -> pa.Table:
+        qk = ray.get(qk_ref)
+        bid = b["band_id"].to_numpy()
+        bh = b["band_hash"].to_numpy()
+        keep = np.fromiter(
+            ((int(i), int(h)) in qk for i, h in zip(bid, bh)),
+            dtype=bool, count=len(bid),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(b["doc_id"].to_numpy()[keep], pa.int64())}
+        )
+
+    # candidate id set is bounded by the queries' bucket sizes — the bounded
+    # driver read is the point-lookup contract (same shape as the kNN ring
+    # certificate)
+    cand_ids = (
+        np.unique(
+            cand_ds.map_batches(exact_bucket, batch_format="pyarrow")
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+        if cand_ds is not None
+        else np.array(q_ords, dtype=np.int64)
+    )
+    all_ids = np.unique(np.concatenate([cand_ids, np.array(q_ords, np.int64)]))
+    buckets = sorted({int(x) % 32 for x in all_ids})
+    sig_ds, sfiles_read, sfiles_total = read_partitions(
+        sigs_dir, buckets, stage="sigs",
+        filter=pads.field("doc_id").isin([int(x) for x in all_ids]),
+    )
+    # query sigs broadcast for the verify pass
+    q_sig = {}
+    for _, row in q_docs.iterrows():
+        q_sig[int(row["doc_id"])] = np.unique(_shingle_hashes(row["text"])).astype(
+            np.int64
+        )
+    qs_ref = ray.put(q_sig)
+    pruned_ok = int(bfiles_read < bfiles_total and sfiles_read < sfiles_total)
+
+    def verify(b: pa.Table) -> pa.Table:
+        qs = ray.get(qs_ref)
+        out_q, out_c, out_j = [], [], []
+        ids = b["doc_id"].to_numpy()
+        for i, blob in enumerate(b["sig"].to_pylist()):
+            sig = np.frombuffer(blob, dtype=np.int64)
+            for qid, qsig in qs.items():
+                inter = len(np.intersect1d(sig, qsig, assume_unique=True))
+                union = len(sig) + len(qsig) - inter
+                j = 100 * inter // max(union, 1)
+                if j >= 50:
+                    out_q.append(qid)
+                    out_c.append(int(ids[i]))
+                    out_j.append(j)
+        n = len(out_q)
+        return pa.Table.from_pydict(
+            {
+                "q_id": pa.array(out_q, pa.int64()),
+                "cand_id": pa.array(out_c, pa.int64()),
+                "j_pct": pa.array(out_j, pa.int64()),
+                "pruned_ok": pa.array([pruned_ok] * n, pa.int64()),
+            }
+        )
+
+    return sig_ds.map_batches(verify, batch_format="pyarrow")

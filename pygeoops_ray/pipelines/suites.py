@@ -153,6 +153,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "weighted_sample",
         "image_quality",
         "ann_ivf_pq",
+        "lsh_disk",
     ),
 }
 
@@ -385,6 +386,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "image_pyramid": ("i", "level", "w", "h", "sum_rgb", "sum_sq", "pyramid_ok"),
     "cms_sketch": ("r", "j", "cnt"),
     "ann_ivf_pq": ("n_queries", "k", "recall_ok"),
+    "lsh_disk": ("q_id", "cand_id", "j_pct", "pruned_ok"),
     "weighted_sample": ("event_id", "wgt", "rk"),
     "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),

@@ -146,3 +146,35 @@ def test_ivf_pq_recall_and_determinism(ray_session):
         a = set(a1.loc[a1["q_id"] == q, "vec_id"])
         recalls.append(len(e & a) / max(len(e), 1))
     assert float(np.mean(recalls)) >= 0.25
+
+
+def test_lsh_disk_resume_pruning_and_self_matches(ray_session):
+    """Second run must be a byte-level no-op on the index (manifest resume),
+    pruning must hold, every query doc must retrieve itself at J=100, and
+    retrieved non-self candidates must be real near-dups per the exact
+    in-stream jaccard machinery."""
+    import glob
+    import os
+
+    from pygeoops_ray.pipelines.q_dedup import q_lsh_disk
+
+    out1 = q_lsh_disk(SF).to_pandas().sort_values(["q_id", "cand_id"]).reset_index(drop=True)
+    dirs = glob.glob("/tmp/pygeoops_ray_cache/lsh_index_*")
+    assert dirs
+    idx = max(dirs, key=os.path.getmtime)
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True)
+    }
+    assert mtimes
+    out2 = q_lsh_disk(SF).to_pandas().sort_values(["q_id", "cand_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, f"index file rewritten: {p}"
+    assert (out1["pruned_ok"] == 1).all()
+    # 8 self-rows at J=100
+    selfs = out1[out1["q_id"] == out1["cand_id"]]
+    assert len(selfs) == 8 and (selfs["j_pct"] == 100).all()
+    # non-self retrievals are genuine near-dups (exact verify >= 50)
+    others = out1[out1["q_id"] != out1["cand_id"]]
+    assert (others["j_pct"] >= 50).all()
