@@ -3031,3 +3031,21 @@ ORACLE_SQL["lsh_disk"] = """
            CAST(1 AS BIGINT) AS pruned_ok
     FROM p WHERE 100 * i // (na + nb - i) >= 50
 """
+
+# dp_counts: the discrete-Laplace mechanism replayed exactly — u's are md5
+# uniforms of the group key, noise = floor(ln(u1)/-1) - floor(ln(u2)/-1)
+ORACLE_SQL["dp_counts"] = """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    u AS (
+        SELECT lang, n_docs,
+               (CAST(md5_number_lower(lang || '#dp1') AS DOUBLE) + 1)
+                   / 18446744073709551616.0 AS u1,
+               (CAST(md5_number_lower(lang || '#dp2') AS DOUBLE) + 1)
+                   / 18446744073709551616.0 AS u2
+        FROM c
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs + CAST(floor(ln(u1) / -1.0) AS BIGINT)
+                       - CAST(floor(ln(u2) / -1.0) AS BIGINT) AS BIGINT) AS n_dp
+    FROM u
+"""

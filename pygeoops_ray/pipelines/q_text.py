@@ -10,6 +10,7 @@ from __future__ import annotations
 from pygeoops_ray.stages import text as text_stages
 from pygeoops_ray.pipelines.common import (
     _read,
+    _read_blocked,
     _table_rows,
 )
 
@@ -809,3 +810,52 @@ def q_cms_sketch(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["text"])
     return cms_registers(docs, "text", d=4, w=1024, tokenize=True)
+
+
+def q_dp_counts(sf_dir: str):
+    """Differentially-private per-language document counts — the
+    privacy-preserving release pattern a data-curation report applies before
+    publishing corpus statistics.
+
+    Mechanism: discrete Laplace (two-sided geometric) noise at eps=1,
+    sensitivity 1: ``noise = floor(ln(u1)/ln(alpha)) - floor(ln(u2)/ln(alpha))``
+    with ``alpha = exp(-eps)`` and u1, u2 deterministic md5 uniforms of the
+    group key (the inverse-CDF geometric sampler) — a REAL DP release draws
+    fresh randomness; the deterministic seed here makes the mechanism's
+    arithmetic value-checkable in SQL while keeping the exact noise
+    distribution shape. Shape: algebraic per-block count partials (one row
+    per (block, lang)) → tiny grouped sum → per-group noise in the final
+    map — no full-table exchange at any corpus size.
+    """
+    from pygeoops_ray.stages.groupagg import grouped_count
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    docs = _read_blocked(sf_dir, "documents", columns=["lang"])
+    counts = grouped_count(docs, ["lang"], "n_docs", n_buckets=2)
+
+    def add_noise(df):
+        import numpy as np
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "n_dp": pd.Series([], dtype="int64"),
+                }
+            )
+        alpha_ln = -1.0  # ln(alpha) with alpha = exp(-eps), eps = 1
+        noises = []
+        for lang in df["lang"]:
+            u1 = (md5_low64(f"{lang}#dp1") + 1) / 18446744073709551616.0
+            u2 = (md5_low64(f"{lang}#dp2") + 1) / 18446744073709551616.0
+            noises.append(
+                int(np.floor(np.log(u1) / alpha_ln))
+                - int(np.floor(np.log(u2) / alpha_ln))
+            )
+        df = df.copy()
+        df["n_dp"] = df["n_docs"].to_numpy() + np.array(noises, dtype=np.int64)
+        return df[["lang", "n_docs", "n_dp"]]
+
+    return counts.map_batches(add_noise, batch_format="pandas")

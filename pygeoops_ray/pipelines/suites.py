@@ -154,6 +154,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "image_quality",
         "ann_ivf_pq",
         "lsh_disk",
+        "dp_counts",
     ),
 }
 
@@ -387,6 +388,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "cms_sketch": ("r", "j", "cnt"),
     "ann_ivf_pq": ("n_queries", "k", "recall_ok"),
     "lsh_disk": ("q_id", "cand_id", "j_pct", "pruned_ok"),
+    "dp_counts": ("lang", "n_docs", "n_dp"),
     "weighted_sample": ("event_id", "wgt", "rk"),
     "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),

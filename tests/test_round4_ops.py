@@ -178,3 +178,22 @@ def test_lsh_disk_resume_pruning_and_self_matches(ray_session):
     # non-self retrievals are genuine near-dups (exact verify >= 50)
     others = out1[out1["q_id"] != out1["cand_id"]]
     assert (others["j_pct"] >= 50).all()
+
+
+def test_dp_counts_mechanism(ray_session):
+    """DP release: noisy counts differ from exact per the deterministic
+    discrete-Laplace draw, and the mechanism matches a direct numpy replay."""
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.q_text import q_dp_counts
+    from pygeoops_ray.stages.sketch import md5_low64
+
+    got = q_dp_counts(SF).to_pandas().sort_values("lang").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang"]).to_pandas()
+    exact = t.groupby("lang").size()
+    assert (got.set_index("lang")["n_docs"] == exact).all()
+    for _, row in got.iterrows():
+        u1 = (md5_low64(f"{row['lang']}#dp1") + 1) / 2**64
+        u2 = (md5_low64(f"{row['lang']}#dp2") + 1) / 2**64
+        noise = int(np.floor(np.log(u1) / -1.0)) - int(np.floor(np.log(u2) / -1.0))
+        assert row["n_dp"] == row["n_docs"] + noise
