@@ -2933,15 +2933,22 @@ ORACLE_SQL["group_corr"] = """
 """
 
 # cms_sketch: every Count-Min register recomputed from scratch — row r's
-# hash of a term is md5_number_lower(term || '#' || r) % 1024 (the exact
-# Ray-side value), register = SUM of term counts landing in the cell
+# cell is Kirsch-Mitzenmacher (lower + r*(upper|1)) mod 2^64 mod 1024 from
+# ONE md5 per term (the exact Ray-side values), register = SUM of counts
 ORACLE_SQL["cms_sketch"] = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
     c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    hh AS (
+        SELECT term, n,
+               CAST(CAST(md5_number_lower(term) AS UBIGINT) AS HUGEINT) AS lo,
+               CAST(CAST(md5_number_upper(term) AS UBIGINT) | 1 AS HUGEINT) AS hi
+        FROM c
+    ),
     h AS (
-        SELECT r.r, CAST(md5_number_lower(c.term || '#' || r.r) % 1024 AS BIGINT) AS j,
-               c.n
-        FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+        SELECT r.r,
+               CAST((lo + r.r * hi) % 18446744073709551616 % 1024 AS BIGINT) AS j,
+               n
+        FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
     )
     SELECT CAST(r AS BIGINT) AS r, j, CAST(sum(n) AS BIGINT) AS cnt
     FROM h GROUP BY r, j

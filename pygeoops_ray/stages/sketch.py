@@ -38,6 +38,7 @@ from pygeoops_ray.stages.groupagg import grouped_agg
 
 __all__ = [
     "md5_low64",
+    "md5_both64",
     "hll_partial",
     "hll_registers",
     "hll_estimate",
@@ -51,6 +52,13 @@ __all__ = [
 def md5_low64(s: str) -> int:
     """The exact integer DuckDB's md5_number_lower() returns."""
     return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:16])[0]
+
+
+def md5_both64(s: str) -> tuple[int, int]:
+    """(md5_number_lower, md5_number_upper) — both DuckDB-exact halves from
+    ONE md5 evaluation (bytes 8:16 and 0:8, little-endian)."""
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return struct.unpack("<Q", d[8:16])[0], struct.unpack("<Q", d[0:8])[0]
 
 
 def hll_partial(values: list[str], p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -160,30 +168,33 @@ def hll_registers_by_group(ds, group_col: str, text_col: str = "text", p: int = 
 def cms_partial(counts: dict[str, int], d: int, w: int) -> tuple[np.ndarray, ...]:
     """(row, col, n) Count-Min register partial for one batch's term counts.
 
-    Row r's hash of a term is ``md5_low64(term + "#" + str(r)) % w`` — the
-    exact integer DuckDB's ``md5_number_lower(term || '#' || r) % w``
-    computes, so the merged register table is value-checkable in SQL.
+    Kirsch-Mitzenmacher double hashing from ONE md5 per term: row r's cell
+    is ``(lower + r * (upper | 1)) mod 2^64 mod w`` with lower/upper the two
+    64-bit halves DuckDB's ``md5_number_lower``/``md5_number_upper`` return
+    — d probes per term for one hash evaluation, and the merged register
+    table is still value-checkable from scratch in SQL.
     """
     if not counts:
         z = np.empty(0, np.int64)
         return z, z, z
     terms = list(counts)
     ns = np.fromiter((counts[t] for t in terms), dtype=np.int64, count=len(terms))
+    lo = np.empty(len(terms), dtype=np.uint64)
+    hi = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        lo[i], hi[i] = md5_both64(t)
+    hi |= np.uint64(1)  # odd stride
     rows: list[np.ndarray] = []
     cols: list[np.ndarray] = []
     vals: list[np.ndarray] = []
-    for r in range(d):
-        h = np.fromiter(
-            (md5_low64(f"{t}#{r}") for t in terms),
-            dtype=np.uint64,
-            count=len(terms),
-        )
-        j = (h % np.uint64(w)).astype(np.int64)
-        df = pd.DataFrame({"j": j, "n": ns})
-        g = df.groupby("j", sort=False, as_index=False)["n"].sum()
-        rows.append(np.full(len(g), r, dtype=np.int64))
-        cols.append(g["j"].to_numpy())
-        vals.append(g["n"].to_numpy())
+    with np.errstate(over="ignore"):
+        for r in range(d):
+            j = ((lo + np.uint64(r) * hi) % np.uint64(w)).astype(np.int64)
+            df = pd.DataFrame({"j": j, "n": ns})
+            g = df.groupby("j", sort=False, as_index=False)["n"].sum()
+            rows.append(np.full(len(g), r, dtype=np.int64))
+            cols.append(g["j"].to_numpy())
+            vals.append(g["n"].to_numpy())
     return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
 
 
@@ -228,8 +239,10 @@ def cms_estimate(registers: pd.DataFrame, term: str, d: int = 4, w: int = 1024) 
         (int(a), int(b)): int(c)
         for a, b, c in zip(registers["r"], registers["j"], registers["cnt"])
     }
+    lo, hi = md5_both64(term)
+    hi |= 1
     for r in range(d):
-        j = int(md5_low64(f"{term}#{r}") % w)
+        j = int(((lo + r * hi) % (1 << 64)) % w)
         v = reg.get((r, j), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
