@@ -3056,3 +3056,33 @@ ORACLE_SQL["dp_counts"] = """
                        - CAST(floor(ln(u2) / -1.0) AS BIGINT) AS BIGINT) AS n_dp
     FROM u
 """
+
+# bm25_disk: identical scoring to bm25_topk (the index changes I/O, not
+# values) + the pruning contract constant
+ORACLE_SQL["bm25_disk"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(len(tk)) AS tot FROM tok
+    ),
+    inst AS (SELECT doc_id, unnest(tk) AS term, len(tk) AS dl FROM tok),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        FROM inst
+        WHERE term IN ('table', 'value', 'data', 'window', 'join')
+        GROUP BY doc_id, term
+    ),
+    scored AS (
+        SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+               CAST((22 * tf * tot * 1000000)
+                    // (10 * tf * tot + 3 * tot + 9 * dl * n_docs) AS BIGINT)
+                   AS score_fp
+        FROM tf, stats
+    )
+    SELECT term, doc_id, tf, dl, score_fp,
+           CAST(row_number() OVER (
+               PARTITION BY term ORDER BY score_fp DESC, doc_id
+           ) AS BIGINT) AS rnk,
+           CAST(1 AS BIGINT) AS pruned_ok
+    FROM scored
+    QUALIFY rnk <= 10
+"""

@@ -7,6 +7,9 @@ remains the single QUERIES/ORACLE_SQL registry and re-exports these names.
 from __future__ import annotations
 
 
+import numpy as np
+import pyarrow as pa
+
 from pygeoops_ray.stages import text as text_stages
 from pygeoops_ray.pipelines.common import (
     _read,
@@ -834,7 +837,6 @@ def q_dp_counts(sf_dir: str):
     counts = grouped_count(docs, ["lang"], "n_docs", n_buckets=2)
 
     def add_noise(df):
-        import numpy as np
         import pandas as pd
 
         if not len(df):
@@ -859,3 +861,134 @@ def q_dp_counts(sf_dir: str):
         return df[["lang", "n_docs", "n_dp"]]
 
     return counts.map_batches(add_noise, batch_format="pandas")
+
+
+def q_bm25_disk(sf_dir: str):
+    """Disk-persisted BM25 inverted index + term-pruned retrieval — the
+    third disk-index family member (ann_ivf_disk / lsh_disk / bm25_disk):
+    the index is a DATA LAYOUT, a query's I/O is its terms' postings files.
+
+    Build (once per table, resumable through the checkpoint manifest): the
+    full postings table (term, doc_id, tf, dl) partitioned by
+    ``md5(term) % 128`` term buckets, plus a corpus-stats sidecar (N docs,
+    TOT tokens — the two scalars BM25 needs). Query: the 5 fixed query
+    terms select their bucket PARTITIONS on the driver from the few-KB
+    manifest (123+ unrelated buckets cost zero I/O and zero tasks; an isin
+    filter on term prunes row groups inside survivors), the fixed-point
+    BM25 score (the exact bm25_topk rational, floor division) applies per
+    batch, and the bounded-partial top-10 per term reduces ≤10·buckets tiny
+    rows. Output = bm25_topk's schema + pruned_ok.
+    """
+    import hashlib
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+    from pygeoops_ray.stages.sketch import md5_low64
+    from pygeoops_ray.stages.text import _token_arrays
+    from pygeoops_ray.state.manifest import read_partitions, write_partitioned
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(docs_path)}:bm25disk:v1".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/bm25_index_{key}"
+    stats_path = os.path.join(out_dir, "stats.json")
+    done_marker = os.path.join(out_dir, "_complete")
+
+    if not os.path.exists(done_marker):
+        docs = _read_blocked(sf_dir, "documents", columns=["doc_id", "text"])
+        n_docs = _table_rows(sf_dir, "documents")
+        tot = int(
+            docs.map_batches(
+                text_stages.token_count_batch, batch_format="pyarrow"
+            ).sum("n_tokens")
+        )
+
+        def postings(b: pa.Table) -> pa.Table:
+            doc_ids, flat, lens = _token_arrays(b)
+            if len(doc_ids) == 0:
+                return pa.Table.from_pydict(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "tf": pa.array([], pa.int64()),
+                        "dl": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int64()),
+                    }
+                )
+            df = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "term": flat.to_pandas().to_numpy(),
+                    "dl": np.repeat(lens, lens),
+                }
+            )
+            g = (
+                df.groupby(["term", "doc_id"], sort=False)
+                .agg(tf=("dl", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            # one md5 per DISTINCT term in the batch
+            uniq = {t: md5_low64(t) % 128 for t in g["term"].unique()}
+            g["bucket"] = g["term"].map(uniq).astype("int64")
+            return pa.Table.from_pydict(
+                {
+                    "term": pa.array(g["term"].to_numpy(), pa.string()),
+                    "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                    "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+                    "dl": pa.array(g["dl"].to_numpy(), pa.int64()),
+                    "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                }
+            )
+
+        write_partitioned(
+            docs.map_batches(postings, batch_format="pyarrow"),
+            out_dir, "bucket", stage="postings", lineage={"sf_dir": sf_dir},
+        )
+        with open(stats_path, "w") as f:
+            json.dump({"n_docs": n_docs, "tot": tot}, f)
+        with open(done_marker, "w") as f:
+            f.write("1")
+
+    stats = json.load(open(stats_path))
+    n_docs, tot = int(stats["n_docs"]), int(stats["tot"])
+    terms = BM25_QUERY_TERMS
+    pids = sorted({md5_low64(t) % 128 for t in terms})
+    post_ds, files_read, files_total = read_partitions(
+        out_dir, pids, stage="postings",
+        filter=pads.field("term").isin(list(terms)),
+    )
+    pruned_ok = int(files_read < files_total)
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy()
+        dl = b["dl"].to_numpy()
+        fp = (22 * tf * tot * 1_000_000) // (10 * tf * tot + 3 * tot + 9 * dl * n_docs)
+        return b.append_column("score_fp", pa.array(fp.astype(np.int64), pa.int64()))
+
+    cand = post_ds.map_batches(score, batch_format="pyarrow").drop_columns(["bucket"])
+
+    def pre(df):
+        return (
+            df.sort_values(
+                ["term", "score_fp", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("term", sort=False)
+            .head(10)
+        )
+
+    def reducer(df):
+        out = pre(df)
+        out = out.assign(
+            rnk=out.groupby("term", sort=False).cumcount() + 1,
+            pruned_ok=np.int64(pruned_ok),
+        )
+        return out[["term", "doc_id", "tf", "dl", "score_fp", "rnk", "pruned_ok"]]
+
+    return _bucketed(cand, ["term"], reducer, 4, pre=pre)

@@ -197,3 +197,40 @@ def test_dp_counts_mechanism(ray_session):
         u2 = (md5_low64(f"{row['lang']}#dp2") + 1) / 2**64
         noise = int(np.floor(np.log(u1) / -1.0)) - int(np.floor(np.log(u2) / -1.0))
         assert row["n_dp"] == row["n_docs"] + noise
+
+
+def test_bm25_disk_matches_instream_and_resumes(ray_session):
+    """The disk index must rank exactly like the in-stream bm25_topk (the
+    layout changes I/O, not values), resume as a byte-level no-op, and
+    actually prune postings buckets."""
+    import glob
+    import os
+
+    from pygeoops_ray.pipelines.q_text import q_bm25_disk, q_bm25_topk
+
+    disk = (
+        q_bm25_disk(SF).to_pandas().sort_values(["term", "rnk"]).reset_index(drop=True)
+    )
+    stream = (
+        q_bm25_topk(SF).to_pandas().sort_values(["term", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        disk.drop(columns=["pruned_ok"]).astype("object"),
+        stream.astype("object"),
+        check_dtype=False,
+    )
+    assert (disk["pruned_ok"] == 1).all()
+    dirs = glob.glob("/tmp/pygeoops_ray_cache/bm25_index_*")
+    assert dirs
+    idx = max(dirs, key=os.path.getmtime)
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True)
+    }
+    assert mtimes
+    again = (
+        q_bm25_disk(SF).to_pandas().sort_values(["term", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(disk, again)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m
