@@ -182,6 +182,15 @@ def run_bench() -> dict:
         "dbscan",
         "ann_hnsw",
         "group_corr",
+        # round-4 operators
+        "cms_sketch",
+        "weighted_sample",
+        "image_quality",
+        "ann_ivf_pq",
+        "lsh_disk",
+        "dp_counts",
+        "bm25_disk",
+        "ann_filtered",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
