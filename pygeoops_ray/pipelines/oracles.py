@@ -3095,3 +3095,11 @@ ORACLE_SQL["ann_filtered"] = """
            CAST(1 AS BIGINT) AS recall_ok
     FROM embeddings
 """
+
+# topo_global: the continuous-strip corpus collapses every ring to its 4
+# corners with the 16x8 area preserved — closed form per supplier
+ORACLE_SQL["topo_global"] = """
+    SELECT s_suppkey, CAST(5 AS BIGINT) AS n_pts_out,
+           CAST(12800 AS BIGINT) AS area_c
+    FROM supplier
+"""

@@ -930,3 +930,66 @@ def q_geo_csv(sf_dir: str):
         )
 
     return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def q_topo_global(sf_dir: str):
+    """GLOBAL topology-preserving simplify (stages/topo_global.py) — the
+    cross-partition shared-arc operator that closes SURVEY §8.3.4: supplier k
+    is rectangle [16k, 0, 16(k+1), 8] of ONE continuous strip, densified to
+    unit spacing, so every vertical border is shared between neighbors that
+    may land in different blocks/partitions. The distributed topology finds
+    the shared arcs globally (junction cogroup on vertex keys), simplifies
+    each arc ONCE (arc-key groupby), and both owners stitch the identical
+    simplified border back — shared-RDP at tol 0.5 collapses every ring to
+    its 4 corners with area preserved. Closed form: n_pts_out = 5,
+    area_c = 12800 for every supplier. Partition-invariance and exact
+    equality with the single-process kernel are pytest-gated
+    (tests/test_round4_ops.py)."""
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    W, H = 16, 8
+
+    def strip_rects(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy()
+        wkbs = []
+        for k in keys:
+            ox = float(int(k) * W)
+            pts = (
+                [(ox + float(i), 0.0) for i in range(W)]
+                + [(ox + W, float(j)) for j in range(H)]
+                + [(ox + float(i), float(H)) for i in range(W, 0, -1)]
+                + [(ox, float(j)) for j in range(H, 0, -1)]
+                + [(ox, 0.0)]
+            )
+            wkbs.append(wkb_codec.dumps(g.Polygon([list(p) for p in pts])))
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "geom_wkb": pa.array(wkbs, pa.binary()),
+            }
+        )
+
+    ds = _read_blocked(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        strip_rects, batch_format="pyarrow"
+    )
+    out = topo_simplify_distributed(ds, tolerance=0.5, algorithm="rdp")
+
+    def digest(df):
+        import pandas as pd
+
+        n, areas = [], []
+        for b in df["geom_wkb"]:
+            geom = wkb_codec.loads(b) if b is not None else None
+            n.append(geom.num_coordinates if geom is not None else 0)
+            areas.append(int(np.round(geom.area * 100)) if geom is not None else 0)
+        return pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].astype("int64"),
+                "n_pts_out": pd.Series(n, dtype="int64"),
+                "area_c": pd.Series(areas, dtype="int64"),
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pandas")

@@ -267,3 +267,117 @@ def test_ann_filtered_predicate_and_recall(ray_session):
     ).to_pandas()
     merged = approx.merge(lab, on="vec_id")
     assert (merged["label"] == 3).all()
+
+
+def _wavy_strip_corpus():
+    from pygeoops_ray.geo import geom as g
+
+    W, H = 20, 10
+    geoms = []
+    for k in range(6):
+        ox = k * W
+
+        def border(x):
+            ys = np.linspace(0, H, 11)
+            xs = x + np.sin(ys * 1.7 + x * 0.13) * 1.3
+            return np.column_stack([xs, ys])
+
+        left = border(ox)
+        right = border(ox + W)
+        bottom = np.column_stack(
+            [np.linspace(ox, ox + W, 9)[1:-1], np.full(7, 0.0)]
+        )
+        top = np.column_stack(
+            [np.linspace(ox + W, ox, 9)[1:-1], np.full(7, H)]
+        )
+        ring = np.concatenate([left[:1], bottom, right, top, left[::-1]])
+        geoms.append(g.Polygon(ring))
+    # collinear-overlap pair: pA's bottom vertices lie ON pB's long top edge
+    pA = g.Polygon(np.array([[500, 0], [510, 0], [510, 5], [500, 5], [500, 0]], float))
+    pB = g.Polygon(
+        np.array([[490, 0], [520, 0], [520, -8], [490, -8], [490, 0]], float)
+    )
+    return geoms + [pA, pB]
+
+
+def test_topo_global_matches_local_kernel(ray_session):
+    """The distributed global topology must match the single-process
+    simplify_topo EXACTLY (WKT equality) on a corpus with wavy shared
+    borders + a collinear-overlap pair, and be partition-invariant."""
+    import ray.data as rd
+
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.geo.simplify_topo import simplify_topo
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    geoms = _wavy_strip_corpus()
+    local = simplify_topo(geoms, tolerance=0.8, algorithm="rdp")
+    tab = pa.table(
+        {
+            "s_suppkey": pa.array(list(range(len(geoms))), pa.int64()),
+            "geom_wkb": pa.array([wkb_codec.dumps(x) for x in geoms], pa.binary()),
+        }
+    )
+    outs = []
+    for nparts in (2, 7):
+        ds = rd.from_arrow(tab).repartition(nparts)
+        out = (
+            topo_simplify_distributed(ds, tolerance=0.8, algorithm="rdp")
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        for i in range(len(geoms)):
+            lg = local[i]
+            dg = (
+                wkb_codec.loads(out.loc[i, "geom_wkb"])
+                if out.loc[i, "geom_wkb"] is not None
+                else None
+            )
+            assert (lg.wkt if lg is not None else None) == (
+                dg.wkt if dg is not None else None
+            ), i
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_topo_global_shared_borders_cross_partition(ray_session):
+    """Neighbors in DIFFERENT partitions keep byte-identical shared borders
+    — the property the per-cell grouped variant only approximates."""
+    import ray.data as rd
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    geoms = _wavy_strip_corpus()[:6]
+    tab = pa.table(
+        {
+            "s_suppkey": pa.array(list(range(len(geoms))), pa.int64()),
+            "geom_wkb": pa.array([wkb_codec.dumps(x) for x in geoms], pa.binary()),
+        }
+    )
+    out = (
+        topo_simplify_distributed(
+            rd.from_arrow(tab).repartition(6), tolerance=0.8, algorithm="rdp"
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    W = 20
+    for k in range(5):
+        a = wkb_codec.loads(out.loc[k, "geom_wkb"])
+        b = wkb_codec.loads(out.loc[k + 1, "geom_wkb"])
+        border_x = (k + 1) * W
+        ba = {
+            tuple(p)
+            for p in g.get_coordinates(a)[:, :2]
+            if abs(p[0] - border_x) < 2
+        }
+        bb = {
+            tuple(p)
+            for p in g.get_coordinates(b)[:, :2]
+            if abs(p[0] - border_x) < 2
+        }
+        assert ba and ba == bb, k
