@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "dp_counts",
         "bm25_disk",
         "ann_filtered",
+        "topo_global",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]
