@@ -3103,3 +3103,14 @@ ORACLE_SQL["topo_global"] = """
            CAST(12800 AS BIGINT) AS area_c
     FROM supplier
 """
+
+
+# ipc_scan: same aggregate as jsonl_scan — the parquet side proves the
+# Arrow-IPC roundtrip lossless
+ORACLE_SQL["ipc_scan"] = """
+    SELECT lang, source,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, source
+"""

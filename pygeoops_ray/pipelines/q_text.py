@@ -992,3 +992,81 @@ def q_bm25_disk(sf_dir: str):
         return out[["term", "doc_id", "tf", "dl", "score_fp", "rnk", "pruned_ok"]]
 
     return _bucketed(cand, ["term"], reducer, 4, pre=pre)
+
+
+def q_ipc_scan(sf_dir: str):
+    """Arrow IPC (Feather) source-format coverage: the documents table is
+    exported once to 8 IPC shard files — written FROM INSIDE map tasks (one
+    shard per block, the side-sink pattern), not on the driver — read back
+    through ``read_binary_files`` + a zero-copy ``pyarrow.ipc`` decode flat
+    map (Ray 2.49 has no native IPC reader; binary-read + Arrow decode IS
+    the custom-source recipe), and aggregated per (lang, source). The
+    oracle aggregates the parquet directly, proving the IPC write/read
+    roundtrip lossless.
+    """
+    import hashlib
+    import os
+
+    import pyarrow.ipc as paipc
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n = _table_rows(sf_dir, "documents")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:ipc".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/docs_ipc_{key}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            import uuid
+
+            fn = os.path.join(path, f"shard-{uuid.uuid4().hex}.arrow")
+            tmp = fn + ".tmp"
+            with paipc.new_file(tmp, b.schema) as w:
+                w.write_table(b)
+            os.rename(tmp, fn)  # atomic publish (crash-safe re-run)
+            return pa.Table.from_pydict({"rows": pa.array([b.num_rows], pa.int64())})
+
+        total = (
+            _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+            .repartition(8)
+            .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
+            .sum("rows")
+        )
+        assert total == n, (total, n)
+        # drop shards from crashed partial runs is unnecessary: tmp files are
+        # never read (suffix filter below) and a full rerun rewrites fresh
+        with open(marker, "w"):
+            pass
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".arrow")
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = [
+            paipc.open_file(pa.py_buffer(blob)).read_all()
+            for blob in b["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+
+    ds = rd.read_binary_files(files).map_batches(decode, batch_format="pyarrow")
+    return grouped_agg(
+        ds,
+        ["lang", "source"],
+        [
+            ("doc_id", "sum", "sum_doc_id"),
+            ("n_chars", "sum", "sum_chars"),
+            ("doc_id", "size", "n_docs"),
+        ],
+        n_rows_hint=256,
+    )

@@ -125,6 +125,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pq_codes",
         "ann_pq",
         "jsonl_scan",
+        "ipc_scan",
         "zorder_scan",
         "inverted_index",
         "clip_score",
@@ -371,6 +372,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "dup_spans": ("doc_id", "n_windows", "dup_windows", "dup_tokens"),
     "pii_redact": ("doc_id", "n_emails", "n_phones", "red_fp"),
     "domain_mix": ("doc_id", "lang", "rnk"),
+    "ipc_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
