@@ -192,6 +192,8 @@ def run_bench() -> dict:
         "bm25_disk",
         "ann_filtered",
         "topo_global",
+        "ipc_scan",
+        "multimodal_curation",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

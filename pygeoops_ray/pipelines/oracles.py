@@ -3114,3 +3114,66 @@ ORACLE_SQL["ipc_scan"] = """
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY lang, source
 """
+
+# multimodal_curation: size AND clip gates from the shared generator CTEs,
+# the caption-sensitive dedup rule (a dup ordinal only drops when its
+# ORIGINAL also survived both gates — captions differ per ordinal), then
+# the split hash; dot/na2/nb2 CTEs are the clip_score oracle's
+ORACLE_SQL["multimodal_curation"] = f"""
+WITH {_IMG_IHASH_CTES},
+iv AS (SELECT i, br AS d, sum(s) AS rs FROM bsum GROUP BY i, br),
+ivec AS (SELECT iv.i, iv.d, 8 * iv.rs - tot.t AS a FROM iv JOIN tot USING (i)),
+cwords(widx, w) AS (VALUES
+    (0, 'tile'), (1, 'grid'), (2, 'cell'), (3, 'river'), (4, 'field'),
+    (5, 'road'), (6, 'house'), (7, 'tree'), (8, 'cloud'), (9, 'shadow'),
+    (10, 'rock'), (11, 'water'), (12, 'bridge'), (13, 'tower'), (14, 'farm'),
+    (15, 'forest'), (16, 'lake'), (17, 'coast'), (18, 'dune'), (19, 'track')),
+ktab AS (SELECT unnest(range(5)) AS k),
+capw AS (
+    SELECT m.i, cw.w
+    FROM meta m CROSS JOIN ktab kt
+    JOIN cwords cw ON cw.widx = (m.i * (kt.k + 3) + kt.k) % 20
+),
+toks AS (
+    SELECT i, 'caption' AS w FROM meta
+    UNION ALL SELECT i, CAST(i AS VARCHAR) AS w FROM meta
+    UNION ALL SELECT i, w FROM capw
+),
+dtab AS (SELECT unnest(range(8)) AS d),
+tvec AS (
+    SELECT t.i, dt.d,
+           sum(CAST((md5_number_lower(t.w) >> CAST(8 * dt.d AS INTEGER)) & 255
+                    AS BIGINT) - 128) AS b
+    FROM toks t CROSS JOIN dtab dt
+    GROUP BY t.i, dt.d
+),
+sc AS (
+    SELECT v.i,
+           sum(CAST(v.a AS HUGEINT) * tv.b) AS dot,
+           sum(CAST(v.a AS HUGEINT) * v.a) AS na2,
+           sum(CAST(tv.b AS HUGEINT) * tv.b) AS nb2
+    FROM ivec v JOIN tvec tv ON tv.i = v.i AND tv.d = v.d
+    GROUP BY v.i
+),
+gate AS (
+    SELECT m.i, m.w, m.h, sc.dot
+    FROM meta m JOIN sc ON sc.i = m.i
+    WHERE m.w * m.h >= 1200
+      AND sc.dot > 0 AND 10000 * sc.dot * sc.dot >= 25 * sc.na2 * sc.nb2
+),
+ded AS (
+    SELECT g.* FROM gate g
+    WHERE NOT (g.i % 101 = 0 AND g.i > 0
+               AND (g.i - 1) IN (SELECT i FROM gate))
+),
+fin AS (
+    SELECT CASE WHEN (i * 2654435761) % 4294967296 % 10 = 9
+                THEN 'val' ELSE 'train' END AS split,
+           i, w * h AS px, dot
+    FROM ded
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(i) AS BIGINT) AS id_sum,
+       CAST(sum(dot) AS BIGINT) AS dot_sum
+FROM fin GROUP BY split
+"""

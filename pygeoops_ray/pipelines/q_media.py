@@ -770,3 +770,67 @@ def q_image_quality(sf_dir: str):
     return ds.select_columns(["image_id", "bytes", "fmt"]).map_batches(
         quality, batch_format="pyarrow", batch_size=1024
     )
+
+
+def q_multimodal_curation(sf_dir: str):
+    """End-to-end MULTIMODAL curation — the cross-modal flagship chain that
+    composes the image, text, and alignment gates a LAION-style corpus runs
+    before training, with ONE decode per image feeding everything
+    (stages/multimodal.mm_curate_batch): size gate (w·h ≥ 1200) AND
+    CLIP-alignment gate (integer two-tower cosine ≥ 0.05 with dot>0) →
+    exact dedup on the codec-invariant (phash_q, qdigest) key (argmin
+    ordinal keeps the row — NOTE the dup ordinal's caption differs from its
+    original's, so a dup survives when its original failed a gate; the
+    oracle replays exactly that) → multiplicative-hash train/val split →
+    per-split counts + pixel sums + id and dot checksums. Every stage is an
+    already-oracle-checked operator; this query binds the cross-modal
+    COMPOSITION to one SQL oracle.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.stages.groupagg import _bucketed, grouped_agg
+    from pygeoops_ray.stages.multimodal import mm_curate_batch
+
+    ds, n = _image_ds(sf_dir)
+    ds = ds.select_columns(["image_id", "bytes", "fmt", "caption"])
+    feats = ds.map_batches(mm_curate_batch, batch_format="pyarrow", batch_size=1024)
+
+    def gate(b: pa.Table) -> pa.Table:
+        px = pc.multiply(b["w"], b["h"])
+        keep = pc.and_(pc.greater_equal(px, 1200), pc.equal(b["keep"], 1))
+        return b.filter(keep)
+
+    gated = feats.map_batches(gate, batch_format="pyarrow")
+
+    def argmin_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("i").drop_duplicates(["phash_q", "qdigest"], keep="first")
+
+    deduped = _bucketed(gated, ["phash_q", "qdigest"], argmin_rows, n_buckets=8,
+                        pre=argmin_rows)
+
+    def split_rows(b: pa.Table) -> pa.Table:
+        ids = b["i"].to_numpy()
+        px = b["w"].to_numpy() * b["h"].to_numpy()
+        bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        split = np.where(bucket % np.uint64(10) == 9, "val", "train")
+        return pa.Table.from_pydict(
+            {
+                "split": pa.array(split),
+                "i": pa.array(ids, pa.int64()),
+                "px": pa.array(px.astype(np.int64), pa.int64()),
+                "dot": b["dot"],
+            }
+        )
+
+    return grouped_agg(
+        deduped.map_batches(split_rows, batch_format="pyarrow"),
+        ["split"],
+        [
+            ("i", "size", "n_images"),
+            ("px", "sum", "sum_px"),
+            ("i", "sum", "id_sum"),
+            ("dot", "sum", "dot_sum"),
+        ],
+        n_buckets=2,
+    )

@@ -159,6 +159,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dp_counts",
         "bm25_disk",
         "ann_filtered",
+        "multimodal_curation",
     ),
 }
 
@@ -397,6 +398,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "dp_counts": ("lang", "n_docs", "n_dp"),
     "bm25_disk": ("term", "doc_id", "tf", "dl", "score_fp", "rnk", "pruned_ok"),
     "ann_filtered": ("n_queries", "k", "recall_ok"),
+    "multimodal_curation": ("split", "n_images", "sum_px", "id_sum", "dot_sum"),
     "weighted_sample": ("event_id", "wgt", "rk"),
     "image_quality": ("i", "w", "h", "sum_g", "sum_sq", "edge_x", "edge_y"),
     "ann_hnsw": ("n_queries", "k", "recall_ok"),

@@ -410,6 +410,78 @@ class AudioResampleStage:
         return t
 
 
+def clip_towers(px: np.ndarray, caption: str, tok_cache: dict) -> tuple[int, int, int]:
+    """(dot, |a|^2, |b|^2) of the integer two-tower CLIP stand-in over DECODED
+    pixels + caption tokens (see ClipScoreStage docstring for the rules)."""
+    import hashlib
+
+    h, w, _ = px.shape
+    ys = (np.arange(8) * h) // 8
+    rows = np.add.reduceat(px.reshape(h, w * 3), ys, axis=0, dtype=np.int64).sum(axis=1)
+    a = 8 * rows - int(rows.sum())
+    b = np.zeros(8, dtype=np.int64)
+    dim = np.arange(8, dtype=np.uint64) * np.uint64(8)
+    for tok in caption.split(" "):
+        tv = tok_cache.get(tok)
+        if tv is None:
+            h64 = np.uint64(
+                struct.unpack("<Q", hashlib.md5(tok.encode("utf-8")).digest()[8:16])[0]
+            )
+            tv = ((h64 >> dim) & np.uint64(255)).astype(np.int64) - 128
+            tok_cache[tok] = tv
+        b += tv
+    return int(a @ b), int(a @ a), int(b @ b)
+
+
+def mm_curate_batch(batch: pa.Table, tau_centi: int = 5) -> pa.Table:
+    """(image_id, bytes, fmt, caption) → per-image curation features from ONE
+    decode: dims (size gate), codec-invariant dedup key (qdigest, phash_q),
+    and the cross-modal CLIP gate (dot, keep) — the fused multimodal
+    curation kernel (decoding per gate would triple the 100-TB cost)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from pygeoops_ray.table.images import mean_phash
+
+    n = len(batch)
+    ws = np.empty(n, dtype=np.int64)
+    hs = np.empty(n, dtype=np.int64)
+    dots = np.empty(n, dtype=np.int64)
+    keeps = np.empty(n, dtype=np.int64)
+    digs, phq = [], []
+    tau2 = tau_centi * tau_centi
+    tok_cache: dict[str, np.ndarray] = {}
+    for j, (data, fmt, cap) in enumerate(
+        zip(
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["caption"].to_pylist(),
+        )
+    ):
+        px = decode_any(data, fmt)
+        h, w, _ = px.shape
+        ws[j], hs[j] = w, h
+        q = (px >> 2).astype(np.uint8)
+        digs.append(hashlib.md5(q.tobytes() + struct.pack("<HH", w, h)).hexdigest())
+        phq.append(mean_phash((q << np.uint8(2)) + np.uint8(2)))
+        dot, na2, nb2 = clip_towers(px, cap, tok_cache)
+        dots[j] = dot
+        keeps[j] = int(dot > 0 and 10000 * dot * dot >= tau2 * na2 * nb2)
+    i = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64())
+    return pa.Table.from_pydict(
+        {
+            "i": i,
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "qdigest": pa.array(digs, pa.string()),
+            "phash_q": pa.array(np.array(phq, dtype=np.uint64)),
+            "dot": pa.array(dots, pa.int64()),
+            "keep": pa.array(keeps, pa.int64()),
+        }
+    )
+
+
 class ClipScoreStage:
     """Cross-modal alignment gate (the CLIP-score curation filter every
     image+caption corpus runs before training — LAION's keep/drop rule).
@@ -432,14 +504,11 @@ class ClipScoreStage:
         self.tau2 = tau_centi * tau_centi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
         import pyarrow.compute as pc
 
         n = len(batch)
         dots = np.empty(n, dtype=np.int64)
         keeps = np.empty(n, dtype=np.int64)
-        dim = np.arange(8, dtype=np.uint64) * np.uint64(8)
         tok_cache: dict[str, np.ndarray] = {}
         for j, (data, fmt, cap) in enumerate(
             zip(
@@ -449,27 +518,7 @@ class ClipScoreStage:
             )
         ):
             px = decode_any(data, fmt)
-            h, w, _ = px.shape
-            ys = (np.arange(8) * h) // 8
-            rows = np.add.reduceat(
-                px.reshape(h, w * 3), ys, axis=0, dtype=np.int64
-            ).sum(axis=1)
-            a = 8 * rows - int(rows.sum())
-            b = np.zeros(8, dtype=np.int64)
-            for tok in cap.split(" "):
-                tv = tok_cache.get(tok)
-                if tv is None:
-                    h64 = np.uint64(
-                        struct.unpack(
-                            "<Q", hashlib.md5(tok.encode("utf-8")).digest()[8:16]
-                        )[0]
-                    )
-                    tv = ((h64 >> dim) & np.uint64(255)).astype(np.int64) - 128
-                    tok_cache[tok] = tv
-                b += tv
-            dot = int(a @ b)
-            na2 = int(a @ a)
-            nb2 = int(b @ b)
+            dot, na2, nb2 = clip_towers(px, cap, tok_cache)
             dots[j] = dot
             keeps[j] = int(
                 dot > 0 and 10000 * dot * dot >= self.tau2 * na2 * nb2

@@ -381,3 +381,36 @@ def test_topo_global_shared_borders_cross_partition(ray_session):
             if abs(p[0] - border_x) < 2
         }
         assert ba and ba == bb, k
+
+
+def test_mm_curate_fusion_consistency(ray_session):
+    """The fused multimodal kernel must reproduce curate_digest_batch's dedup
+    keys AND ClipScoreStage's (dot, keep) bit-for-bit (one decode vs three)."""
+    from pygeoops_ray.pipelines.common import _image_ds
+    from pygeoops_ray.stages.multimodal import (
+        ClipScoreStage,
+        curate_digest_batch,
+        mm_curate_batch,
+    )
+
+    ds, _ = _image_ds(SF)
+    batch = (
+        ds.select_columns(["image_id", "bytes", "fmt", "caption"])
+        .limit(64)
+        .to_pandas()
+    )
+    tab = pa.Table.from_pandas(batch, preserve_index=False)
+    fused = mm_curate_batch(tab).to_pandas().sort_values("i").reset_index(drop=True)
+    dig = (
+        curate_digest_batch(tab.select(["image_id", "bytes", "fmt"]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    clip = ClipScoreStage(tau_centi=5)(tab).to_pandas().sort_values("i").reset_index(drop=True)
+    dig["i"] = dig["image_id"].str[4:].astype("int64")
+    dig = dig.sort_values("i").reset_index(drop=True)
+    assert (fused["qdigest"] == dig["qdigest"]).all()
+    assert (fused["phash_q"] == dig["phash_q"]).all()
+    assert (fused["w"] == dig["w"]).all() and (fused["h"] == dig["h"]).all()
+    assert (fused["dot"] == clip["dot"]).all()
+    assert (fused["keep"] == clip["keep"]).all()
