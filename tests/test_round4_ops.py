@@ -414,3 +414,72 @@ def test_mm_curate_fusion_consistency(ray_session):
     assert (fused["w"] == dig["w"]).all() and (fused["h"] == dig["h"]).all()
     assert (fused["dot"] == clip["dot"]).all()
     assert (fused["keep"] == clip["keep"]).all()
+
+
+def test_topo_global_random_grid_matches_local(ray_session):
+    """Randomized rectilinear grids with shared edges (seeded): the
+    distributed topology must equal the local kernel exactly for several
+    grid shapes, tolerances, and partition counts."""
+    import ray.data as rd
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.geo.simplify_topo import simplify_topo
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    rng = np.random.default_rng(17)
+    for gw, gh, tol, nparts in ((4, 3, 0.6, 3), (6, 2, 1.1, 5)):
+        # grid of cells with jittered-but-shared internal borders: border
+        # x-line between column c and c+1 is a wavy polyline shared by both
+        xs = np.arange(gw + 1) * 15.0
+        ys = np.arange(gh + 1) * 12.0
+        dense = 7
+
+        def vline(ci, rj):
+            t = np.linspace(ys[rj], ys[rj + 1], dense)
+            off = np.sin(t * (1.1 + 0.13 * ci)) * 1.4 if 0 < ci < gw else 0 * t
+            return np.column_stack([xs[ci] + off, t])
+
+        def hline(ci, rj):
+            t = np.linspace(xs[ci], xs[ci + 1], dense)
+            off = np.cos(t * (0.9 + 0.07 * rj)) * 1.2 if 0 < rj < gh else 0 * t
+            return np.column_stack([t, ys[rj] + off])
+
+        geoms = []
+        for rj in range(gh):
+            for ci in range(gw):
+                bottom = hline(ci, rj)
+                right = vline(ci + 1, rj)
+                top = hline(ci, rj + 1)[::-1]
+                left = vline(ci, rj)[::-1]
+                ring = np.concatenate(
+                    [bottom, right[1:], top[1:], left[1:]]
+                )
+                geoms.append(g.Polygon(ring))
+        local = simplify_topo(geoms, tolerance=tol, algorithm="rdp")
+        tab = pa.table(
+            {
+                "s_suppkey": pa.array(list(range(len(geoms))), pa.int64()),
+                "geom_wkb": pa.array(
+                    [wkb_codec.dumps(x) for x in geoms], pa.binary()
+                ),
+            }
+        )
+        out = (
+            topo_simplify_distributed(
+                rd.from_arrow(tab).repartition(nparts), tolerance=tol, algorithm="rdp"
+            )
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        for i in range(len(geoms)):
+            lg = local[i]
+            dg = (
+                wkb_codec.loads(out.loc[i, "geom_wkb"])
+                if out.loc[i, "geom_wkb"] is not None
+                else None
+            )
+            assert (lg.wkt if lg is not None else None) == (
+                dg.wkt if dg is not None else None
+            ), (gw, gh, tol, i)
