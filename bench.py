@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "topo_global",
         "ipc_scan",
         "multimodal_curation",
+        "gpkg_scan",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

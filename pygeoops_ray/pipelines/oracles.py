@@ -3177,3 +3177,13 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_images,
        CAST(sum(dot) AS BIGINT) AS dot_sum
 FROM fin GROUP BY split
 """
+
+# gpkg_scan: the rect rule is pure supplier-key arithmetic
+ORACLE_SQL["gpkg_scan"] = """
+    SELECT s_suppkey,
+           CAST((5 + s_suppkey % 3) * (3 + s_suppkey % 5) * 100 AS BIGINT)
+               AS area_c,
+           CAST(2 * ((5 + s_suppkey % 3) + (3 + s_suppkey % 5)) * 100 AS BIGINT)
+               AS perim_c
+    FROM supplier
+"""

@@ -993,3 +993,114 @@ def q_topo_global(sf_dir: str):
         )
 
     return out.map_batches(digest, batch_format="pandas")
+
+
+def q_gpkg_scan(sf_dir: str):
+    """GeoPackage source coverage — the reference's own benchmark format
+    (`benchmark/benchmarks_pygeoops.py:64` reads AGRIPRC GPKG via pyogrio).
+    No GDAL in this env, so the engine speaks the format directly: GPKG is
+    SQLite + a 'GP'-headed WKB blob per feature (OGC 12-128r15 §2.1.3), and
+    the stdlib ``sqlite3`` module covers both sides.
+
+    Write (once per size, driver-side — the file is the fixture): a minimal
+    but conformant .gpkg (gpkg_spatial_ref_sys / gpkg_contents /
+    gpkg_geometry_columns + the feature table) holding one rect polygon per
+    supplier. Read (distributed): the feature table shards by ROWID RANGE —
+    ``rd.range(n_shards)`` → one sqlite3 query per task with ``fid BETWEEN
+    lo AND hi`` (SQLite reads are lock-free for readers, so tasks scan
+    concurrently; at 100 TB each shard is its own .gpkg file and the same
+    code fans out per file) → strip the GP header → WKB decode → integer
+    area/perimeter digests. Oracle: the rect rule is pure arithmetic.
+    """
+    import os
+    import sqlite3
+    import struct
+
+    import ray.data as rd
+
+    from pygeoops_ray.geo import wkb as _wkb
+    from pygeoops_ray.geo.geom import box
+
+    n = _table_rows(sf_dir, "supplier")
+    path = f"/tmp/ray_geoops_cache/geo_{n}.gpkg"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        con = sqlite3.connect(tmp)
+        con.executescript(
+            """
+            PRAGMA application_id = 0x47504B47;  -- 'GPKG'
+            PRAGMA user_version = 10300;         -- GeoPackage 1.3
+            CREATE TABLE gpkg_spatial_ref_sys (
+                srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+                organization TEXT NOT NULL, organization_coordsys_id INTEGER,
+                definition TEXT NOT NULL, description TEXT);
+            INSERT INTO gpkg_spatial_ref_sys VALUES
+                ('undefined cartesian', -1, 'NONE', -1, 'undefined', NULL);
+            CREATE TABLE gpkg_contents (
+                table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+                identifier TEXT UNIQUE, description TEXT DEFAULT '',
+                last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+                max_x DOUBLE, max_y DOUBLE, srs_id INTEGER);
+            CREATE TABLE gpkg_geometry_columns (
+                table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+                geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+                z TINYINT NOT NULL, m TINYINT NOT NULL,
+                CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+            INSERT INTO gpkg_geometry_columns VALUES
+                ('footprints', 'geom', 'POLYGON', -1, 0, 0);
+            CREATE TABLE footprints (
+                fid INTEGER PRIMARY KEY AUTOINCREMENT,
+                s_suppkey INTEGER NOT NULL, geom BLOB);
+            """
+        )
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES ('footprints', 'features',"
+            " 'footprints', '', NULL, NULL, NULL, NULL, NULL, -1)"
+        )
+        # GP header: magic 'GP', version 0, flags 0x01 (LE, no envelope), srs -1
+        gp = b"GP\x00\x01" + struct.pack("<i", -1)
+        rows = []
+        for k in range(n):
+            x0, y0 = float((k % 7) * 8), float((k % 11) * 4)
+            geom = box(x0, y0, x0 + 5.0 + (k % 3), y0 + 3.0 + (k % 5))
+            rows.append((k + 1, k, gp + _wkb.dumps(geom)))
+        con.executemany("INSERT INTO footprints VALUES (?, ?, ?)", rows)
+        con.commit()
+        con.close()
+        os.replace(tmp, path)
+
+    n_shards = 8
+    per = (n + n_shards - 1) // n_shards
+
+    def read_shard(b: pa.Table) -> pa.Table:
+        import sqlite3 as sq
+
+        keys, areas, perims = [], [], []
+        for s in b["id"].to_pylist():
+            lo, hi = s * per + 1, min((s + 1) * per, n)
+            con = sq.connect(f"file:{path}?mode=ro", uri=True)
+            for skey, blob in con.execute(
+                "SELECT s_suppkey, geom FROM footprints WHERE fid BETWEEN ? AND ?",
+                (lo, hi),
+            ):
+                flags = blob[3]
+                env_len = (0, 32, 48, 48, 64)[(flags >> 1) & 0x07]
+                geom = _wkb.loads(blob[8 + env_len:])
+                keys.append(int(skey))
+                areas.append(int(round(geom.area * 100)))
+                perims.append(int(round(geom.length * 100)))
+            con.close()
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "area_c": pa.array(areas, pa.int64()),
+                "perim_c": pa.array(perims, pa.int64()),
+            }
+        )
+
+    return rd.range(n_shards, override_num_blocks=n_shards).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    ).map_batches(read_shard, batch_format="pyarrow")

@@ -58,6 +58,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dissolve",
         "overlay_nary",
         "topo_global",
+        "gpkg_scan",
     ),
     "text_suite": (
         "token_count",
@@ -361,6 +362,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "dissolve": ("n_nationkey", "area_c", "n_slots"),
     "overlay_nary": ("s_suppkey", "union_area_c", "diff_area_c", "isect_area_c"),
     "topo_global": ("s_suppkey", "n_pts_out", "area_c"),
+    "gpkg_scan": ("s_suppkey", "area_c", "perim_c"),
     "token_count": ("doc_id", "n_tokens"),
     "bpe_tokens": ("doc_id", "n_bpe_tokens"),
     "text_quality": ("doc_id", "n_chars_calc", "n_spaces", "n_tokens", "avg_token_len"),

@@ -483,3 +483,28 @@ def test_topo_global_random_grid_matches_local(ray_session):
             assert (lg.wkt if lg is not None else None) == (
                 dg.wkt if dg is not None else None
             ), (gw, gh, tol, i)
+
+
+def test_gpkg_scan_header_and_roundtrip(ray_session):
+    """The written .gpkg must carry conformant GP blobs (magic, version,
+    flags) and the sharded read must reproduce every supplier exactly."""
+    import sqlite3
+    import struct
+
+    from pygeoops_ray.pipelines.common import _table_rows
+    from pygeoops_ray.pipelines.q_geometry import q_gpkg_scan
+
+    out = q_gpkg_scan(SF).to_pandas().sort_values("s_suppkey").reset_index(drop=True)
+    n = _table_rows(SF, "supplier")
+    assert len(out) == n
+    k = out["s_suppkey"].to_numpy()
+    assert (out["area_c"].to_numpy() == (5 + k % 3) * (3 + k % 5) * 100).all()
+    con = sqlite3.connect(f"/tmp/ray_geoops_cache/geo_{n}.gpkg")
+    (blob,) = con.execute("SELECT geom FROM footprints WHERE fid = 1").fetchone()
+    assert blob[:2] == b"GP" and blob[2] == 0 and blob[3] == 0x01
+    assert struct.unpack("<i", blob[4:8])[0] == -1
+    (gt,) = con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns"
+    ).fetchone()
+    assert gt == "POLYGON"
+    con.close()
