@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "ipc_scan",
         "multimodal_curation",
         "gpkg_scan",
+        "npy_scan",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -3187,3 +3187,15 @@ ORACLE_SQL["gpkg_scan"] = """
                AS perim_c
     FROM supplier
 """
+
+
+# npy_scan: integer per-vector checksums re-derived from the parquet
+# list<float> column — float32 roundtrip is exact (the .npy stores the
+# same float32 the table holds)
+ORACLE_SQL["npy_scan"] = """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(100.0 * CAST(x AS DOUBLE)) AS BIGINT)))
+                AS BIGINT) AS checksum
+    FROM embeddings
+"""

@@ -12,6 +12,7 @@ import pyarrow as pa
 from pygeoops_ray.stages import ann as ann_stages
 from pygeoops_ray.pipelines.common import (
     _read,
+    _table_rows,
 )
 
 
@@ -394,3 +395,67 @@ def q_ann_filtered(sf_dir: str):
             "recall_ok": pa.array([int(mean_pct >= 30)], pa.int64()),
         }
     )
+
+
+def q_npy_scan(sf_dir: str):
+    """NumPy .npy source coverage (``ray.data.read_numpy``) — the tensor
+    interchange format embedding dumps actually arrive in. The embeddings
+    table exports once to 4 .npy shards of shape (n_i, d+1) with the vec_id
+    in column 0 (ids ≪ 2^24, exact in float32), read back through Ray's
+    native numpy datasource, and digested per vector: checksum =
+    Σ floor(100·x) over dims. The parquet-side oracle re-derives the same
+    integer checksums from the list<float> column, proving the tensor
+    roundtrip lossless.
+    """
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    n = _table_rows(sf_dir, "embeddings")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:npy".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/emb_npy_{key}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            import uuid
+
+            ids = b["vec_id"].to_numpy().astype(np.float32)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in b["embedding"].to_pylist()]
+            )
+            arr = np.column_stack([ids, m])
+            fn = os.path.join(path, f"shard-{uuid.uuid4().hex}.npy")
+            tmp = fn + ".tmp"
+            np.save(tmp, arr)
+            os.rename(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, fn)
+            return pa.Table.from_pydict({"rows": pa.array([len(ids)], pa.int64())})
+
+        total = (
+            _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .repartition(4)
+            .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
+            .sum("rows")
+        )
+        assert total == n, (total, n)
+        with open(marker, "w"):
+            pass
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".npy")
+    )
+
+    def digest(b) -> pa.Table:
+        arr = np.stack(list(b["data"]))
+        ids = arr[:, 0].astype(np.int64)
+        chk = np.floor(100.0 * arr[:, 1:].astype(np.float64)).astype(np.int64).sum(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "checksum": pa.array(chk, pa.int64()),
+            }
+        )
+
+    return rd.read_numpy(files).map_batches(digest, batch_format="numpy")

@@ -127,6 +127,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_pq",
         "jsonl_scan",
         "ipc_scan",
+        "npy_scan",
         "zorder_scan",
         "inverted_index",
         "clip_score",
@@ -376,6 +377,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "pii_redact": ("doc_id", "n_emails", "n_phones", "red_fp"),
     "domain_mix": ("doc_id", "lang", "rnk"),
     "ipc_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
+    "npy_scan": ("vec_id", "checksum"),
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
