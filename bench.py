@@ -196,6 +196,7 @@ def run_bench() -> dict:
         "multimodal_curation",
         "gpkg_scan",
         "npy_scan",
+        "wds_scan",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -3199,3 +3199,31 @@ ORACLE_SQL["npy_scan"] = """
                 AS BIGINT) AS checksum
     FROM embeddings
 """
+
+# wds_scan: per-codec counts + decoded-gray sums + caption characters, all
+# re-derived from the generator CTEs (pixels from dec, caption text from
+# the ordinal word rule)
+ORACLE_SQL["wds_scan"] = f"""
+WITH {_IMG_IHASH_CTES},
+g AS (SELECT i, sum(d0 + d1 + d2) AS gray FROM dec GROUP BY i),
+cwords(widx, w) AS (VALUES
+    (0, 'tile'), (1, 'grid'), (2, 'cell'), (3, 'river'), (4, 'field'),
+    (5, 'road'), (6, 'house'), (7, 'tree'), (8, 'cloud'), (9, 'shadow'),
+    (10, 'rock'), (11, 'water'), (12, 'bridge'), (13, 'tower'), (14, 'farm'),
+    (15, 'forest'), (16, 'lake'), (17, 'coast'), (18, 'dune'), (19, 'track')),
+ktab AS (SELECT unnest(range(5)) AS k),
+caps AS (
+    SELECT m.i,
+           'caption ' || CAST(m.i AS VARCHAR) || ' ' ||
+           string_agg(cw.w, ' ' ORDER BY kt.k) AS cap
+    FROM meta m CROSS JOIN ktab kt
+    JOIN cwords cw ON cw.widx = (m.i * (kt.k + 3) + kt.k) % 20
+    GROUP BY m.i
+)
+SELECT CASE WHEN m.is_qz THEN 'qz1' ELSE 'raw0' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(g.gray) AS BIGINT) AS sum_gray,
+       CAST(sum(length(c.cap)) AS BIGINT) AS sum_caplen
+FROM meta m JOIN g ON g.i = m.i JOIN caps c ON c.i = m.i
+GROUP BY 1
+"""

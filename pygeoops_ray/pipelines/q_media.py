@@ -834,3 +834,104 @@ def q_multimodal_curation(sf_dir: str):
         ],
         n_buckets=2,
     )
+
+
+def q_wds_scan(sf_dir: str):
+    """WebDataset source coverage — the tar-shard layout LAION-scale
+    image+caption corpora actually ship in (``ray.data.read_webdataset``).
+    The image table exports once to 4 ``.tar`` shards written from inside
+    map tasks (members ``{image_id}.{fmt}`` + ``{image_id}.json`` carrying
+    the caption — the standard WebDataset key-grouping convention), reads
+    back through Ray's native WebDataset datasource (codec bytes arrive
+    under their extension key, .json auto-decodes), decodes every image and
+    aggregates per CODEC: image count, decoded-gray sum, caption character
+    sum. The oracle re-derives all three from the generator CTEs, proving
+    the tar roundtrip lossless for both modalities.
+    """
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from pygeoops_ray.stages.multimodal import decode_any
+
+    ds, n = _image_ds(sf_dir)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:wds".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/wds_{key}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            import io
+            import json
+            import tarfile
+            import uuid
+
+            fn = os.path.join(path, f"shard-{uuid.uuid4().hex}.tar")
+            tmp = fn + ".tmp"
+            with tarfile.open(tmp, "w") as tf:
+                for iid, data, fmt, cap in zip(
+                    b["image_id"].to_pylist(), b["bytes"].to_pylist(),
+                    b["fmt"].to_pylist(), b["caption"].to_pylist(),
+                ):
+                    ti = tarfile.TarInfo(f"{iid}.{fmt}")
+                    ti.size = len(data)
+                    tf.addfile(ti, io.BytesIO(data))
+                    meta = json.dumps({"caption": cap}).encode()
+                    tj = tarfile.TarInfo(f"{iid}.json")
+                    tj.size = len(meta)
+                    tf.addfile(tj, io.BytesIO(meta))
+            os.rename(tmp, fn)
+            return pa.Table.from_pydict({"rows": pa.array([b.num_rows], pa.int64())})
+
+        total = (
+            ds.select_columns(["image_id", "bytes", "fmt", "caption"])
+            .repartition(4)
+            .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
+            .sum("rows")
+        )
+        assert total == n, (total, n)
+        with open(marker, "w"):
+            pass
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".tar")
+    )
+
+    def digest(rows: dict) -> pa.Table:
+        fmts, grays, caps = [], [], []
+        n_ = len(rows["__key__"])
+        for j in range(n_):
+            # a mixed tar batch materializes absent extensions as nan
+            r0 = rows.get("raw0")
+            val = r0[j] if r0 is not None else None
+            if isinstance(val, (bytes, bytearray)):
+                fmt, data = "raw0", val
+            else:
+                fmt, data = "qz1", rows["qz1"][j]
+            pix = decode_any(bytes(data), fmt)
+            fmts.append(fmt)
+            grays.append(int(pix.astype(np.int64).sum()))
+            caps.append(len(rows["json"][j]["caption"]))
+        return pa.Table.from_pydict(
+            {
+                "fmt": pa.array(fmts, pa.string()),
+                "gray": pa.array(grays, pa.int64()),
+                "caplen": pa.array(caps, pa.int64()),
+            }
+        )
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    wds = rd.read_webdataset(files).map_batches(digest, batch_format="numpy")
+    return grouped_agg(
+        wds,
+        ["fmt"],
+        [
+            ("gray", "size", "n_images"),
+            ("gray", "sum", "sum_gray"),
+            ("caplen", "sum", "sum_caplen"),
+        ],
+        n_buckets=2,
+    )

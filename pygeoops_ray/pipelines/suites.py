@@ -128,6 +128,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "jsonl_scan",
         "ipc_scan",
         "npy_scan",
+        "wds_scan",
         "zorder_scan",
         "inverted_index",
         "clip_score",
@@ -378,6 +379,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "domain_mix": ("doc_id", "lang", "rnk"),
     "ipc_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "npy_scan": ("vec_id", "checksum"),
+    "wds_scan": ("fmt", "n_images", "sum_gray", "sum_caplen"),
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
