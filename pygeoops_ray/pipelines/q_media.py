@@ -887,7 +887,7 @@ def q_wds_scan(sf_dir: str):
 
         total = (
             ds.select_columns(["image_id", "bytes", "fmt", "caption"])
-            .repartition(4)
+            .repartition(16)  # reader parallelism follows shard count
             .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
             .sum("rows")
         )
