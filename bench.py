@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "gpkg_scan",
         "npy_scan",
         "wds_scan",
+        "cohort_retention",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -3227,3 +3227,18 @@ SELECT CASE WHEN m.is_qz THEN 'qz1' ELSE 'raw0' END AS fmt,
 FROM meta m JOIN g ON g.i = m.i JOIN caps c ON c.i = m.i
 GROUP BY 1
 """
+
+# cohort_retention: weekly first-seen cohorts x activity age, distinct users
+ORACLE_SQL["cohort_retention"] = """
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // (7 * 86400000000) AS wk
+        FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+    SELECT CAST(f.cohort AS BIGINT) AS cohort,
+           CAST(least(a.wk - f.cohort, 8) AS BIGINT) AS age,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""

@@ -1851,3 +1851,69 @@ def q_weighted_sample(sf_dir: str):
     top = top.sort_values(["s", "event_id"]).reset_index(drop=True)
     top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top.drop(columns=["s"])
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by their FIRST-ACTIVE day bucket, and each (cohort, age) cell
+    counts the distinct users of that cohort active ``age`` buckets later.
+
+    Shape (two bounded exchanges, no row-level shuffle of raw events):
+      1. per-user first-seen + active-bucket SET: per-block partials of
+         (user, bucket) pairs pre-dedup'd, then a user-keyed grouped min +
+         distinct — the per-user activity profile is tiny and bounded;
+      2. (cohort, age) cells: algebraic counts over the profile rows.
+    Buckets are epoch-day // 7 (weekly); ages clip at 8 for a bounded
+    output. Oracle: the identical window SQL over events.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.stages.groupagg import _bucketed, grouped_agg
+
+    ds = _read_blocked(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = b["user_id"].to_numpy()
+        # epoch microseconds -> weekly bucket
+        wk = (
+            pc.cast(b["ts"], pa.int64()).to_numpy() // (7 * 86_400_000_000)
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": us, "wk": wk}).drop_duplicates()
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "wk": pa.array(df["wk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    prof = _bucketed(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id"],
+        lambda df: df.drop_duplicates(["user_id", "wk"]),
+        8,
+    )
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("user_id")["wk"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort": first.astype("int64"),
+                "age": np.minimum(df["wk"].to_numpy() - first.to_numpy(), 8).astype(
+                    "int64"
+                ),
+                "user_id": df["user_id"].astype("int64"),
+            }
+        ).drop_duplicates()
+        return out
+
+    # the per-user profile is already co-located by the bucketed dedup, so
+    # first-seen derives group-locally; cells then aggregate algebraically
+    with_age = _bucketed(prof, ["user_id"], cells, 8)
+    return grouped_agg(
+        with_age,
+        ["cohort", "age"],
+        [("user_id", "size", "n_users")],
+        n_buckets=4,
+    )

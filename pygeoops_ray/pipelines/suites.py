@@ -86,6 +86,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "running_total",
         "funnel",
         "late_events",
+        "cohort_retention",
     ),
     "rank_suite": (
         "top_orders",
@@ -423,6 +424,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "hopping_window": ("event_type", "wnd_start_us", "n", "sum_value_c"),
     "sessionize": ("user_id", "session_seq", "n_events", "first_event"),
     "running_total": ("event_id", "user_id", "seq", "run_value_c"),
+    "cohort_retention": ("cohort", "age", "n_users"),
     "late_events": ("wnd_us", "n_events", "n_late", "ontime_value_c"),
     "zorder_scan": ("user_id", "n_events", "sum_value_c"),
     "inverted_index": ("term", "doc_id", "tf"),
