@@ -418,6 +418,9 @@ def q_npy_scan(sf_dir: str):
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.isfile(marker):
         os.makedirs(path, exist_ok=True)
+        # uuid shard names: clear stale files from a crashed partial build
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
 
         def write_shard(b: pa.Table) -> pa.Table:
             import uuid
@@ -428,9 +431,9 @@ def q_npy_scan(sf_dir: str):
             )
             arr = np.column_stack([ids, m])
             fn = os.path.join(path, f"shard-{uuid.uuid4().hex}.npy")
-            tmp = fn + ".tmp"
+            tmp = fn + ".tmp.npy"  # np.save appends .npy unless it ends so
             np.save(tmp, arr)
-            os.rename(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, fn)
+            os.rename(tmp, fn)
             return pa.Table.from_pydict({"rows": pa.array([len(ids)], pa.int64())})
 
         total = (

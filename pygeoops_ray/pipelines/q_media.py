@@ -861,6 +861,9 @@ def q_wds_scan(sf_dir: str):
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.isfile(marker):
         os.makedirs(path, exist_ok=True)
+        # uuid shard names: clear stale files from a crashed partial build
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
 
         def write_shard(b: pa.Table) -> pa.Table:
             import io

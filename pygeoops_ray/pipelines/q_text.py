@@ -1018,6 +1018,11 @@ def q_ipc_scan(sf_dir: str):
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.isfile(marker):
         os.makedirs(path, exist_ok=True)
+        # crash-resume correctness: shard names are uuid-fresh, so stale
+        # files from a crashed partial build would be double-read — clear
+        # the un-published directory before rewriting
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
 
         def write_shard(b: pa.Table) -> pa.Table:
             import uuid

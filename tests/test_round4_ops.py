@@ -508,3 +508,33 @@ def test_gpkg_scan_header_and_roundtrip(ray_session):
     ).fetchone()
     assert gt == "POLYGON"
     con.close()
+
+
+def test_source_exports_crash_resume_no_double_read(ray_session):
+    """A crashed partial export (stale shard, no _SUCCESS marker) must NOT
+    leak into the rebuilt dataset — the rewriters clear unpublished
+    directories, so counts stay exact."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.q_text import q_ipc_scan
+
+    baseline = (
+        q_ipc_scan(SF).to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert int(baseline["n_docs"].sum()) == n
+    # simulate the crash: drop the marker, plant a stale shard copy
+    d = max(glob.glob("/tmp/pygeoops_ray_cache/docs_ipc_*"), key=os.path.getmtime)
+    os.remove(os.path.join(d, "_SUCCESS"))
+    shard = glob.glob(os.path.join(d, "*.arrow"))[0]
+    with open(shard, "rb") as f:
+        blob = f.read()
+    with open(os.path.join(d, "shard-stale00.arrow"), "wb") as f:
+        f.write(blob)
+    rebuilt = (
+        q_ipc_scan(SF).to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rebuilt, baseline)
