@@ -595,9 +595,22 @@ def q_lsh_disk(sf_dir: str):
     )
     all_ids = np.unique(np.concatenate([cand_ids, np.array(q_ords, np.int64)]))
     buckets = sorted({int(x) % 32 for x in all_ids})
+    # the driver-side id list is bounded by the queries' bucket sizes; on an
+    # adversarial corpus (every doc near-identical => one hot bucket) it
+    # could reach corpus size, so past a cap the row-group filter drops to
+    # bucket-level pruning only — still exact, just more I/O
+    if len(all_ids) <= 2_000_000:
+        sig_filter = pads.field("doc_id").isin([int(x) for x in all_ids])
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "lsh_disk: %d candidates exceed the id-filter cap; falling back"
+            " to bucket-level pruning", len(all_ids)
+        )
+        sig_filter = None
     sig_ds, sfiles_read, sfiles_total = read_partitions(
-        sigs_dir, buckets, stage="sigs",
-        filter=pads.field("doc_id").isin([int(x) for x in all_ids]),
+        sigs_dir, buckets, stage="sigs", filter=sig_filter,
     )
     # query sigs broadcast for the verify pass
     q_sig = {}

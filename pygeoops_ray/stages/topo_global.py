@@ -319,8 +319,14 @@ def topo_simplify_distributed(
         verts = grp[grp["side"] == 1]
         out = {k: [] for k in ("ruid", "seg", "t", "vx", "vy")}
         if len(segs) and len(verts):
-            vx = verts["ax"].to_numpy()
-            vy = verts["ay"].to_numpy()
+            # x-sorted vertices + searchsorted window per segment: the naive
+            # all-vertices scan per segment is quadratic when a cell holds
+            # the whole corpus (degenerate concentration)
+            vx_all = verts["ax"].to_numpy()
+            vy_all = verts["ay"].to_numpy()
+            xorder = np.argsort(vx_all, kind="stable")
+            vx_sorted = vx_all[xorder]
+            vy_sorted = vy_all[xorder]
             for ruid, si, ax_, ay_, bx_, by_ in zip(
                 segs["ruid"].to_numpy(), segs["seg"].to_numpy(),
                 segs["ax"].to_numpy(), segs["ay"].to_numpy(),
@@ -332,13 +338,16 @@ def topo_simplify_distributed(
                     continue
                 # endpoint exclusion + bbox + collinearity + interior t,
                 # exactly the local kernel's tests
-                near = (
-                    (vx >= min(ax_, bx_) - eps) & (vx <= max(ax_, bx_) + eps)
-                    & (vy >= min(ay_, by_) - eps) & (vy <= max(ay_, by_) + eps)
-                )
+                lo = np.searchsorted(vx_sorted, min(ax_, bx_) - eps, side="left")
+                hi = np.searchsorted(vx_sorted, max(ax_, bx_) + eps, side="right")
+                if lo >= hi:
+                    continue
+                wvx = vx_sorted[lo:hi]
+                wvy = vy_sorted[lo:hi]
+                near = (wvy >= min(ay_, by_) - eps) & (wvy <= max(ay_, by_) + eps)
                 if not near.any():
                     continue
-                cvx, cvy = vx[near], vy[near]
+                cvx, cvy = wvx[near], wvy[near]
                 is_end = (
                     ((np.abs(cvx - ax_) <= eps) & (np.abs(cvy - ay_) <= eps))
                     | ((np.abs(cvx - bx_) <= eps) & (np.abs(cvy - by_) <= eps))
