@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "npy_scan",
         "wds_scan",
         "cohort_retention",
+        "kcore",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -3242,3 +3242,90 @@ ORACLE_SQL["cohort_retention"] = """
     FROM a JOIN f USING (user_id)
     GROUP BY 1, 2
 """
+
+# kcore: 8 chained peel rounds over the all-pairs jaccard edge set (peel
+# with an empty sub-k set is a no-op, so the chain replays the engine's
+# early-stop exactly); conv = no sub-k node remains after round 8
+ORACLE_SQL["kcore"] = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM tok WHERE len(tk) >= 3
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    e0 AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p
+    ),
+    d1 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e0 GROUP BY a),
+    s1 AS MATERIALIZED (SELECT a FROM d1 WHERE deg < 2),
+    e1 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e0 e
+        WHERE e.a NOT IN (SELECT a FROM s1)
+          AND e.b NOT IN (SELECT a FROM s1)
+    ),
+    d2 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+    s2 AS MATERIALIZED (SELECT a FROM d2 WHERE deg < 2),
+    e2 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e1 e
+        WHERE e.a NOT IN (SELECT a FROM s2)
+          AND e.b NOT IN (SELECT a FROM s2)
+    ),
+    d3 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+    s3 AS MATERIALIZED (SELECT a FROM d3 WHERE deg < 2),
+    e3 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e2 e
+        WHERE e.a NOT IN (SELECT a FROM s3)
+          AND e.b NOT IN (SELECT a FROM s3)
+    ),
+    d4 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e3 GROUP BY a),
+    s4 AS MATERIALIZED (SELECT a FROM d4 WHERE deg < 2),
+    e4 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e3 e
+        WHERE e.a NOT IN (SELECT a FROM s4)
+          AND e.b NOT IN (SELECT a FROM s4)
+    ),
+    d5 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e4 GROUP BY a),
+    s5 AS MATERIALIZED (SELECT a FROM d5 WHERE deg < 2),
+    e5 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e4 e
+        WHERE e.a NOT IN (SELECT a FROM s5)
+          AND e.b NOT IN (SELECT a FROM s5)
+    ),
+    d6 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e5 GROUP BY a),
+    s6 AS MATERIALIZED (SELECT a FROM d6 WHERE deg < 2),
+    e6 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e5 e
+        WHERE e.a NOT IN (SELECT a FROM s6)
+          AND e.b NOT IN (SELECT a FROM s6)
+    ),
+    d7 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e6 GROUP BY a),
+    s7 AS MATERIALIZED (SELECT a FROM d7 WHERE deg < 2),
+    e7 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e6 e
+        WHERE e.a NOT IN (SELECT a FROM s7)
+          AND e.b NOT IN (SELECT a FROM s7)
+    ),
+    d8 AS MATERIALIZED (SELECT a, count(*) AS deg FROM e7 GROUP BY a),
+    s8 AS MATERIALIZED (SELECT a FROM d8 WHERE deg < 2),
+    e8 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e7 e
+        WHERE e.a NOT IN (SELECT a FROM s8)
+          AND e.b NOT IN (SELECT a FROM s8)
+    ),
+    fin AS (SELECT a AS node, count(*) AS degree FROM e8 GROUP BY a),
+    conv AS (
+        SELECT CASE WHEN EXISTS (SELECT 1 FROM fin WHERE degree < 2)
+                    THEN 0 ELSE 1 END AS c
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(degree AS BIGINT) AS degree,
+           CAST((SELECT c FROM conv) AS BIGINT) AS conv_ok
+    FROM fin
+"""

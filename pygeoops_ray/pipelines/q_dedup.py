@@ -646,3 +646,21 @@ def q_lsh_disk(sf_dir: str):
         )
 
     return sig_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def q_kcore(sf_dir: str):
+    """k-core (k=2) of the near-duplicate pair graph — the dense kernel of
+    the duplication structure (nodes that survive any single deletion):
+    completes the graph family (CC / PageRank / triangles / k-core) with the
+    iterative-peeling shape. Each round is one bounded exchange over the
+    SHRINKING edge set (stages/graph.kcore); rounds cap at 8 with a conv_ok
+    bit so the SQL oracle replays the peeling as 8 chained CTEs (the
+    bpe_train pattern) — a convergence regression turns the driver hash red
+    through the bit, never by divergence."""
+    from pygeoops_ray.stages.graph import kcore
+
+    pairs = q_jaccard_pairs(sf_dir)
+    return kcore(
+        pairs, "doc_a", "doc_b", k=2,
+        n_edges_hint=_table_rows(sf_dir, "documents") // 10,
+    )

@@ -152,6 +152,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "anomaly_mad",
         "nearest_rect",
         "dbscan",
+        "kcore",
         "ann_hnsw",
         "group_corr",
         "image_pyramid",
@@ -398,6 +399,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "anomaly_mad": ("user_id", "event_id", "vc", "med_c", "mad_c"),
     "nearest_rect": ("event_id", "i", "d2"),
     "dbscan": ("event_id", "cluster_id", "role"),
+    "kcore": ("node", "degree", "conv_ok"),
     "image_pyramid": ("i", "level", "w", "h", "sum_rgb", "sum_sq", "pyramid_ok"),
     "cms_sketch": ("r", "j", "cnt"),
     "ann_ivf_pq": ("n_queries", "k", "recall_ok"),

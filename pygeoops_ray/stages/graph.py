@@ -591,3 +591,77 @@ def triangle_count(
 
     parts = _bucketed_pd(tagged, ["x", "y"], count_matches, 16)
     return int(parts.sum("partial") or 0)
+
+
+def kcore(
+    edges_ds,
+    src_col: str,
+    dst_col: str,
+    k: int = 2,
+    max_rounds: int = 8,
+    n_edges_hint: int | None = None,
+):
+    """k-core decomposition by iterative peeling: repeatedly remove nodes of
+    degree < k (with their edges) until a fixpoint; the survivors are the
+    k-core — the dense kernel of a duplicate/citation graph that survives
+    any k-1 deletions.
+
+    Distributed shape: each round is ONE bounded exchange over the SHRINKING
+    edge set — per-block partial degree counts → grouped sum → sub-k node
+    set → edge filter (the sub-k set is bounded by the nodes removed this
+    round and broadcasts via ``ray.put``; rounds stop early when it is
+    empty). ``max_rounds`` caps the rounds for a deterministic SQL replay
+    (``conv_ok`` reports whether the fixpoint was reached — a non-converged
+    run turns the driver hash red only through that bit, never by looping
+    forever). Output: (node, degree, conv_ok) for the surviving core.
+    """
+    import ray
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    nb = _bucket_count(8, (n_edges_hint or 0) * 2 or None)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        d = batch[dst_col].to_numpy().astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(np.concatenate([s, d]), pa.int64()),
+                "b": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    cur = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    conv = 0
+    for _ in range(max_rounds):
+        deg = grouped_agg(cur, ["a"], [("b", "size", "deg")], n_buckets=nb)
+        sub_df = deg.filter(expr=f"deg < {k}").select_columns(["a"]).to_pandas()
+        if "a" not in sub_df.columns or not len(sub_df):
+            conv = 1
+            break
+        sub = sub_df["a"]
+        drop_ref = ray.put(np.sort(sub.to_numpy()))
+
+        def peel(batch: pa.Table, _ref=drop_ref) -> pa.Table:
+            drop = ray.get(_ref)
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            keep = ~(np.isin(a, drop) | np.isin(b, drop))
+            return batch.filter(pa.array(keep))
+
+        cur = cur.map_batches(peel, batch_format="pyarrow").materialize()
+
+    deg = grouped_agg(cur, ["a"], [("b", "size", "deg")], n_buckets=nb)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": batch["a"],
+                "degree": batch["deg"],
+                "conv_ok": pa.array(
+                    np.full(batch.num_rows, conv, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return deg.map_batches(final, batch_format="pyarrow")

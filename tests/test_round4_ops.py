@@ -538,3 +538,52 @@ def test_source_exports_crash_resume_no_double_read(ray_session):
         q_ipc_scan(SF).to_pandas().sort_values(["lang", "source"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(rebuilt, baseline)
+
+
+def test_kcore_peeling_brute_force(ray_session):
+    """Distributed peeling equals a driver-side fixpoint peel on random
+    graphs, including a graph whose peel cascades (chain into a clique)."""
+    import ray.data as rd
+
+    from pygeoops_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(23)
+    cases = []
+    e = rng.integers(0, 60, size=(120, 2))
+    cases.append(e[e[:, 0] != e[:, 1]])
+    # chain 0-1-2-...-9 hanging off a 4-clique (10,11,12,13)
+    chain = np.array([[i, i + 1] for i in range(9)] + [[9, 10]])
+    clique = np.array(
+        [[a, b] for a in range(10, 14) for b in range(a + 1, 14)]
+    )
+    cases.append(np.concatenate([chain, clique]))
+    for edges in cases:
+        ds = rd.from_arrow(
+            pa.table(
+                {"a": pa.array(edges[:, 0], pa.int64()),
+                 "b": pa.array(edges[:, 1], pa.int64())}
+            )
+        ).repartition(3)
+        got = (
+            kcore(ds, "a", "b", k=2, max_rounds=16)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # brute-force fixpoint peel
+        es = {tuple(sorted(t)) for t in map(tuple, edges) if t[0] != t[1]}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < 2}
+            if not drop:
+                break
+            es = {e_ for e_ in es if e_[0] not in drop and e_[1] not in drop}
+        want_deg = {}
+        for a, b in es:
+            want_deg[a] = want_deg.get(a, 0) + 1
+            want_deg[b] = want_deg.get(b, 0) + 1
+        assert dict(zip(got["node"], got["degree"])) == want_deg
+        assert (got["conv_ok"] == 1).all() or not len(got)
