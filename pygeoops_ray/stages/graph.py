@@ -631,7 +631,14 @@ def kcore(
             }
         )
 
-    cur = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    # set semantics: duplicate input edges must not inflate degrees — one
+    # grouped distinct over the symmetrized rows
+    sym_rows = edges_ds.map_batches(sym, batch_format="pyarrow")
+    cur = (
+        grouped_agg(sym_rows, ["a", "b"], [("a", "size", "_n")], n_buckets=nb)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
     conv = 0
     for _ in range(max_rounds):
         deg = grouped_agg(cur, ["a"], [("b", "size", "deg")], n_buckets=nb)
