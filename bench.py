@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "wds_scan",
         "cohort_retention",
         "kcore",
+        "mixup_pairs",
     ]
     for name in bench_queries:
         fn = Q.QUERIES[name]

@@ -3329,3 +3329,48 @@ ORACLE_SQL["kcore"] = """
            CAST((SELECT c FROM conv) AS BIGINT) AS conv_ok
     FROM fin
 """
+
+# mixup_pairs: md5-rank pairing within aspect buckets + per-channel
+# (a+b)//2 composites over the overlapping region, from the generator CTEs
+ORACLE_SQL["mixup_pairs"] = f"""
+WITH {_IMG_IHASH_CTES},
+lbl AS (
+    SELECT m.i, m.w, m.h,
+           CASE WHEN m.w * 1000 // m.h < 800 THEN 'tall'
+                WHEN m.w * 1000 // m.h <= 1250 THEN 'square'
+                ELSE 'wide' END AS bucket,
+           md5(CAST(m.i AS VARCHAR)) AS hh
+    FROM meta m
+),
+r AS (
+    SELECT i, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY hh, i) - 1 AS rk,
+           count(*) OVER (PARTITION BY bucket) AS n
+    FROM lbl
+),
+pr AS MATERIALIZED (
+    SELECT bucket, rk // 2 AS pair,
+           min(CASE WHEN rk % 2 = 0 THEN i END) AS i_a,
+           min(CASE WHEN rk % 2 = 1 THEN i END) AS i_b
+    FROM r WHERE rk < (n // 2) * 2
+    GROUP BY bucket, rk // 2
+),
+dims AS MATERIALIZED (
+    SELECT pr.i_a, pr.i_b, least(ma.w, mb.w) AS w, least(ma.h, mb.h) AS h
+    FROM pr JOIN meta ma ON ma.i = pr.i_a JOIN meta mb ON mb.i = pr.i_b
+),
+dm AS MATERIALIZED (SELECT * FROM dec),
+px AS (
+    SELECT d.i_a, d.i_b, d.w, d.h,
+           (a.d0 + bb.d0) // 2 AS c0,
+           (a.d1 + bb.d1) // 2 AS c1,
+           (a.d2 + bb.d2) // 2 AS c2
+    FROM dims d
+    JOIN dm a ON a.i = d.i_a AND a.x < d.w AND a.y < d.h
+    JOIN dm bb ON bb.i = d.i_b AND bb.x = a.x AND bb.y = a.y
+)
+SELECT i_a, i_b, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(sum(c0 + c1 + c2) AS BIGINT) AS comp_sum,
+       CAST(sum(c0 * c0 + c1 * c1 + c2 * c2) AS BIGINT) AS comp_sq
+FROM px GROUP BY i_a, i_b, w, h
+"""

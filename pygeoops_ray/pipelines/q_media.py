@@ -938,3 +938,176 @@ def q_wds_scan(sf_dir: str):
         ],
         n_buckets=2,
     )
+
+
+def q_mixup_pairs(sf_dir: str):
+    """Mixup paired augmentation — the standard training-time composite:
+    images pair DETERMINISTICALLY within their aspect bucket (md5-rank
+    consecutive partners, odd leftover dropped — rerun/partition-stable, the
+    aspect_bucket rule), each pair decodes BOTH partners and composites
+    pixelwise ``(a+b)//2`` over the overlapping top-left ``min(w)×min(h)``
+    region, and emits integer composite digests. Distributed shape: the
+    global md5-rank reuses the two-pass global_rank design (one range sort +
+    metadata-sized offsets), pairs co-group by (bucket, rank//2) through a
+    coarse-bucket exchange carrying ONLY ordinals, and the paired decode is
+    a point-lookup (pixels regenerate from the ordinal inside the task —
+    the caption_search fetch shape; at rest this is a bytes join against
+    the image table). Oracle: pairing replayed with row_number over
+    (bucket, md5), composites from the pixel-generator CTEs self-joined on
+    (x, y)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pygeoops_ray.pipelines.common import _images
+    from pygeoops_ray.stages.groupagg import _bucketed
+    from pygeoops_ray.stages.multimodal import decode_any
+    from pygeoops_ray.table.images import generate_images_for_ordinals
+
+    def label(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 4, 32), pa.int64()
+        ).to_numpy()
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ratio_fp = w * 1000 // h
+        bucket = np.where(
+            ratio_fp < 800, "tall", np.where(ratio_fp <= 1250, "square", "wide")
+        )
+        hh = [hashlib.md5(str(v).encode()).hexdigest() for v in i]
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(i, pa.int64()),
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+                "hh": pa.array(hh, pa.string()),
+            }
+        )
+
+    ds_img, _n_img = _image_ds(sf_dir)
+    sorted_ds = (
+        ds_img.select_columns(["image_id", "w", "h"])
+        .map_batches(label, batch_format="pyarrow")
+        .sort(["bucket", "hh", "i"])
+        .materialize()
+    )
+
+    # two-pass global rank (the global_rank/aspect_bucket design): per-block
+    # run summaries keyed by the run's FIRST (bucket, hh, i) → driver cumsum
+    # of a metadata-sized frame → whole-block offset map; no row ever leaves
+    # its block after the sort
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.string()),
+                    "min_hh": pa.array([], pa.string()),
+                    "min_i": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        df = batch.select(["bucket", "hh", "i"]).to_pandas()
+        g = df.groupby("bucket", sort=True, as_index=False).agg(
+            min_hh=("hh", "first"), min_i=("i", "first"), cnt=("i", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(g["bucket"].tolist(), pa.string()),
+                "min_hh": pa.array(g["min_hh"].tolist(), pa.string()),
+                "min_i": pa.array(g["min_i"].astype(int).tolist(), pa.int64()),
+                "cnt": pa.array(g["cnt"].astype(int).tolist(), pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["bucket", "min_hh", "min_i"])
+    )
+    parts["off"] = parts.groupby("bucket")["cnt"].cumsum() - parts["cnt"]
+    offsets = {
+        (r.bucket, r.min_hh, int(r.min_i)): int(r.off) for r in parts.itertuples()
+    }
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                    "pair": pa.array([], pa.int64()),
+                }
+            )
+        df = batch.to_pandas()
+        rk = np.empty(len(df), dtype=np.int64)
+        for b, g in df.groupby("bucket", sort=False):
+            first = g.iloc[0]
+            off = offsets[(b, first["hh"], int(first["i"]))]
+            rk[g.index.to_numpy()] = off + np.arange(len(g))
+        df["pair"] = rk // 2
+        return pa.Table.from_pydict(
+            {
+                "i": pa.array(df["i"].to_numpy(), pa.int64()),
+                "bucket": pa.array(df["bucket"].tolist(), pa.string()),
+                "pair": pa.array(df["pair"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs_in = sorted_ds.map_batches(add_pair, batch_format="pyarrow", batch_size=None)
+
+    def make_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_, _), g in df.groupby(["bucket", "pair"], sort=False):
+            if len(g) != 2:
+                continue  # odd leftover
+            # partner order inside the pair follows the global (hh, i) rank;
+            # within a pair group the two rows came pre-sorted, and md5 rank
+            # re-derives deterministically from i
+            import hashlib as _h
+
+            g = g.assign(
+                _hh=[_h.md5(str(int(v)).encode()).hexdigest() for v in g["i"]]
+            ).sort_values(["_hh", "i"])
+            out.append((int(g.iloc[0]["i"]), int(g.iloc[1]["i"])))
+        if not out:
+            return pd.DataFrame(
+                {"i_a": pd.Series([], dtype="int64"), "i_b": pd.Series([], dtype="int64")}
+            )
+        a, b = zip(*out)
+        return pd.DataFrame({"i_a": list(a), "i_b": list(b)}).astype("int64")
+
+    pairs = _bucketed(pairs_in, ["bucket", "pair"], make_pairs, 8)
+
+    def composite(batch: pa.Table) -> pa.Table:
+        ia = batch["i_a"].to_numpy()
+        ib = batch["i_b"].to_numpy()
+        rows_a = generate_images_for_ordinals(ia, small=True)
+        rows_b = generate_images_for_ordinals(ib, small=True)
+        sums, sqs, ws_, hs_ = [], [], [], []
+        for j in range(len(ia)):
+            pa_img = decode_any(
+                rows_a["bytes"][j].as_py(), rows_a["fmt"][j].as_py()
+            ).astype(np.int64)
+            pb_img = decode_any(
+                rows_b["bytes"][j].as_py(), rows_b["fmt"][j].as_py()
+            ).astype(np.int64)
+            h = min(pa_img.shape[0], pb_img.shape[0])
+            w = min(pa_img.shape[1], pb_img.shape[1])
+            comp = (pa_img[:h, :w] + pb_img[:h, :w]) // 2
+            sums.append(int(comp.sum()))
+            sqs.append(int((comp * comp).sum()))
+            ws_.append(w)
+            hs_.append(h)
+        return pa.Table.from_pydict(
+            {
+                "i_a": pa.array(ia, pa.int64()),
+                "i_b": pa.array(ib, pa.int64()),
+                "w": pa.array(ws_, pa.int64()),
+                "h": pa.array(hs_, pa.int64()),
+                "comp_sum": pa.array(sums, pa.int64()),
+                "comp_sq": pa.array(sqs, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(composite, batch_format="pyarrow", batch_size=256)

@@ -130,6 +130,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ipc_scan",
         "npy_scan",
         "wds_scan",
+        "mixup_pairs",
         "zorder_scan",
         "inverted_index",
         "clip_score",
@@ -382,6 +383,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "ipc_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "npy_scan": ("vec_id", "checksum"),
     "wds_scan": ("fmt", "n_images", "sum_gray", "sum_caplen"),
+    "mixup_pairs": ("i_a", "i_b", "w", "h", "comp_sum", "comp_sq"),
     "jsonl_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),

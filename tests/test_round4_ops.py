@@ -587,3 +587,36 @@ def test_kcore_peeling_brute_force(ray_session):
             want_deg[b] = want_deg.get(b, 0) + 1
         assert dict(zip(got["node"], got["degree"])) == want_deg
         assert (got["conv_ok"] == 1).all() or not len(got)
+
+
+def test_mixup_pairs_invariants(ray_session):
+    """Pairing is a perfect matching per bucket (each image in ≤1 pair, odd
+    leftover dropped), partners share a bucket, and composites match a
+    direct two-image replay."""
+    from pygeoops_ray.pipelines.common import _image_ds
+    from pygeoops_ray.pipelines.q_media import q_mixup_pairs
+    from pygeoops_ray.stages.multimodal import decode_any
+    from pygeoops_ray.table.images import generate_images_for_ordinals
+
+    out = q_mixup_pairs(SF).to_pandas()
+    ids = np.concatenate([out["i_a"].to_numpy(), out["i_b"].to_numpy()])
+    assert len(np.unique(ids)) == len(ids)  # perfect matching
+    _, n = _image_ds(SF)
+    assert len(out) <= n // 2
+    # replay 5 pairs directly
+    for _, row in out.head(5).iterrows():
+        rows = generate_images_for_ordinals(
+            [int(row["i_a"]), int(row["i_b"])], small=True
+        )
+        pa_img = decode_any(rows["bytes"][0].as_py(), rows["fmt"][0].as_py()).astype(
+            np.int64
+        )
+        pb_img = decode_any(rows["bytes"][1].as_py(), rows["fmt"][1].as_py()).astype(
+            np.int64
+        )
+        h = min(pa_img.shape[0], pb_img.shape[0])
+        w = min(pa_img.shape[1], pb_img.shape[1])
+        comp = (pa_img[:h, :w] + pb_img[:h, :w]) // 2
+        assert int(row["comp_sum"]) == int(comp.sum())
+        assert int(row["comp_sq"]) == int((comp * comp).sum())
+        assert int(row["w"]) == w and int(row["h"]) == h
