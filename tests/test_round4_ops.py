@@ -527,7 +527,11 @@ def test_source_exports_crash_resume_no_double_read(ray_session):
     n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert int(baseline["n_docs"].sum()) == n
     # simulate the crash: drop the marker, plant a stale shard copy
-    d = max(glob.glob("/tmp/pygeoops_ray_cache/docs_ipc_*"), key=os.path.getmtime)
+    # (derive THIS sf's cache dir — an mtime glob can pick another scale's)
+    import hashlib
+
+    key = hashlib.md5(f"{os.path.abspath(SF)}:{n}:ipc".encode()).hexdigest()[:10]
+    d = f"/tmp/pygeoops_ray_cache/docs_ipc_{key}"
     os.remove(os.path.join(d, "_SUCCESS"))
     shard = glob.glob(os.path.join(d, "*.arrow"))[0]
     with open(shard, "rb") as f:
