@@ -3025,7 +3025,7 @@ ORACLE_SQL["lsh_disk"] = """
     ),
     n AS (SELECT count(*) AS cnt FROM documents),
     qids AS (
-        SELECT unnest(generate_series(0, 7)) * ((SELECT cnt FROM n) // 8) AS q_id
+        SELECT DISTINCT unnest(generate_series(0, 7)) * ((SELECT cnt FROM n) // 8) AS q_id
     ),
     p AS (
         SELECT q.q_id, b.doc_id AS cand_id,

@@ -540,7 +540,9 @@ def q_lsh_disk(sf_dir: str):
             f.write("1")
 
     # --- retrieval ---------------------------------------------------------
-    q_ords = [i * (n_docs // 8) for i in range(8)]
+    # dedupe: at n_docs < 8 the stride collapses and the 8 ordinals alias
+    # (matches the oracle's SELECT DISTINCT over the same series)
+    q_ords = sorted({i * (n_docs // 8) for i in range(8)})
     import pyarrow.parquet as pq
 
     q_docs = pq.read_table(

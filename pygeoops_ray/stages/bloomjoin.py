@@ -17,6 +17,7 @@ k positions derive from two 64-bit hashes, vectorized in numpy uint64.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 __all__ = ["BloomFilter", "build_bloom", "bloom_semi_join", "bloom_anti_join"]
@@ -188,19 +189,37 @@ def bloom_anti_join(
 
     import ray
 
+    broadcast_threshold_bytes = 64 * 2**20
     if n_build_hint <= broadcast_threshold:
-        # build side bounded: exact broadcast anti-filter, one probe pass
-        drop_keys = (
-            build_ds.select_columns([build_key]).to_pandas()[build_key].unique()
-        )
-        keys_ref = ray.put(drop_keys)
+        # The hint is caller-supplied and may under-estimate; before
+        # committing to a driver-side pull, measure the ACTUAL projection
+        # (row count bounds the distinct count from above; size_bytes
+        # guards wide string keys the ~16 MB int64 sizing assumed).  The
+        # projection traversal is the same single build-side pass the Bloom
+        # build would have paid, so a fallback costs nothing extra.
+        proj = build_ds.select_columns([build_key]).materialize()
+        if (
+            proj.count() <= broadcast_threshold
+            and (proj.size_bytes() or 0) <= broadcast_threshold_bytes
+        ):
+            # build side bounded: exact broadcast anti-filter, one probe pass
+            drop_ser = proj.to_pandas()[build_key]
+            drop_keys = drop_ser.unique()
+            keys_ref = ray.put(drop_keys)
+            is_obj = drop_ser.dtype == object
 
-        def anti_filter(batch: pa.Table) -> pa.Table:
-            drop = ray.get(keys_ref)
-            vals = batch[probe_key].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(~np.isin(vals, drop)))
+            def anti_filter(batch: pa.Table) -> pa.Table:
+                drop = ray.get(keys_ref)
+                vals = batch[probe_key].to_numpy(zero_copy_only=False)
+                if is_obj:
+                    # hashtable membership — object-dtype np.isin is O(n*m)
+                    mask = pd.Series(vals).isin(drop).to_numpy()
+                else:
+                    mask = np.isin(vals, drop)
+                return batch.filter(pa.array(~mask))
 
-        return probe_ds.map_batches(anti_filter, batch_format="pyarrow")
+            return probe_ds.map_batches(anti_filter, batch_format="pyarrow")
+        # hint lied (or keys are wide): fall through to bloom + cogroup
 
     bpk = bloom_probe_key or probe_key
     bbk = bloom_build_key or build_key
@@ -245,8 +264,6 @@ def bloom_anti_join(
     # relevant build keys (_isbuild=1, other columns null) land in the same
     # bucket by join-key hash; the reducer drops maybe rows whose key has a
     # build row.
-    import pandas as pd
-
     from pygeoops_ray.stages.groupagg import _bucket_count
 
     schema = maybe.schema().base_schema

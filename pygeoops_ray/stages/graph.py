@@ -660,6 +660,16 @@ def kcore(
 
     deg = grouped_agg(cur, ["a"], [("b", "size", "deg")], n_buckets=nb)
 
+    if conv == 0:
+        # A graph can converge in exactly max_rounds peels (the last round
+        # drops nodes but the loop exits before observing the now-empty
+        # sub-k set).  One extra degree check on the final edge set decides
+        # convergence by the surviving state, matching the SQL oracle's
+        # "post-round edge set has no degree<k node" definition.
+        deg = deg.materialize()
+        if deg.filter(expr=f"deg < {k}").count() == 0:
+            conv = 1
+
     def final(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {

@@ -120,7 +120,12 @@ def topo_simplify_distributed(
                     return part_base + 1
                 if isinstance(geom_, g.Polygon):
                     for ri, r in enumerate(geom_.rings):
-                        assert ri < _UID_RING
+                        if ri >= _UID_RING:
+                            raise ValueError(
+                                f"topo_global: geometry gid={gid} has >= "
+                                f"{_UID_RING} rings in one part; ring-uid "
+                                "packing would alias distinct rings"
+                            )
                         emit(part_base, ri, 0, _blob(np.asarray(r)))
                     return part_base + 1
                 if isinstance(geom_, g.LineString):
@@ -135,7 +140,12 @@ def topo_simplify_distributed(
                 return part_base + 1
 
             nparts = rings_of(geom, 0)
-            assert nparts < _UID_PART
+            if nparts >= _UID_PART:
+                raise ValueError(
+                    f"topo_global: geometry gid={gid} has {nparts} parts; "
+                    f"ring-uid packing supports < {_UID_PART} parts per "
+                    "geometry"
+                )
 
         return pa.Table.from_pydict(
             {
@@ -488,16 +498,25 @@ def topo_simplify_distributed(
             return z ^ (z >> np.uint64(31))
 
     def _pt_hash(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        # x + 0.0 normalizes -0.0 to +0.0 so bit-views match the local
+        # kernel's float-equality dict keys
         with np.errstate(over="ignore"):
-            return _mix64(x.view(np.uint64)) * np.uint64(3) + _mix64(
-                ~y.view(np.uint64)
+            return _mix64((x + 0.0).view(np.uint64)) * np.uint64(3) + _mix64(
+                ~(y + 0.0).view(np.uint64)
             )
 
+    def _nbhood(prev: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+        # order-insensitive neighborhood id mirroring the local kernel's
+        # frozenset: mix(min)*P ^ mix(max).  Unlike plain XOR this keeps
+        # (a,a) vs (b,b) distinct (XOR collapses both to 0).
+        lo = np.minimum(prev, nxt)
+        hi = np.maximum(prev, nxt)
+        with np.errstate(over="ignore"):
+            return _mix64(lo) * np.uint64(0x100000001B3) ^ _mix64(~hi)
+
     def vertex_occ(b: pa.Table) -> pa.Table:
-        # neighborhood identity = XOR of the two neighbor-point hashes
-        # (commutative — order-insensitive like the local frozenset; a
-        # collision needs two distinct neighborhoods XOR-ing to the same
-        # 64-bit value under splitmix mixing, ~2^-64 per vertex)
+        # neighborhood identity = order-insensitive combine of the two
+        # neighbor-point hashes (see _nbhood; collision ~2^-64 per vertex)
         vxs, vys, nbs, fos, rus, poss = [], [], [], [], [], []
         for gid, part, ring, kind, blob in zip(
             b["gid"].to_pylist(), b["part"].to_pylist(), b["ring"].to_pylist(),
@@ -514,12 +533,12 @@ def topo_simplify_distributed(
             core = np.ascontiguousarray(pts[:n])
             h = _pt_hash(core[:, 0].copy(), core[:, 1].copy())
             if closed:
-                nb = np.roll(h, 1) ^ np.roll(h, -1)
+                nb = _nbhood(np.roll(h, 1), np.roll(h, -1))
                 forced = np.zeros(n, np.int64)
             else:
                 prev = np.concatenate([[np.uint64(0)], h[:-1]])
                 nxt = np.concatenate([h[1:], [np.uint64(0)]])
-                nb = prev ^ nxt
+                nb = _nbhood(prev, nxt)
                 forced = np.zeros(n, np.int64)
                 forced[0] = 1
                 forced[-1] = 1
@@ -544,8 +563,8 @@ def topo_simplify_distributed(
         vy = np.concatenate(vys)
         return pa.Table.from_pydict(
             {
-                "vxb": pa.array(vx.view(np.int64), pa.int64()),
-                "vyb": pa.array(vy.view(np.int64), pa.int64()),
+                "vxb": pa.array((vx + 0.0).view(np.int64), pa.int64()),
+                "vyb": pa.array((vy + 0.0).view(np.int64), pa.int64()),
                 "nb": pa.array(np.concatenate(nbs), pa.int64()),
                 "forced": pa.array(np.concatenate(fos), pa.int64()),
                 "ruid": pa.array(np.concatenate(rus), pa.int64()),
@@ -655,7 +674,11 @@ def topo_simplify_distributed(
                 continue
             pts = _unblob(rr["coords"])
             closed = len(pts) > 2 and np.array_equal(pts[0], pts[-1])
-            if closed:
+            # rotation-to-first-junction applies to POLYGON rings only: the
+            # local kernel routes closed LineStrings through add_line (cut
+            # in place, no rotation), so kind==1 must take the line path
+            # below even when geometrically closed
+            if closed and kind == 0:
                 n = len(pts) - 1
                 cut_idx = [i for i in range(n) if i in jpos]
                 if not cut_idx:

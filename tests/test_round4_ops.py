@@ -624,3 +624,65 @@ def test_mixup_pairs_invariants(ray_session):
         assert int(row["comp_sum"]) == int(comp.sum())
         assert int(row["comp_sq"]) == int((comp * comp).sum())
         assert int(row["w"]) == w and int(row["h"]) == h
+
+
+def test_topo_global_degenerate_neighborhoods_and_negzero(ray_session):
+    """Round-5 regressions from ADVICE: (1) a vertex whose two neighbors are
+    the SAME point (2-point closed ring) must still be distinguishable by
+    neighborhood — plain XOR hashed (a,a) and (b,b) both to 0 and missed the
+    junction; (2) -0.0 and 0.0 coordinates must be one vertex key, matching
+    the local kernel's float-equality dict."""
+    import ray.data as rd
+
+    from pygeoops_ray.geo import geom as g
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.geo.simplify_topo import simplify_topo
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    v = (5.0, 4.0)
+    # two degenerate 2-point closed rings sharing v: neighborhoods of v are
+    # (a,a) and (b,b) — distinct, so v IS a junction
+    spikes = [
+        g.LineString(np.array([[0.0, 0.0], list(v), [0.0, 0.0]])),
+        g.LineString(np.array([[9.0, 9.0], list(v), [9.0, 9.0]])),
+        # a longer line through v so junction-vs-not changes RDP output
+        g.LineString(
+            np.array([[0.0, 8.0], [2.5, 5.9], list(v), [7.5, 2.1], [10.0, 0.5]])
+        ),
+    ]
+    # -0.0 corpus: same border vertex written as 0.0 in one line, -0.0 in
+    # the other — one vertex key on both sides
+    negz = [
+        g.LineString(np.array([[-3.0, 0.0], [0.0, 1.0], [3.0, 0.2], [6.0, 1.5]])),
+        g.LineString(np.array([[-0.0, 1.0], [-2.0, 4.0], [1.0, 6.0]])),
+    ]
+    for geoms, tol in ((spikes, 1.5), (negz, 0.8)):
+        local = simplify_topo(geoms, tolerance=tol, algorithm="rdp")
+        tab = pa.table(
+            {
+                "s_suppkey": pa.array(list(range(len(geoms))), pa.int64()),
+                "geom_wkb": pa.array(
+                    [wkb_codec.dumps(x) for x in geoms], pa.binary()
+                ),
+            }
+        )
+        out = (
+            topo_simplify_distributed(
+                rd.from_arrow(tab).repartition(len(geoms)),
+                tolerance=tol,
+                algorithm="rdp",
+            )
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        for i in range(len(geoms)):
+            lg = local[i]
+            dg = (
+                wkb_codec.loads(out.loc[i, "geom_wkb"])
+                if out.loc[i, "geom_wkb"] is not None
+                else None
+            )
+            assert (lg.wkt if lg is not None else None) == (
+                dg.wkt if dg is not None else None
+            ), (tol, i)
