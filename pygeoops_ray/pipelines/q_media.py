@@ -856,7 +856,7 @@ def q_wds_scan(sf_dir: str):
     from pygeoops_ray.stages.multimodal import decode_any
 
     ds, n = _image_ds(sf_dir)
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:wds".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:wds2".encode()).hexdigest()[:10]
     path = f"/tmp/pygeoops_ray_cache/wds_{key}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.isfile(marker):
@@ -890,7 +890,7 @@ def q_wds_scan(sf_dir: str):
 
         total = (
             ds.select_columns(["image_id", "bytes", "fmt", "caption"])
-            .repartition(16)  # reader parallelism follows shard count
+            .repartition(32)  # reader parallelism follows shard count
             .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
             .sum("rows")
         )
@@ -903,40 +903,68 @@ def q_wds_scan(sf_dir: str):
     )
 
     def digest(rows: dict) -> pa.Table:
-        fmts, grays, caps = [], [], []
+        # columnar dispatch: a mixed tar batch materializes absent
+        # extensions as nan floats — ONE mask over the batch, then each
+        # codec's rows decode in their own slice (per-row decode is the
+        # measured tradeoff; the per-row isinstance/branch dispatch and
+        # caption-length extraction are not, so they are vectorized here)
         n_ = len(rows["__key__"])
-        for j in range(n_):
-            # a mixed tar batch materializes absent extensions as nan
-            r0 = rows.get("raw0")
-            val = r0[j] if r0 is not None else None
-            if isinstance(val, (bytes, bytearray)):
-                fmt, data = "raw0", val
-            else:
-                fmt, data = "qz1", rows["qz1"][j]
-            pix = decode_any(bytes(data), fmt)
-            fmts.append(fmt)
-            grays.append(int(pix.astype(np.int64).sum()))
-            caps.append(len(rows["json"][j]["caption"]))
+        r0 = rows.get("raw0")
+        q1 = rows.get("qz1")
+        if r0 is None:
+            is_raw = np.zeros(n_, dtype=bool)
+        else:
+            is_raw = np.fromiter(
+                (isinstance(v, (bytes, bytearray)) for v in r0),
+                dtype=bool,
+                count=n_,
+            )
+        grays = np.empty(n_, dtype=np.int64)
+        for j in np.flatnonzero(is_raw):
+            grays[j] = decode_any(bytes(r0[j]), "raw0").astype(np.int64).sum()
+        for j in np.flatnonzero(~is_raw):
+            grays[j] = decode_any(bytes(q1[j]), "qz1").astype(np.int64).sum()
+        import json as _json
+
+        # decoder=None skips Ray's per-sample auto-decode (measured ~40% of
+        # reader CPU); the .json member arrives as raw bytes and parses here
+        caps = np.fromiter(
+            (len(_json.loads(bytes(d))["caption"]) for d in rows["json"]),
+            dtype=np.int64,
+            count=n_,
+        )
+        # algebraic partial per batch (≤2 rows out): the final exchange
+        # moves per-block partials, not per-image rows
+        out = {"fmt": [], "n_images": [], "sum_gray": [], "sum_caplen": []}
+        for fmt, mask in (("raw0", is_raw), ("qz1", ~is_raw)):
+            if mask.any():
+                out["fmt"].append(fmt)
+                out["n_images"].append(int(mask.sum()))
+                out["sum_gray"].append(int(grays[mask].sum()))
+                out["sum_caplen"].append(int(caps[mask].sum()))
         return pa.Table.from_pydict(
             {
-                "fmt": pa.array(fmts, pa.string()),
-                "gray": pa.array(grays, pa.int64()),
-                "caplen": pa.array(caps, pa.int64()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "n_images": pa.array(out["n_images"], pa.int64()),
+                "sum_gray": pa.array(out["sum_gray"], pa.int64()),
+                "sum_caplen": pa.array(out["sum_caplen"], pa.int64()),
             }
         )
 
     from pygeoops_ray.stages.groupagg import grouped_agg
 
-    wds = rd.read_webdataset(files).map_batches(digest, batch_format="numpy")
+    wds = rd.read_webdataset(
+        files, decoder=None, override_num_blocks=len(files)
+    ).map_batches(digest, batch_format="numpy", batch_size=None)
     return grouped_agg(
         wds,
         ["fmt"],
         [
-            ("gray", "size", "n_images"),
-            ("gray", "sum", "sum_gray"),
-            ("caplen", "sum", "sum_caplen"),
+            ("n_images", "sum", "n_images"),
+            ("sum_gray", "sum", "sum_gray"),
+            ("sum_caplen", "sum", "sum_caplen"),
         ],
-        n_buckets=2,
+        n_buckets=1,
     )
 
 
@@ -1037,6 +1065,7 @@ def q_mixup_pairs(sf_dir: str):
                     "i": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.string()),
                     "pair": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
                 }
             )
         df = batch.to_pandas()
@@ -1045,37 +1074,31 @@ def q_mixup_pairs(sf_dir: str):
             first = g.iloc[0]
             off = offsets[(b, first["hh"], int(first["i"]))]
             rk[g.index.to_numpy()] = off + np.arange(len(g))
-        df["pair"] = rk // 2
         return pa.Table.from_pydict(
             {
                 "i": pa.array(df["i"].to_numpy(), pa.int64()),
                 "bucket": pa.array(df["bucket"].tolist(), pa.string()),
-                "pair": pa.array(df["pair"].to_numpy(), pa.int64()),
+                "pair": pa.array(rk // 2, pa.int64()),
+                "rk": pa.array(rk, pa.int64()),
             }
         )
 
     pairs_in = sorted_ds.map_batches(add_pair, batch_format="pyarrow", batch_size=None)
 
     def make_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), g in df.groupby(["bucket", "pair"], sort=False):
-            if len(g) != 2:
-                continue  # odd leftover
-            # partner order inside the pair follows the global (hh, i) rank;
-            # within a pair group the two rows came pre-sorted, and md5 rank
-            # re-derives deterministically from i
-            import hashlib as _h
-
-            g = g.assign(
-                _hh=[_h.md5(str(int(v)).encode()).hexdigest() for v in g["i"]]
-            ).sort_values(["_hh", "i"])
-            out.append((int(g.iloc[0]["i"]), int(g.iloc[1]["i"])))
-        if not out:
-            return pd.DataFrame(
-                {"i_a": pd.Series([], dtype="int64"), "i_b": pd.Series([], dtype="int64")}
-            )
-        a, b = zip(*out)
-        return pd.DataFrame({"i_a": list(a), "i_b": list(b)}).astype("int64")
+        # fully vectorized pair-former: the global (hh, i) rank rode through
+        # the exchange, so within a pair the partner order is (even rank,
+        # odd rank) by construction — one sort + one size filter, no
+        # per-pair loop and no md5 recompute
+        df = df.sort_values("rk")
+        cnt = df.groupby(["bucket", "pair"], sort=False)["i"].transform("size")
+        df = df[cnt.to_numpy() == 2]
+        rk = df["rk"].to_numpy()
+        ii = df["i"].to_numpy()
+        # after the rank sort, pair rows are adjacent: even rank first
+        return pd.DataFrame(
+            {"i_a": ii[rk % 2 == 0], "i_b": ii[rk % 2 == 1]}
+        ).astype("int64")
 
     pairs = _bucketed(pairs_in, ["bucket", "pair"], make_pairs, 8)
 
