@@ -1147,7 +1147,6 @@ def q_compact(sf_dir: str):
     import hashlib
     import os
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from pygeoops_ray.stages.groupagg import grouped_agg
@@ -1156,14 +1155,22 @@ def q_compact(sf_dir: str):
     n = _table_rows(sf_dir, "events")
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}".encode()).hexdigest()[:10]
 
-    # scattered input: 16 row-sliced files (the "too many small files" state)
+    # scattered input: 16 row-sliced files (the "too many small files"
+    # state), built by a Ray job — the driver never reads the table
     scat = f"/tmp/pygeoops_ray_cache/scattered_events_{key}"
     if not os.path.isdir(scat) or len(os.listdir(scat)) != 16:
-        os.makedirs(scat, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
-        step = (len(t) + 15) // 16
-        for j in range(16):
-            pq.write_table(t.slice(j * step, step), f"{scat}/slice-{j:02d}.parquet")
+        import shutil
+
+        os.makedirs(os.path.dirname(scat), exist_ok=True)
+        tmp = scat + f".tmp{os.getpid()}"
+        (
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+            .repartition(16)
+            .write_parquet(tmp)
+        )
+        if os.path.isdir(scat):
+            shutil.rmtree(scat)
+        os.replace(tmp, scat)
 
     k = (n + 3) // 4
 
@@ -1282,51 +1289,72 @@ def q_topk_scan(sf_dir: str):
     cached once (the 100-TB table layout); at scale the driver touches only
     the metadata footer plus the one or two winning groups.
     """
+    import glob
     import hashlib
     import os
 
     import pandas as pd
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     n = _table_rows(sf_dir, "events")
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:rg32".encode()).hexdigest()[:10]
-    path = f"/tmp/pygeoops_ray_cache/events_rg_{key}.parquet"
-    if not os.path.exists(path):
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:rg32d".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/events_rg_{key}"
+    if not os.path.isdir(path):
+        # the 32-group layout rewrite is itself a Ray job (contiguous
+        # repartition → 32 one-row-group files); the driver never reads the
+        # table, only the footers below
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        t = pq.read_table(
-            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
-        )
         tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(t, tmp, row_group_size=max(1, (n + 31) // 32))
+        (
+            rd.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_id", "value"],
+            )
+            .repartition(32)
+            .write_parquet(tmp)
+        )
         os.replace(tmp, path)
 
     k = 20
-    pf = pq.ParquetFile(path)
-    md = pf.metadata
-    vcol = next(
-        i
-        for i in range(md.num_columns)
-        if md.row_group(0).column(i).path_in_schema == "value"
-    )
-    maxes = [md.row_group(g).column(vcol).statistics.max for g in range(md.num_row_groups)]
-    order = sorted(range(md.num_row_groups), key=lambda g: -maxes[g])
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    # scan units = (file, row_group); driver touches metadata footers only
+    units = []
+    pfs = []
+    for fi, f in enumerate(files):
+        pf = pq.ParquetFile(f)
+        pfs.append(pf)
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            continue
+        vcol = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "value"
+        )
+        for g in range(md.num_row_groups):
+            units.append((fi, g, md.row_group(g).column(vcol).statistics.max))
+    order = sorted(range(len(units)), key=lambda u: -units[u][2])
     frames, read = [], 0
-    for pos, g in enumerate(order):
-        frames.append(pf.read_row_group(g, columns=["event_id", "value"]).to_pandas())
+    for pos, u in enumerate(order):
+        fi, g, _mx = units[u]
+        frames.append(
+            pfs[fi].read_row_group(g, columns=["event_id", "value"]).to_pandas()
+        )
         read += 1
         cur = (
             pd.concat(frames, ignore_index=True)
             .sort_values(["value", "event_id"], ascending=[False, True])
             .head(k)
         )
-        nxt = order[pos + 1] if pos + 1 < len(order) else None
-        if len(cur) >= k and (nxt is None or maxes[nxt] < cur["value"].iloc[-1]):
+        nxt = units[order[pos + 1]][2] if pos + 1 < len(order) else None
+        if len(cur) >= k and (nxt is None or nxt < cur["value"].iloc[-1]):
             break
     out = cur.reset_index(drop=True)
     out["value_c"] = np.floor(out["value"].to_numpy() * 100).astype(np.int64)
     out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     # groups_read < groups_total is asserted by pytest (pruning contract)
-    q_topk_scan._last_stats = (read, md.num_row_groups)
+    q_topk_scan._last_stats = (read, len(units))
     return out[["event_id", "value_c", "rnk"]]
 
 
