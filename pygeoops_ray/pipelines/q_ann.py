@@ -329,7 +329,10 @@ def q_ann_hnsw(sf_dir: str):
     recall are bit-stable across sessions and partitionings."""
     return _ann_recall_summary(
         sf_dir,
-        lambda emb, q_ids, qm, k: ann_stages.hnsw_topk(emb, q_ids, qm, k=k),
+        lambda emb, q_ids, qm, k: ann_stages.hnsw_topk(
+            emb, q_ids, qm, k=k,
+            n_rows_hint=_table_rows(sf_dir, "embeddings"),
+        ),
         min_mean_recall_pct=60,
     )
 

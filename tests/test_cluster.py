@@ -281,3 +281,53 @@ def test_hnsw_recall_and_determinism(ray_session):
     a = ap.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
     b = ap2.sort_values(["q_id", "vec_id"]).reset_index(drop=True)
     assert a[["q_id", "vec_id"]].equals(b[["q_id", "vec_id"]])
+
+
+def test_hnsw_shard_ceiling_autoreshards(ray_session):
+    """Round-5: the one-task-per-shard build has a SIZE ceiling
+    (max_shard_rows) enforced by auto-resharding — an over-threshold corpus
+    raises the shard count so no build task exceeds the ceiling, and the
+    recall contract stays green across the finer sharding."""
+    import numpy as np
+
+    from pygeoops_ray.pipelines.common import _read, _table_rows
+    from pygeoops_ray.pipelines.q_ann import _query_vectors
+    from pygeoops_ray.stages import ann as ann_stages
+    from pygeoops_ray.stages.ann import hnsw_shard_count
+
+    # the rule itself
+    assert hnsw_shard_count(100, 4, max_shard_rows=64_000) == 4
+    assert hnsw_shard_count(1_000_000, 4, max_shard_rows=64_000) == 16
+    assert hnsw_shard_count(0, 4) == 4
+    try:
+        hnsw_shard_count(10, 4, max_shard_rows=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # integration: cap far below the corpus -> >4 shards actually build,
+    # each build task holds <= max_shard_rows rows, recall stays green
+    sf = "/root/testdata/sf0.001"
+    n = _table_rows(sf, "embeddings")
+    cap = max(8, n // 10)  # forces >= 10 shards on any corpus size
+    q_ids, qm = _query_vectors(sf)
+    emb = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=10).to_pandas()
+    ap = ann_stages.hnsw_topk(
+        emb, q_ids, qm, k=10, max_shard_rows=cap, n_rows_hint=n
+    ).to_pandas()
+    n_shards = hnsw_shard_count(n, 4, max_shard_rows=cap)
+    assert n_shards > 4
+    # shard membership is vec_id % n_shards: verify no shard exceeds cap
+    import pandas as pd
+
+    all_ids = pd.Series(np.arange(n, dtype=np.int64))
+    counts = (all_ids % n_shards).value_counts()
+    # every populated shard respects the ceiling
+    assert counts.max() <= cap, (counts.max(), cap)
+    assert (ap.groupby("q_id").size() == 10).all()
+    recs = [
+        len(set(exact[exact.q_id == q].vec_id) & set(ap[ap.q_id == q].vec_id)) / 10
+        for q in q_ids
+    ]
+    assert np.mean(recs) >= 0.6, np.mean(recs)
