@@ -492,26 +492,45 @@ def pip_join_rects_points(
     p_slot = {c: f"k{j}" for j, c in enumerate(pnames)}
     r_slot = {c: f"k{r_int64.index(c)}" if c in r_int64 else c for c in rnames}
 
-    def join_group(grp: pd.DataFrame) -> pa.Table:
-        side = grp["side"].to_numpy()
-        r = grp[side == 0]
-        p = grp[side == 1]
-        if len(p) == 0:
+    def join_group(grp: pa.Table) -> pa.Table:
+        # pyarrow-native group reducer (round-5): the group slice stays an
+        # Arrow table — float/int buffers view into the shuffled block
+        # zero-copy via numpy, no per-group DataFrame construction. Only
+        # the columns a side actually reads are converted.
+        def col(name: str) -> np.ndarray:
+            c = grp[name]
+            if c.num_chunks == 1:
+                a = c.chunk(0)
+            else:  # group slices are single-chunk in practice
+                a = c.combine_chunks()
+            return a.to_numpy(zero_copy_only=False)
+
+        side = col("side")
+        idx_r = np.flatnonzero(side == 0)
+        idx_p = np.flatnonzero(side == 1)
+        if len(idx_p) == 0:
             return empty_out
-        if len(r) == 0:
+
+        def pcol(name: str, sel: np.ndarray | None = None) -> np.ndarray:
+            v = col(name)[idx_p]
+            return v if sel is None else v[sel]
+
+        if len(idx_r) == 0:
             # a point lands in exactly one group, so "no rects here" means
             # globally uncovered — the anti output is the whole point side
             if anti:
-                return _emit({c: p[p_slot[c]].to_numpy() for c in pnames})
+                return _emit({c: pcol(p_slot[c]) for c in pnames})
             return empty_out
-        bucket = int(grp["skey"].iloc[0]) // MAXSALT
+        bucket = int(grp["skey"][0].as_py()) // MAXSALT
         # rebuild the (rect, covering-cell) pairs the exchange elided: same
         # _covering_expansion + hilbert id as the classic pipeline, filtered
         # to this group's bucket
-        rminx = r["f0"].to_numpy()
-        rminy = r["f1"].to_numpy()
-        rmaxx = r["f2"].to_numpy()
-        rmaxy = r["f3"].to_numpy()
+        f0 = col("f0")
+        f1 = col("f1")
+        rminx = f0[idx_r]
+        rminy = f1[idx_r]
+        rmaxx = col("f2")[idx_r]
+        rmaxy = col("f3")[idx_r]
         rrow, tx, ty = _covering_expansion(rminx, rminy, rmaxx, rmaxy, TILE)
         cell = grid.cell_id_of_colrow(tx, ty)
         keep = (cell >> coarse_bits) == bucket
@@ -519,15 +538,15 @@ def pip_join_rects_points(
         order = np.argsort(rc, kind="stable")
         rc = rc[order]
         rrow = rrow[order]
-        px = p["f0"].to_numpy()
-        py = p["f1"].to_numpy()
+        px = f0[idx_p]
+        py = f1[idx_p]
         pc_ = grid.cell_id(px, py)
         starts = np.searchsorted(rc, pc_, side="left")
         ends = np.searchsorted(rc, pc_, side="right")
         counts = ends - starts
         if counts.sum() == 0:
             if anti:
-                return _emit({c: p[p_slot[c]].to_numpy() for c in pnames})
+                return _emit({c: pcol(p_slot[c]) for c in pnames})
             return empty_out
         pi = np.repeat(np.arange(len(pc_)), counts)
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -545,14 +564,14 @@ def pip_join_rects_points(
         if anti:
             covered = np.zeros(len(pc_), dtype=bool)
             covered[pi] = True
-            return _emit({c: p[p_slot[c]].to_numpy()[~covered] for c in pnames})
+            return _emit({c: pcol(p_slot[c])[~covered] for c in pnames})
         if len(ri) == 0:
             return empty_out
-        out = {c: r[r_slot[c]].to_numpy()[ri] for c in rnames}
-        out.update({c: p[p_slot[c]].to_numpy()[pi] for c in pnames})
+        out = {c: col(r_slot[c])[idx_r[ri]] for c in rnames}
+        out.update({c: pcol(p_slot[c], pi) for c in pnames})
         return _emit(out)
 
-    joined = both.groupby("skey").map_groups(join_group, batch_format="pandas")
+    joined = both.groupby("skey").map_groups(join_group, batch_format="pyarrow")
 
     def fix_types(batch: pa.Table) -> pa.Table:
         cols = {}
