@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "ann_filtered",
         "topo_global",
         "ipc_scan",
+        "orc_scan",
         "multimodal_curation",
         "gpkg_scan",
         "npy_scan",

@@ -3374,3 +3374,14 @@ SELECT i_a, i_b, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
        CAST(sum(c0 * c0 + c1 * c1 + c2 * c2) AS BIGINT) AS comp_sq
 FROM px GROUP BY i_a, i_b, w, h
 """
+
+# orc_scan: same aggregate from the parquet side — equality proves the ORC
+# write/read roundtrip lossless (int64 / string / float columns)
+ORACLE_SQL["orc_scan"] = """
+    SELECT event_type,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+"""

@@ -841,7 +841,11 @@ def q_dbscan(sf_dir: str):
             df[df["side"] == 1][["event_id", "core"]], on="event_id"
         ),
         16,
-    )
+        # flagged feeds BOTH the edge pass and the label rejoin — without a
+        # materialize each consumer re-executes the whole pass-A chain
+        # (derive -> rep9 -> cell sort -> count cogroup), measured as 2x
+        # duplicate plans in ds.stats()
+    ).materialize()
 
     # -- pass B: core-core edges --------------------------------------------
     def edge_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -889,7 +893,8 @@ def q_dbscan(sf_dir: str):
         ["event_id"],
         relabel,
         16,
-    )
+        # labeled feeds both the border pass and the core-row output
+    ).materialize()
 
     def border_group(df: pd.DataFrame) -> pd.DataFrame:
         homes = df.loc[

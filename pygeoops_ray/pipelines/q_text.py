@@ -1075,3 +1075,97 @@ def q_ipc_scan(sf_dir: str):
         ],
         n_rows_hint=256,
     )
+
+
+def q_orc_scan(sf_dir: str):
+    """Apache ORC source-format coverage — the other columnar at-rest format
+    large warehouses actually hold (Hive/Trino lakes ship ORC next to
+    parquet). The events table is exported once to 8 ORC shard files
+    written FROM INSIDE map tasks (side-sink pattern, same as ipc_scan),
+    read back through ``read_binary_files`` + a ``pyarrow.orc`` decode
+    (Ray 2.49 has no native ORC reader; binary-read + Arrow decode is the
+    custom-source recipe), and aggregated per event_type. The oracle
+    aggregates the parquet directly, proving the ORC write/read roundtrip
+    lossless across int64, string and float columns.
+    """
+    import hashlib
+    import os
+
+    import pyarrow.orc as paorc
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import grouped_agg
+
+    n = _table_rows(sf_dir, "events")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n}:orc".encode()).hexdigest()[:10]
+    path = f"/tmp/pygeoops_ray_cache/events_orc_{key}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        os.makedirs(path, exist_ok=True)
+        # uuid shard names: clear stale files from a crashed partial build
+        for f in os.listdir(path):
+            os.remove(os.path.join(path, f))
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            import uuid
+
+            fn = os.path.join(path, f"shard-{uuid.uuid4().hex}.orc")
+            tmp = fn + ".tmp"
+            paorc.write_table(b, tmp)
+            os.rename(tmp, fn)  # atomic publish (crash-safe re-run)
+            return pa.Table.from_pydict({"rows": pa.array([b.num_rows], pa.int64())})
+
+        total = (
+            _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+            .repartition(8)
+            .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
+            .sum("rows")
+        )
+        assert total == n, (total, n)
+        with open(marker, "w"):
+            pass
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".orc")
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = [
+            paorc.ORCFile(pa.BufferReader(blob)).read()
+            for blob in b["bytes"].to_pylist()
+        ]
+        if not tables:
+            return pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        out = pa.concat_tables(tables)
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "event_type": out["event_type"],
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(out["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = rd.read_binary_files(files).map_batches(decode, batch_format="pyarrow")
+    return grouped_agg(
+        ds,
+        ["event_type"],
+        [
+            ("event_id", "sum", "sum_event_id"),
+            ("user_id", "sum", "sum_user_id"),
+            ("value_c", "sum", "sum_value_c"),
+            ("event_id", "size", "n_events"),
+        ],
+        n_rows_hint=64,
+    )

@@ -128,6 +128,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "ann_pq",
         "jsonl_scan",
         "ipc_scan",
+        "orc_scan",
         "npy_scan",
         "wds_scan",
         "mixup_pairs",
@@ -381,6 +382,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "pii_redact": ("doc_id", "n_emails", "n_phones", "red_fp"),
     "domain_mix": ("doc_id", "lang", "rnk"),
     "ipc_scan": ("lang", "source", "sum_doc_id", "sum_chars", "n_docs"),
+    "orc_scan": ("event_type", "sum_event_id", "sum_user_id", "sum_value_c", "n_events"),
     "npy_scan": ("vec_id", "checksum"),
     "wds_scan": ("fmt", "n_images", "sum_gray", "sum_caplen"),
     "mixup_pairs": ("i_a", "i_b", "w", "h", "comp_sum", "comp_sq"),

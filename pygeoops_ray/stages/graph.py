@@ -639,6 +639,42 @@ def kcore(
         .select_columns(["a", "b"])
         .materialize()
     )
+    # Small-graph fast path (the pagerank local_threshold design): below ~1M
+    # symmetric rows the per-round exchange FIXED cost dominates a graph
+    # whose whole edge set fits one task. One task runs the identical peel
+    # loop — integer set semantics make the result bit-identical to the
+    # distributed loop, which remains the path for larger graphs.
+    if cur.count() <= 1_000_000:
+        import pandas as pd
+
+        def all_peels(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            conv_l = 0
+            for _ in range(max_rounds):
+                nodes, deg_l = np.unique(a, return_counts=True)
+                sub = nodes[deg_l < k]
+                if len(sub) == 0:
+                    conv_l = 1
+                    break
+                keep = ~(np.isin(a, sub) | np.isin(b, sub))
+                a, b = a[keep], b[keep]
+            nodes, deg_l = np.unique(a, return_counts=True)
+            if conv_l == 0 and (len(nodes) == 0 or (deg_l >= k).all()):
+                # same post-loop convergence-by-final-state check as below
+                conv_l = 1
+            return pd.DataFrame(
+                {
+                    "node": nodes.astype(np.int64),
+                    "degree": deg_l.astype(np.int64),
+                    "conv_ok": np.full(len(nodes), conv_l, np.int64),
+                }
+            )
+
+        return cur.repartition(1).map_batches(
+            all_peels, batch_format="pandas", batch_size=None
+        )
+
     conv = 0
     for _ in range(max_rounds):
         deg = grouped_agg(cur, ["a"], [("b", "size", "deg")], n_buckets=nb)
