@@ -104,6 +104,13 @@ def main():
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # suite oracles at sf0.1 (wave_suite's UNION ALL of image-CTE members)
+    # out-spill the disk under DuckDB's default morsel parallelism: fewer
+    # threads serialize the member pipelines so peak temp stays bounded,
+    # and the explicit memory budget keeps intermediates in RAM (measured:
+    # default settings ENOSPC'd a 30 GB /tmp; threads=4 + 90GB completes)
+    con.sql("PRAGMA threads=4")
+    con.sql("PRAGMA memory_limit='90GB'")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
