@@ -91,12 +91,24 @@ def topo_simplify_distributed(
     id_col: str = "s_suppkey",
     wkb_col: str = "geom_wkb",
     n_cells: int = 64,
+    local_threshold: int = 10_000,
 ):
     """Distributed shared-arc simplify of a (id, wkb) dataset.
 
     Returns a Dataset with the same two columns. Geometry ids must be
     distinct; parts/rings per geometry must stay under 1000 each (uid
     packing — asserted).
+
+    ``local_threshold``: below this many TOTAL 2D points the whole topology
+    fits one task, where the six bounded exchanges are pure fixed cost —
+    the single-task path runs the LOCAL shared-arc kernel, which the
+    partition-invariance pytests prove exact-WKT identical to the
+    distributed path (the pagerank/kcore local-fast-path design). The
+    default is conservative: the local kernel's collinear-insert pass is
+    a per-segment tree query whose candidate sets blow up on long shared
+    straight borders (measured 4.4 s at 48k points on the strip corpus vs
+    3.0 s distributed; 0.3 s at ~5k points vs 2.5+ s distributed). Pass 0
+    to force the distributed path (the parity tests do).
     """
     algorithm = algorithm.lower()
 
@@ -158,6 +170,50 @@ def topo_simplify_distributed(
         )
 
     rows = ds.map_batches(decompose, batch_format="pyarrow").materialize()
+
+    def _npts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(b["coords"])
+        return pa.Table.from_pydict(
+            {"npts": pa.array([int(pc.sum(lens).as_py() or 0) // 16], pa.int64())}
+        )
+
+    total_pts = (
+        rows.map_batches(_npts, batch_format="pyarrow", batch_size=None).sum("npts")
+        if local_threshold
+        else None
+    )
+    if local_threshold and total_pts is not None and total_pts <= local_threshold:
+
+        def all_local(b: pa.Table) -> pa.Table:
+            from pygeoops_ray.geo.simplify_topo import simplify_topo
+
+            gids = b[id_col].to_pylist()
+            geoms = [
+                wkb_codec.loads(w) if w is not None else None
+                for w in b[wkb_col].to_pylist()
+            ]
+            out = simplify_topo(
+                geoms, tolerance=tolerance, algorithm=algorithm,
+                lookahead=lookahead,
+            )
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array(gids, pa.int64()),
+                    wkb_col: pa.array(
+                        [
+                            wkb_codec.dumps(g_) if g_ is not None else None
+                            for g_ in out
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        return ds.repartition(1).map_batches(
+            all_local, batch_format="pyarrow", batch_size=None
+        )
 
     # global type set (uniform-primitive filter) + extent/eps, tiny aggregates
     def type_partial(b: pa.Table) -> pa.Table:

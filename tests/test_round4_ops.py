@@ -322,7 +322,7 @@ def test_topo_global_matches_local_kernel(ray_session):
     for nparts in (2, 7):
         ds = rd.from_arrow(tab).repartition(nparts)
         out = (
-            topo_simplify_distributed(ds, tolerance=0.8, algorithm="rdp")
+            topo_simplify_distributed(ds, tolerance=0.8, algorithm="rdp", local_threshold=0)
             .to_pandas()
             .sort_values("s_suppkey")
             .reset_index(drop=True)
@@ -359,7 +359,8 @@ def test_topo_global_shared_borders_cross_partition(ray_session):
     )
     out = (
         topo_simplify_distributed(
-            rd.from_arrow(tab).repartition(6), tolerance=0.8, algorithm="rdp"
+            rd.from_arrow(tab).repartition(6), tolerance=0.8, algorithm="rdp",
+            local_threshold=0,
         )
         .to_pandas()
         .sort_values("s_suppkey")
@@ -467,7 +468,8 @@ def test_topo_global_random_grid_matches_local(ray_session):
         )
         out = (
             topo_simplify_distributed(
-                rd.from_arrow(tab).repartition(nparts), tolerance=tol, algorithm="rdp"
+                rd.from_arrow(tab).repartition(nparts), tolerance=tol,
+                algorithm="rdp", local_threshold=0,
             )
             .to_pandas()
             .sort_values("s_suppkey")
@@ -671,6 +673,7 @@ def test_topo_global_degenerate_neighborhoods_and_negzero(ray_session):
                 rd.from_arrow(tab).repartition(len(geoms)),
                 tolerance=tol,
                 algorithm="rdp",
+                local_threshold=0,
             )
             .to_pandas()
             .sort_values("s_suppkey")
@@ -686,3 +689,43 @@ def test_topo_global_degenerate_neighborhoods_and_negzero(ray_session):
             assert (lg.wkt if lg is not None else None) == (
                 dg.wkt if dg is not None else None
             ), (tol, i)
+
+
+def test_topo_global_local_fastpath_equals_distributed(ray_session):
+    """Round-5: below local_threshold the whole topology runs in one task
+    through the LOCAL kernel; output must equal the forced-distributed path
+    exact-WKT on the wavy shared-border corpus."""
+    import ray.data as rd
+
+    from pygeoops_ray.geo import wkb as wkb_codec
+    from pygeoops_ray.stages.topo_global import topo_simplify_distributed
+
+    geoms = _wavy_strip_corpus()
+    tab = pa.table(
+        {
+            "s_suppkey": pa.array(list(range(len(geoms))), pa.int64()),
+            "geom_wkb": pa.array([wkb_codec.dumps(x) for x in geoms], pa.binary()),
+        }
+    )
+    outs = []
+    for thr in (0, 100_000):
+        out = (
+            topo_simplify_distributed(
+                rd.from_arrow(tab).repartition(4),
+                tolerance=0.8,
+                algorithm="rdp",
+                local_threshold=thr,
+            )
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    a, b = outs
+    assert len(a) == len(b) == len(geoms)
+    for i in range(len(geoms)):
+        ga = wkb_codec.loads(a.loc[i, "geom_wkb"]) if a.loc[i, "geom_wkb"] is not None else None
+        gb = wkb_codec.loads(b.loc[i, "geom_wkb"]) if b.loc[i, "geom_wkb"] is not None else None
+        assert (ga.wkt if ga is not None else None) == (
+            gb.wkt if gb is not None else None
+        ), i
