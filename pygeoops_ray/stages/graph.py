@@ -482,6 +482,7 @@ def triangle_count(
     dst_col: str,
     n_edges_hint: int | None = None,
     broadcast_threshold: int = 1_000_000,
+    local_threshold: int = 200_000,
 ):
     """EXACT triangle count of the undirected graph (node-iterator / wedge
     counting with DEGREE orientation).
@@ -508,8 +509,57 @@ def triangle_count(
     from pygeoops_ray.stages.groupagg import grouped_count
 
     edges = edges_ds.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return 0
+
+    # Small-graph fast path (pagerank/kcore design): under ~200k edges the
+    # whole count runs in ONE task with the identical degree-orientation +
+    # wedge-membership algorithm — exchanges at this size are pure fixed
+    # cost. Exactness is trivial (it is a count of the same triangle set).
+    if n_edges <= local_threshold:
+
+        def local_tri(df: pd.DataFrame) -> pd.DataFrame:
+            a = df[src_col].to_numpy().astype(np.int64)
+            b = df[dst_col].to_numpy().astype(np.int64)
+            nodes, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+            da = deg[np.searchsorted(nodes, a)]
+            db = deg[np.searchsorted(nodes, b)]
+            a_first = (da < db) | ((da == db) & (a < b))
+            src = np.where(a_first, a, b)
+            dst = np.where(a_first, b, a)
+            sorder = np.lexsort((dst, src))
+            s_s, d_s = src[sorder], dst[sorder]
+            starts = np.flatnonzero(
+                np.concatenate([[True], s_s[1:] != s_s[:-1]])
+            )
+            ends = np.concatenate([starts[1:], [len(s_s)]])
+            wx, wy = [], []
+            for st, en in zip(starts, ends):
+                k = en - st
+                if k < 2:
+                    continue
+                d = d_s[st:en]
+                iu = np.triu_indices(k, 1)
+                wx.append(d[iu[0]])
+                wy.append(d[iu[1]])
+            if not wx:
+                return pd.DataFrame({"partial": [0]})
+            x = np.concatenate(wx)
+            y = np.concatenate(wy)
+            wpairs = pd.DataFrame(
+                {"x": np.minimum(x, y), "y": np.maximum(x, y)}
+            )
+            epairs = pd.DataFrame(
+                {"x": np.minimum(src, dst), "y": np.maximum(src, dst)}
+            ).drop_duplicates()
+            n = len(wpairs.merge(epairs, on=["x", "y"], how="inner"))
+            return pd.DataFrame({"partial": [int(n)]})
+
+        parts = edges.repartition(1).map_batches(
+            local_tri, batch_format="pandas", batch_size=None
+        )
+        return int(parts.sum("partial") or 0)
 
     def sym(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy().astype(np.int64)

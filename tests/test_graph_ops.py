@@ -393,7 +393,7 @@ def test_triangle_count_join_path_high_v(ray_session):
     )
     ds = rd.from_arrow(e).repartition(5)
     want = _brute_triangles(edges)
-    assert triangle_count(ds, "a", "b", broadcast_threshold=0) == want
+    assert triangle_count(ds, "a", "b", broadcast_threshold=0, local_threshold=0) == want
     assert triangle_count(ds, "a", "b") == want
 
 
