@@ -729,3 +729,34 @@ def test_topo_global_local_fastpath_equals_distributed(ray_session):
         assert (ga.wkt if ga is not None else None) == (
             gb.wkt if gb is not None else None
         ), i
+
+
+def test_orc_export_crash_resume_no_double_read(ray_session):
+    """Round-5: the ORC side-sink honors the same crash-resume contract as
+    the IPC/wds exports — a stale unpublished shard (marker dropped) is
+    cleared on rebuild, so the per-type aggregate stays exact."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pygeoops_ray.pipelines.q_text import q_orc_scan
+
+    baseline = (
+        q_orc_scan(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert int(baseline["n_events"].sum()) == n
+    key = hashlib.md5(f"{os.path.abspath(SF)}:{n}:orc".encode()).hexdigest()[:10]
+    d = f"/tmp/pygeoops_ray_cache/events_orc_{key}"
+    os.remove(os.path.join(d, "_SUCCESS"))
+    shard = glob.glob(os.path.join(d, "*.orc"))[0]
+    with open(shard, "rb") as f:
+        blob = f.read()
+    with open(os.path.join(d, "shard-stale00.orc"), "wb") as f:
+        f.write(blob)
+    rebuilt = (
+        q_orc_scan(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rebuilt, baseline)
