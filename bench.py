@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "topo_global",
         "ipc_scan",
         "orc_scan",
+        "ann_hnsw_disk",
         "multimodal_curation",
         "gpkg_scan",
         "npy_scan",

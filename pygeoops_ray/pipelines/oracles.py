@@ -3385,3 +3385,11 @@ ORACLE_SQL["orc_scan"] = """
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type
 """
+
+# ann_hnsw_disk: recall contract + disk==memory equality + shard-file count
+# (same weak-oracle shape as ann_hnsw/ann_ivf_disk)
+ORACLE_SQL["ann_hnsw_disk"] = """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS loaded_eq,
+           CAST(1 AS BIGINT) AS files_ok
+"""

@@ -465,3 +465,68 @@ def q_npy_scan(sf_dir: str):
         )
 
     return rd.read_numpy(files).map_batches(digest, batch_format="numpy")
+
+
+def q_ann_hnsw_disk(sf_dir: str):
+    """Disk-persisted HNSW index (stages/ann.build_hnsw_disk_index):
+    build-once/search-many — per-shard graphs serialize to one parquet file
+    per shard through the checkpoint manifest (crashed builds resume by
+    skipping completed shards), and searches reconstruct the graph from
+    rows instead of paying the O(n log n) insert loop per query batch.
+    Contract row: the recall gate (>=60% vs exact, same as ann_hnsw) plus
+    ``loaded_eq`` — the disk-loaded search must return EXACTLY the
+    in-memory ``hnsw_topk`` neighbor lists (the serialized neighbor order
+    is part of the format, so beam search is bit-equal) — and ``files_ok``
+    (one manifest file per shard, all present)."""
+    import hashlib
+    import os
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(emb_path)}:hnsw1".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/pygeoops_ray_cache/hnsw_index_{key}"
+    n = _table_rows(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    marker = os.path.join(out_dir, "_BUILT")
+    if not os.path.isfile(marker):
+        ann_stages.build_hnsw_disk_index(emb, out_dir, n_rows_hint=n)
+        with open(marker, "w"):
+            pass
+
+    k = 10
+    q_ids, qm = _query_vectors(sf_dir)
+    disk_ds, n_read, n_total = ann_stages.hnsw_disk_topk(out_dir, q_ids, qm, k=k)
+    disk = disk_ds.to_pandas().sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    mem = (
+        ann_stages.hnsw_topk(emb, q_ids, qm, k=k, n_rows_hint=n)
+        .to_pandas()
+        .sort_values(["q_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    loaded_eq = int(
+        len(disk) == len(mem)
+        and (disk["q_id"].to_numpy() == mem["q_id"].to_numpy()).all()
+        and (disk["vec_id"].to_numpy() == mem["vec_id"].to_numpy()).all()
+    )
+    exact = ann_stages.brute_force_topk(emb, q_ids, qm, k=k).to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(disk.loc[disk["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    mean_pct = 100.0 * float(np.mean(recalls)) if recalls else 0.0
+    from pygeoops_ray.stages.ann import hnsw_shard_count
+
+    n_shards = hnsw_shard_count(n, 4)
+    return pa.Table.from_pydict(
+        {
+            "n_queries": pa.array([len(q_ids)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "recall_ok": pa.array([int(mean_pct >= 60)], pa.int64()),
+            "loaded_eq": pa.array([loaded_eq], pa.int64()),
+            "files_ok": pa.array(
+                [int(n_read == n_total == n_shards)], pa.int64()
+            ),
+        }
+    )

@@ -137,6 +137,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "clip_score",
         "cdc_merge",
         "ann_ivf_append",
+        "ann_hnsw_disk",
         "pip_polygon",
         "topk_scan",
     ),
@@ -390,6 +391,7 @@ _MEMBER_COLS: dict[str, tuple[str, ...]] = {
     "clip_score": ("i", "dot", "keep"),
     "cdc_merge": ("event_id", "value_c", "src"),
     "ann_ivf_append": ("n_queries", "k", "recall_ok", "pruned_ok", "append_ok"),
+    "ann_hnsw_disk": ("n_queries", "k", "recall_ok", "loaded_eq", "files_ok"),
     "pip_polygon": ("event_id", "s_suppkey"),
     "topk_scan": ("event_id", "value_c", "rnk"),
     "aspect_bucket": ("i", "bucket", "batch_id", "slot"),

@@ -493,12 +493,13 @@ def _hnsw_level(vid: int, mL: float) -> int:
     return int(-math.log(u) * mL)
 
 
-def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
-    """Build one shard's HNSW graph (insert in ascending id order) and search
-    every query; returns (q_id, vec_id, sim) rows of the per-shard top-k.
+def _hnsw_build(ids, mat, M=8, ef_c=32):
+    """Build one shard's HNSW graph (insert in ascending id order).
 
     Pure numpy/heapq; cosine similarity on normalized vectors. Neighbor
-    lists prune to M per level (2M at level 0) by similarity.
+    lists prune to M per level (2M at level 0) by similarity. Returns
+    (ids_sorted, mat_sorted, graphs, entry, max_lvl) — the serializable
+    index state (``hnsw_disk`` persists exactly this).
     """
     import heapq
     import math
@@ -576,6 +577,40 @@ def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
                 graphs[lv].setdefault(i, [])
             entry, max_lvl = i, l
 
+    return ids, mat, graphs, entry, max_lvl
+
+
+def _hnsw_search(ids, mat, graphs, entry, max_lvl, q_ids, qn, k, ef_s=48):
+    """Search every query against a built (or disk-loaded) HNSW graph;
+    returns (q_id, vec_id, sim) rows of the per-shard top-k. Identical beam
+    to the build phase, so in-memory and disk-loaded searches are
+    bit-equal."""
+    import heapq
+
+    def beam(vec, start, lvl, ef):
+        g = graphs[lvl]
+        visited = {start}
+        s0 = float(mat[start] @ vec)
+        cand = [(-s0, start)]
+        best = [(s0, start)]
+        while cand:
+            negs, u = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            nbrs = [v for v in g.get(u, ()) if v not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            sims = mat[nbrs] @ vec
+            for v, sv in zip(nbrs, sims):
+                sv = float(sv)
+                if len(best) < ef or sv > best[0][0]:
+                    heapq.heappush(best, (sv, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-sv, v))
+        return sorted(best, key=lambda t: (-t[0], ids[t[1]]))
+
     rows_q, rows_v, rows_s = [], [], []
     for qi, q in enumerate(q_ids):
         vec = qn[qi]
@@ -588,6 +623,13 @@ def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
             rows_v.append(int(ids[v]))
             rows_s.append(float(s))
     return rows_q, rows_v, rows_s
+
+
+def _hnsw_build_search(ids, mat, q_ids, qn, k, M=8, ef_c=32, ef_s=48):
+    """Build one shard's HNSW graph and search every query (the in-memory
+    path; see _hnsw_build / _hnsw_search)."""
+    ids, mat, graphs, entry, max_lvl = _hnsw_build(ids, mat, M=M, ef_c=ef_c)
+    return _hnsw_search(ids, mat, graphs, entry, max_lvl, q_ids, qn, k, ef_s=ef_s)
 
 
 def hnsw_shard_count(
@@ -661,3 +703,179 @@ def hnsw_topk(emb_ds, q_ids, q_matrix, k: int = 10, n_shards: int = 4,
         return out[["q_id", "vec_id", "sim"]]
 
     return _bucketed(per_shard, ["q_id"], merge, 4)
+
+
+def build_hnsw_disk_index(
+    emb_ds, out_dir: str, n_shards: int = 4, M: int = 8, ef_c: int = 32,
+    max_shard_rows: int = 64_000, n_rows_hint: int | None = None,
+):
+    """Persist the sharded HNSW index as a parquet directory (one file per
+    shard through the checkpoint manifest, so a crashed build resumes by
+    skipping completed shards).
+
+    The at-rest win vs ``hnsw_topk`` is build-once/search-many: every
+    search of the in-stream path pays the O(n log n) per-shard graph
+    BUILD; the disk index pays it once and searches reconstruct the graph
+    from rows. (HNSW fans every query out to all shards, so unlike
+    IVF-disk there is no file-pruning claim — the claim is the build
+    amortization plus manifest resume.) Shard count obeys the
+    ``hnsw_shard_count`` ceiling. Serialized rows per shard:
+
+    - kind=0 node rows: (pos, vec_id, emb float64 blob) in insertion order
+    - kind=1 edge rows: (lvl, pos, nbr, ord) — ord preserves the neighbor
+      LIST order so the reconstructed beam search is bit-equal to the
+      in-memory one
+    - kind=2 meta row: (lvl=max_lvl, pos=entry)
+
+    Returns the shard count.
+    """
+    import pandas as pd
+
+    from pygeoops_ray.state.manifest import write_partitioned
+
+    n_rows = n_rows_hint if n_rows_hint is not None else emb_ds.count()
+    n_shards = hnsw_shard_count(n_rows, n_shards, max_shard_rows)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard", pa.array(batch["vec_id"].to_numpy() % n_shards, pa.int64())
+        )
+
+    def build_rows(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids_s, mat, graphs, entry, max_lvl = _hnsw_build(ids, m, M=M, ef_c=ef_c)
+        kind = [2]
+        lvl = [max_lvl]
+        pos = [int(entry)]
+        nbr = [-1]
+        ordv = [0]
+        vid = [-1]
+        emb = [b""]
+        for i in range(len(ids_s)):
+            kind.append(0)
+            lvl.append(-1)
+            pos.append(i)
+            nbr.append(-1)
+            ordv.append(0)
+            vid.append(int(ids_s[i]))
+            emb.append(np.ascontiguousarray(mat[i]).tobytes())
+        for lv, gmap in enumerate(graphs):
+            for u, lst in gmap.items():
+                for j, v in enumerate(lst):
+                    kind.append(1)
+                    lvl.append(lv)
+                    pos.append(int(u))
+                    nbr.append(int(v))
+                    ordv.append(j)
+                    vid.append(-1)
+                    emb.append(b"")
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(kind), shard, np.int64),
+                "kind": np.array(kind, np.int64),
+                "lvl": np.array(lvl, np.int64),
+                "pos": np.array(pos, np.int64),
+                "nbr": np.array(nbr, np.int64),
+                "ord": np.array(ordv, np.int64),
+                "vec_id": np.array(vid, np.int64),
+                "emb": emb,
+            }
+        )
+
+    rows = (
+        emb_ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_rows, batch_format="pandas")
+    )
+    write_partitioned(rows, out_dir, "shard", stage="hnsw")
+    return n_shards
+
+
+def hnsw_disk_topk(out_dir: str, q_ids, q_matrix, k: int = 10, ef_s: int = 48):
+    """Approximate top-k against a ``build_hnsw_disk_index`` directory.
+
+    Each shard file reconstructs its graph inside its own Ray task (no
+    rebuild — the O(n log n) insert loop is skipped) and searches every
+    query; a final tiny per-query merge keeps the global top-k, identical
+    to the in-memory ``hnsw_topk`` merge. Returns
+    ``(topk_dataset, n_files_read, n_files_total)``.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pygeoops_ray.stages.groupagg import _bucketed
+    from pygeoops_ray.state.manifest import CheckpointManifest
+
+    qm = np.asarray(q_matrix, np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_arr = np.asarray(q_ids, np.int64)
+
+    done = CheckpointManifest(out_dir, "hnsw").completed()
+    files = [
+        rec["output_file"]
+        for _pid, rec in sorted(done.items())
+        if os.path.exists(rec["output_file"])
+    ]
+
+    def search_file(batch: pa.Table) -> pa.Table:
+        rows_q, rows_v, rows_s = [], [], []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            kind = t["kind"].to_numpy()
+            node_sel = kind == 0
+            pos_all = t["pos"].to_numpy()
+            npos = pos_all[node_sel]
+            order = np.argsort(npos)
+            ids = t["vec_id"].to_numpy()[node_sel][order]
+            blobs = t["emb"].to_pylist()
+            nblobs = [b for b, s in zip(blobs, node_sel) if s]
+            mat = np.stack(
+                [np.frombuffer(nblobs[i], np.float64) for i in order]
+            )
+            meta_i = int(np.flatnonzero(kind == 2)[0])
+            entry = int(pos_all[meta_i])
+            max_lvl = int(t["lvl"].to_numpy()[meta_i])
+            graphs: list[dict[int, list[int]]] = [
+                {} for _ in range(max_lvl + 1)
+            ]
+            e_sel = kind == 1
+            elvl = t["lvl"].to_numpy()[e_sel]
+            epos = pos_all[e_sel]
+            enbr = t["nbr"].to_numpy()[e_sel]
+            eord = t["ord"].to_numpy()[e_sel]
+            eo = np.lexsort((eord, epos, elvl))
+            for lv, u, v in zip(elvl[eo], epos[eo], enbr[eo]):
+                graphs[int(lv)].setdefault(int(u), []).append(int(v))
+            rq, rv, rs = _hnsw_search(
+                ids, mat, graphs, entry, max_lvl, q_arr, qn, k, ef_s=ef_s
+            )
+            rows_q += rq
+            rows_v += rv
+            rows_s += rs
+        return pa.Table.from_pydict(
+            {
+                "q_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    per_shard = rd.from_items([{"path": f} for f in files]).map_batches(
+        search_file, batch_format="pyarrow", batch_size=1
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+            .groupby("q_id", sort=False)
+            .head(k)
+        )
+        return out[["q_id", "vec_id", "sim"]]
+
+    return _bucketed(per_shard, ["q_id"], merge, 4), len(files), len(done)

@@ -331,3 +331,53 @@ def test_hnsw_shard_ceiling_autoreshards(ray_session):
         for q in q_ids
     ]
     assert np.mean(recs) >= 0.6, np.mean(recs)
+
+
+def test_hnsw_disk_index_equals_memory_and_resumes(ray_session):
+    """Round-5 HNSW at rest: the disk-loaded search returns EXACTLY the
+    in-memory hnsw_topk neighbor lists (serialized neighbor order is part
+    of the format), and a crashed build (one shard file deleted) resumes
+    by rebuilding ONLY the missing shard, leaving completed files
+    untouched and results identical."""
+    import glob
+    import os
+    import shutil
+
+    from pygeoops_ray.pipelines.common import _read, _table_rows
+    from pygeoops_ray.pipelines.q_ann import _query_vectors
+    from pygeoops_ray.stages import ann as ann_stages
+
+    sf = "/root/testdata/sf0.001"
+    n = _table_rows(sf, "embeddings")
+    q_ids, qm = _query_vectors(sf)
+    emb = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    d = "/tmp/pygeoops_ray_test/hnsw_disk_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    n_shards = ann_stages.build_hnsw_disk_index(emb, d, n_rows_hint=n)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    assert len(files) == n_shards
+
+    disk, n_read, n_total = ann_stages.hnsw_disk_topk(d, q_ids, qm, k=10)
+    disk = disk.to_pandas().sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    mem = (
+        ann_stages.hnsw_topk(emb, q_ids, qm, k=10, n_rows_hint=n)
+        .to_pandas()
+        .sort_values(["q_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert n_read == n_total == n_shards
+    assert (disk["q_id"].to_numpy() == mem["q_id"].to_numpy()).all()
+    assert (disk["vec_id"].to_numpy() == mem["vec_id"].to_numpy()).all()
+    assert np.allclose(disk["sim"].to_numpy(), mem["sim"].to_numpy())
+
+    # crash-resume: delete one shard file; rebuild must rewrite ONLY it
+    victim = files[1]
+    keep_mtimes = {f: os.path.getmtime(f) for f in files if f != victim}
+    os.remove(victim)
+    ann_stages.build_hnsw_disk_index(emb, d, n_rows_hint=n)
+    for f, mt in keep_mtimes.items():
+        assert os.path.getmtime(f) == mt, f
+    assert os.path.exists(victim)
+    disk2, _, _ = ann_stages.hnsw_disk_topk(d, q_ids, qm, k=10)
+    disk2 = disk2.to_pandas().sort_values(["q_id", "vec_id"]).reset_index(drop=True)
+    assert (disk2["vec_id"].to_numpy() == disk["vec_id"].to_numpy()).all()
